@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline inventory queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query executes end-to-end (collect of a small aggregated result);
+the reported value is the sum of per-query wall-clock seconds after a
+warm-up run of the flagship to amortize JVM/session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from data_lakehouse_movilidad_publica_santiago_spark.analytics import inventory
+from data_lakehouse_movilidad_publica_santiago_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "typed_projection",
+    "quality_split_invalid",
+    "measure_unpivot",
+    "dedup_keep_latest",
+    "scd2_timeline",
+    "asof_resolve",
+    "star_join_revenue",
+    "topk_orders_per_priority",
+    "percentile_by_status",
+    "pct_of_total_by_segment",
+    "demand_by_day_type",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="bench")
+
+    # warm-up: JVM codegen + parquet footer caches
+    inventory.QUERIES["pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = inventory.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

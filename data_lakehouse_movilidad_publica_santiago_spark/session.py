@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+The reference hand-tunes its engines per process (DuckDB ``SET threads``,
+``SET memory_limit '6GB'`` — reference src/silver/transforms.py:157-163);
+here the equivalent knobs are set once on the session and Catalyst/AQE
+handle the rest. Defaults are sized so the same code runs on
+``local[N]`` for tests and scales to a multi-executor cluster: AQE
+coalesces the 200-default shuffle partitions on tiny inputs and splits
+skewed ones at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# ZSTD parquet mirrors the reference's silver layer
+# (COPY ... FORMAT PARQUET, COMPRESSION ZSTD, transforms.py:146).
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+    # naive local timestamps everywhere in the reference (DATETIME2, no tz)
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for every pandas-UDF boundary (geo reproject, contract sampling)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # DuckDB TRY_CAST semantics == Spark non-ANSI cast (SURVEY §1.3);
+    # keep ANSI off so CAST yields NULL on parse failure, not an error.
+    "spark.sql.ansi.enabled": "false",
+    # broadcast all the small dims (largest SCD2 dim ~12k rows)
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.sql.shuffle.partitions": "32",
+    # some sources (driver testdata `events`) carry parquet TIMESTAMP(NANOS),
+    # which vanilla Spark rejects; read as long and convert at the scan
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+    "spark.sql.files.maxPartitionBytes": "128MB",
+}
+
+
+def get_spark(
+    app_name: str = "data_lakehouse_movilidad_publica_santiago_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    so tests and bench share one code path; on a real cluster pass
+    ``master=None`` with ``spark.master`` preconfigured.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(_BASE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

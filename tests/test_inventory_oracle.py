@@ -1,0 +1,44 @@
+"""Differential test mirroring the driver's correctness gate: every
+inventory query runs on Spark AND DuckDB at sf0.01 and must match on
+row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from data_lakehouse_movilidad_publica_santiago_spark.analytics import inventory
+
+from conftest import SF_CORRECTNESS
+
+
+def _normalize(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in sorted(cols):
+            v = row[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = None
+                else:
+                    v = round(v, 6)
+            vals.append(repr(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(inventory.QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = inventory.QUERIES[name](spark, SF_CORRECTNESS)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    rel = duck.execute(inventory.ORACLE[name])
+    duck_cols = [d[0] for d in rel.description]
+    duck_rows = [dict(zip(duck_cols, r)) for r in rel.fetchall()]
+
+    assert sorted(spark_cols) == sorted(duck_cols), "column names differ"
+    assert len(spark_rows) == len(duck_rows), "row counts differ"
+    assert _normalize(spark_rows, spark_cols) == _normalize(duck_rows, duck_cols)
