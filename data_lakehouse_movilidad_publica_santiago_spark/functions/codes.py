@@ -38,7 +38,7 @@ def tipo_dia_expr(raw: Column, accept_text: bool = False) -> Column:
     ``accept_text=True`` = etapas semantics: value may arrive as the
     int code or the final text; text passes through UPPER(TRIM(...)).
     """
-    as_int = raw.cast("int")
+    as_int = raw.try_cast("int")
     mapped = map_code(as_int, TIPO_DIA_MAP)
     if not accept_text:
         return mapped
@@ -47,7 +47,7 @@ def tipo_dia_expr(raw: Column, accept_text: bool = False) -> Column:
 
 def mode_code_expr(raw: Column, accept_text: bool = False) -> Column:
     """Transport mode from a raw string column; same int-or-text rule."""
-    as_int = raw.cast("int")
+    as_int = raw.try_cast("int")
     mapped = map_code(as_int, MODE_MAP)
     if not accept_text:
         return mapped

@@ -29,17 +29,20 @@ def time_30m_sk(ts: Column) -> Column:
 def excel_fraction_to_slot(frac: Column) -> Column:
     """Excel day-fraction (0..1) -> 30-min slot ``FLOOR(frac*48)``.
 
-    Clamped exactly like the reference: 1.0 maps to 47 via the
-    LEAST(…, 47) guard (transforms.py:95-100).
+    Deliberately UNclamped (transforms.py:95-100): a fraction of 1.0
+    yields 48, which the BAD_TIME_SLOT quality rule quarantines —
+    clamping here would hide bad rows from quarantine.
     """
-    return F.least(F.floor(frac * F.lit(48)), F.lit(47)).cast("int")
+    return F.floor(frac * F.lit(48)).cast("int")
 
 
 def excel_fraction_to_time(frac: Column) -> Column:
-    """Excel day-fraction -> 'HH:MM:SS' string (MAKE_TIME parity,
-    transforms.py:103-111). Seconds are always 00 — the source grid
-    is 30-minute resolution."""
-    total_min = F.floor(frac * F.lit(24) * F.lit(60)).cast("int")
-    hh = F.least(F.floor(total_min / 60), F.lit(23)).cast("int")
-    mm = (total_min % 60).cast("int")
+    """Excel day-fraction -> 'HH:MM:00' string (MAKE_TIME parity,
+    transforms.py:103-111): hour = FLOOR(f*24), minute = FLOOR of the
+    hour remainder. Seconds are always 00 — the source grid is
+    30-minute resolution."""
+    hh = F.floor(frac * F.lit(24)).cast("int")
+    mm = F.floor((frac * F.lit(24) - F.floor(frac * F.lit(24))) * F.lit(60)).cast(
+        "int"
+    )
     return F.format_string("%02d:%02d:00", hh, mm)

@@ -92,4 +92,4 @@ def _utm19s_to_wgs84(x: pd.Series, y: pd.Series) -> pd.DataFrame:
 
 def utm_to_wgs84(x: Column, y: Column) -> Column:
     """Struct column ``(lat, lon)`` from UTM 19S easting/northing."""
-    return _utm19s_to_wgs84(x.cast("double"), y.cast("double"))
+    return _utm19s_to_wgs84(x.try_cast("double"), y.try_cast("double"))
