@@ -1,0 +1,275 @@
+"""Gold loader: one silver partition → the DW constellation.
+
+Orchestration parity with the reference's GoldLoader.run
+(load_gold.py:1741-1866): run-log start + skip-if-already-OK, dim_cut
+from quality.json, static dims, dim_date range, lookup dims, SCD2
+dims (event_date = cut date, :1788-1792), fact merges, run-log finish.
+Staging is gone — the silver parquet IS the staging (SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from datetime import date, datetime, timezone
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import CutPartition
+from . import dims as D
+from . import facts as FX
+from .store import GoldStore
+
+LOADER_VERSION = "spark-gold-1.0"
+
+
+class GoldLoader:
+    def __init__(self, spark: SparkSession, gold_root: Path) -> None:
+        self.spark = spark
+        self.store = GoldStore(spark, gold_root)
+
+    # ── etl_run_log ────────────────────────────────────────────────
+
+    def _log_run(self, row: dict[str, Any]) -> None:
+        df = self.spark.createDataFrame(
+            [row],
+            "run_id string, dataset string, cut string, status string, "
+            "started_at string, finished_at string, rows_staged long, "
+            "rows_inserted long, ignored_cash_rows long, error_message string, "
+            "loader_version string",
+        )
+        self.store.append(df, "etl_run_log")
+
+    def _is_already_ok(self, dataset: str, cut: str) -> bool:
+        """Skip-if-OK idempotency gate (load_gold.py:1775-1785)."""
+        if not self.store.exists("etl_run_log"):
+            return False
+        rows = (
+            self.store.read("etl_run_log")
+            .filter((F.col("dataset") == dataset) & (F.col("cut") == cut))
+            .orderBy(F.desc("started_at"))
+            .select("status")
+            .limit(1)
+            .collect()
+        )
+        return bool(rows) and rows[0]["status"] == "OK"
+
+    # ── silver inputs ──────────────────────────────────────────────
+
+    def _silver(self, partition: CutPartition, lake_root: Path) -> dict[str, DataFrame]:
+        sdir = partition.silver_dir(lake_root)
+        if partition.dataset == "viajes":
+            return {
+                "trips": self.spark.read.parquet(str(sdir / "viajes_trip.parquet")),
+                "legs": self.spark.read.parquet(str(sdir / "viajes_leg.parquet")),
+            }
+        if partition.dataset == "etapas":
+            return {
+                "valid": self.spark.read.parquet(
+                    str(sdir / "etapas_validation.parquet")
+                )
+            }
+        return {
+            "valid": self.spark.read.parquet(str(sdir / "subidas_30m.parquet"))
+        }
+
+    def _quality(self, partition: CutPartition, lake_root: Path) -> dict[str, Any]:
+        qp = partition.quality_dir(lake_root) / "quality.json"
+        if qp.exists():
+            return json.loads(qp.read_text(encoding="utf-8"))
+        return {
+            "dataset": partition.dataset,
+            "cut": partition.cut,
+            "year": partition.year,
+            "month": partition.month,
+        }
+
+    # ── dim plumbing per dataset ───────────────────────────────────
+
+    def _upsert_lookup_dims(self, dataset: str, silver: dict[str, DataFrame]) -> None:
+        """dim_fare_period / dim_purpose / dim_operator_contract
+        harvests (load_gold.py:822-878)."""
+        store = self.store
+        null_s = F.lit(None).cast("string")
+        if dataset == "viajes":
+            trips = silver["trips"]
+            fare = trips.select(
+                F.col("periodo_inicio_viaje").alias("fare_period_name")
+            ).unionByName(
+                trips.select(F.col("periodo_fin_viaje").alias("fare_period_name"))
+            )
+            D.upsert_lookup_dim(store, "dim_fare_period", "fare_period_name", fare)
+            D.upsert_lookup_dim(
+                store,
+                "dim_purpose",
+                "purpose_name",
+                trips.select(F.col("proposito").alias("purpose_name")),
+            )
+            D.upsert_lookup_dim(
+                store,
+                "dim_operator_contract",
+                "contract_code",
+                trips.select(F.col("contrato").alias("contract_code")).withColumn(
+                    "operator_code", null_s
+                ),
+                extra_cols=["operator_code"],
+            )
+        elif dataset == "etapas":
+            ev = silver["valid"]
+            fare = ev.select(
+                F.col("periodoSubida").alias("fare_period_name")
+            ).unionByName(ev.select(F.col("periodoBajada").alias("fare_period_name")))
+            D.upsert_lookup_dim(store, "dim_fare_period", "fare_period_name", fare)
+            # BK = COALESCE(contrato, operador) (load_gold.py:866-878)
+            ops = ev.select(
+                F.coalesce(F.col("contrato"), F.col("operador")).alias(
+                    "contract_code"
+                ),
+                F.col("operador").alias("operator_code"),
+            )
+            D.upsert_lookup_dim(
+                store,
+                "dim_operator_contract",
+                "contract_code",
+                ops,
+                extra_cols=["operator_code"],
+            )
+
+    def _collect_date_sks(self, dataset: str, silver: dict[str, DataFrame]) -> list[int]:
+        """MIN/MAX date SKs from the staged data (load_gold.py:1603-1630)."""
+        pairs: list[tuple[DataFrame, str]] = []
+        if dataset == "viajes":
+            pairs = [
+                (silver["trips"], "date_start_sk"),
+                (silver["trips"], "date_end_sk"),
+                (silver["legs"], "date_board_sk"),
+                (silver["legs"], "date_alight_sk"),
+            ]
+        elif dataset == "etapas":
+            pairs = [
+                (silver["valid"], "date_board_sk"),
+                (silver["valid"], "date_alight_sk"),
+            ]
+        sks: list[int] = []
+        for df, col in pairs:
+            row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+            if row["lo"] is not None:
+                sks += [int(row["lo"]), int(row["hi"])]
+        return sks
+
+    # ── main entry ─────────────────────────────────────────────────
+
+    def run(
+        self,
+        partition: CutPartition,
+        lake_root: Path,
+        force: bool = False,
+    ) -> dict[str, Any]:
+        dataset, cut = partition.dataset, partition.cut
+        if not force and self._is_already_ok(dataset, cut):
+            return {"status": "SKIPPED", "dataset": dataset, "cut": cut}
+
+        run_id = uuid.uuid4().hex
+        started = datetime.now(tz=timezone.utc).isoformat()
+        t0 = time.monotonic()
+        silver = self._silver(partition, lake_root)
+        result: dict[str, Any] = {"dataset": dataset, "cut": cut}
+        try:
+            # event_date for SCD2 = cut date (load_gold.py:1788-1792)
+            try:
+                event_date = date.fromisoformat(cut[:10])
+            except ValueError:
+                event_date = date(partition.year, partition.month, 1)
+
+            D.ensure_static_dims(self.store)
+            D.upsert_dim_cut(self.store, self._quality(partition, lake_root))
+            cut_sk = D.get_cut_sk(self.store, dataset, cut)
+            assert cut_sk is not None
+
+            D.ensure_dim_date(self.store, self._collect_date_sks(dataset, silver))
+            self._upsert_lookup_dims(dataset, silver)
+
+            stops = D.harvest_stops(dataset, silver)
+            if stops is not None:
+                result["scd2_stop"] = D.scd2_upsert(
+                    self.store, "dim_stop", "stop_code", D.STOP_ATTRS,
+                    stops, event_date, "stop_sk",
+                )  # fmt: skip
+            services = D.harvest_services(dataset, silver)
+            if services is not None:
+                result["scd2_service"] = D.scd2_upsert(
+                    self.store, "dim_service", "service_code", D.SERVICE_ATTRS,
+                    services, event_date, "service_sk",
+                )  # fmt: skip
+
+            rows_staged = 0
+            rows_inserted = 0
+            cash_excluded = 0
+            if dataset == "viajes":
+                rows_staged = silver["trips"].count() + silver["legs"].count()
+                n_t, cash_t = FX.merge_fct_trip(self.store, silver["trips"], cut_sk)
+                n_l, cash_l = FX.merge_fct_trip_leg(
+                    self.store, silver["legs"], cut_sk
+                )
+                rows_inserted = n_t + n_l
+                cash_excluded = cash_t + cash_l
+                result["fct_trip"] = n_t
+                result["fct_trip_leg"] = n_l
+            elif dataset == "etapas":
+                rows_staged = silver["valid"].count()
+                rows_inserted = FX.merge_fct_validation(
+                    self.store, silver["valid"], cut_sk
+                )
+                result["fct_validation"] = rows_inserted
+            else:
+                rows_staged = silver["valid"].count()
+                rows_inserted = FX.merge_fct_boardings_30m(
+                    self.store, silver["valid"], cut_sk,
+                    partition.year, partition.month,
+                )  # fmt: skip
+                result["fct_boardings_30m"] = rows_inserted
+
+            self._log_run(
+                {
+                    "run_id": run_id,
+                    "dataset": dataset,
+                    "cut": cut,
+                    "status": "OK",
+                    "started_at": started,
+                    "finished_at": datetime.now(tz=timezone.utc).isoformat(),
+                    "rows_staged": rows_staged,
+                    "rows_inserted": rows_inserted,
+                    "ignored_cash_rows": cash_excluded,
+                    "error_message": None,
+                    "loader_version": LOADER_VERSION,
+                }
+            )
+            result.update(
+                status="OK",
+                rows_staged=rows_staged,
+                rows_inserted=rows_inserted,
+                ignored_cash_rows=cash_excluded,
+                elapsed_sec=round(time.monotonic() - t0, 1),
+            )
+            return result
+        except Exception as exc:
+            self._log_run(
+                {
+                    "run_id": run_id,
+                    "dataset": dataset,
+                    "cut": cut,
+                    "status": "FAILED",
+                    "started_at": started,
+                    "finished_at": datetime.now(tz=timezone.utc).isoformat(),
+                    "rows_staged": 0,
+                    "rows_inserted": 0,
+                    "ignored_cash_rows": 0,
+                    "error_message": str(exc)[:2000],
+                    "loader_version": LOADER_VERSION,
+                }
+            )
+            raise

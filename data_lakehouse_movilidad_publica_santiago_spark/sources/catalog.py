@@ -85,13 +85,20 @@ def write_meta(
     return path
 
 
+# canonical pipeline order (reference TRANSFORM_REGISTRY,
+# transforms.py:1026-1030): viajes first so the later etapas load
+# same-day-ENRICHES harvested dims instead of being overwritten
+_DATASET_ORDER = {"viajes": 0, "etapas": 1, "subidas_30m": 2}
+
+
 def discover_partitions(
     lake_root: Path,
     dataset: str | None = None,
     cut: str | None = None,
 ) -> list[CutPartition]:
     """Scan `<lake>/raw/dtpm` for partitions with `_meta.json`,
-    deterministic order (sorted globs — load_gold.py:109-113 parity)."""
+    deterministic order: canonical dataset order, then cut (sorted
+    globs — load_gold.py:109-113 parity)."""
     out: list[CutPartition] = []
     raw_root = Path(lake_root) / "raw" / "dtpm"
     for meta_path in sorted(raw_root.glob("dataset=*/year=*/month=*/cut=*/_meta.json")):
@@ -111,4 +118,5 @@ def discover_partitions(
                 meta_row_count=meta.get("row_count"),
             )
         )
+    out.sort(key=lambda p: (_DATASET_ORDER.get(p.dataset, 99), p.dataset, p.cut))
     return out
