@@ -13,7 +13,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_lakehouse_movilidad_publica_santiago_spark.analytics import inventory
+from data_lakehouse_movilidad_publica_santiago_spark.analytics import (
+    inventory,
+    inventory_llm,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -22,10 +25,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(inventory.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, plus the
+    LLM-data-pipeline operator suite (dedup / similarity / text /
+    multimodal / tumbling windows)."""
+    return {**inventory.QUERIES, **inventory_llm.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent per query (same aliases)."""
-    return dict(inventory.ORACLE)
+    """DuckDB-runnable ANSI SQL equivalent per query (same aliases).
+    Probabilistic operators (MinHash-LSH, SimHash, LSH-ANN) and the
+    Python-stage multimodal feature extractor are intentionally
+    absent → rows-only check; their exact counterparts are
+    oracle-verified."""
+    return {**inventory.ORACLE, **inventory_llm.ORACLE}

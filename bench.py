@@ -14,8 +14,13 @@ import os
 import re
 import time
 
-from data_lakehouse_movilidad_publica_santiago_spark.analytics import inventory
+from data_lakehouse_movilidad_publica_santiago_spark.analytics import (
+    inventory,
+    inventory_llm,
+)
 from data_lakehouse_movilidad_publica_santiago_spark.session import get_spark
+
+ALL_QUERIES = {**inventory.QUERIES, **inventory_llm.QUERIES}
 
 HEADLINE = [
     "pricing_summary",
@@ -30,6 +35,12 @@ HEADLINE = [
     "percentile_by_status",
     "pct_of_total_by_segment",
     "demand_by_day_type",
+    # LLM-data-pipeline headliners (scale paths)
+    "doc_fingerprints",
+    "minhash_lsh_near_dup",
+    "embedding_knn",
+    "token_count_stats",
+    "tumbling_window_30m",
 ]
 
 
@@ -44,7 +55,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = inventory.QUERIES[name]
+        fn = ALL_QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)

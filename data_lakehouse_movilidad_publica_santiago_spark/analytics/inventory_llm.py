@@ -1,0 +1,417 @@
+"""LLM-training-data operator inventory (beyond-reference, required by
+BASELINE.json's north star): dedup, similarity search, text analysis,
+multimodal plumbing, streaming-shaped windows — over the driver's
+``documents`` / ``embeddings`` / ``events`` tables, each with a DuckDB
+oracle where the math is SQL-expressible.
+
+Probabilistic operators (MinHash-LSH, SimHash, LSH-ANN) have no exact
+SQL twin — they are exposed as rows-only checks, with their EXACT
+counterparts (``token_jaccard_near_dup``, ``embedding_near_dup``,
+``embedding_knn``) oracle-verified so the verification logic itself is
+covered.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    predict_lang,
+    quality_score,
+    token_count,
+)
+from ..operators.dedup_text import (
+    exact_dup_groups,
+    jaccard_pairs_exact,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ..operators.multimodal import (
+    extract_features,
+    synthesize_media_from_documents,
+)
+from ..operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from .inventory import t
+
+# normalization shared by the SQL oracles (mirror of text.normalize_text)
+_SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_SQL_TOKENS = f"list_distinct(string_split_regex({_SQL_NORM}, ' '))"
+
+QUALITY_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "with"]
+
+
+# ── dedup ───────────────────────────────────────────────────────────
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup key per document: md5 of normalized text (the
+    hash-groupBy dedup primitive, value-checked against DuckDB md5)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+ORACLE_DOC_FINGERPRINTS = f"""
+SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents
+"""
+
+
+def q_exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-dup stats (groups with >1 member)."""
+    docs = t(spark, sf_dir, "documents")
+    groups = exact_dup_groups(docs, "doc_id", "text")
+    total = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(doc_fingerprint(F.col("text"))).alias("n_distinct"),
+    )
+    dup = groups.agg(
+        F.count("*").alias("n_dup_groups"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_dup_docs"),
+    )
+    return total.crossJoin(dup)
+
+
+ORACLE_EXACT_DEDUP_SUMMARY = f"""
+WITH fp AS (SELECT doc_id, md5({_SQL_NORM}) AS f FROM documents),
+g AS (SELECT f, COUNT(*) AS n FROM fp GROUP BY f HAVING COUNT(*) > 1)
+SELECT (SELECT COUNT(*) FROM fp)            AS n_docs,
+       (SELECT COUNT(DISTINCT f) FROM fp)   AS n_distinct,
+       (SELECT COUNT(*) FROM g)             AS n_dup_groups,
+       (SELECT COALESCE(SUM(n), 0) FROM g)  AS n_dup_docs
+"""
+
+
+def q_token_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs on token-SET Jaccard ≥ 0.9 (unigram
+    shingles), size-band pruned — summarized per doc_a to keep the
+    result compact and order-free."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_exact(docs, "doc_id", "text", threshold=0.9, k=1)
+    return pairs.groupBy("doc_a").agg(
+        F.count("*").alias("n_near_dups"),
+        F.sum("n_inter").alias("sum_inter"),
+        F.sum("n_union").alias("sum_union"),
+        F.max("doc_b").alias("max_doc_b"),
+    )
+
+
+ORACLE_TOKEN_JACCARD = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.ts, b.ts)) AS n_inter,
+         len(list_distinct(a.ts || b.ts)) AS n_union,
+         ROUND(len(list_intersect(a.ts, b.ts)) * 1.0
+               / len(list_distinct(a.ts || b.ts)), 6) AS jac
+  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+SELECT doc_a, COUNT(*) AS n_near_dups, SUM(n_inter) AS sum_inter,
+       SUM(n_union) AS sum_union, MAX(doc_b) AS max_doc_b
+FROM pairs WHERE jac >= 0.9
+GROUP BY doc_a
+"""
+
+
+def q_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs on word-3-gram shingles, Jaccard
+    ≥ 0.5, exact-verified (precision 1). Probabilistic recall → no
+    SQL oracle; rows-only check. This is the 100 TB dedup path."""
+    docs = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, k=3, num_perm=64, bands=16
+    )
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup candidates (Hamming ≤ 8) via 16-bit chunk
+    banding. Hash-function-specific → rows-only check."""
+    docs = t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+# ── similarity search ───────────────────────────────────────────────
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for the vec_id=0 query vector
+    (ranked on the ROUNDED similarity so rank ties are stable across
+    engines)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+ORACLE_EMBEDDING_KNN = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q)
+SELECT vec_id, cos_sim,
+       ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+def q_embedding_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: sign-hyperplane LSH bucket probe (+Hamming-1),
+    exact rescoring inside the probed buckets. Rows-only check."""
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _query_vec(spark, sf_dir), k=10, n_planes=8)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs (≥ 0.35 on this synthetic corpus),
+    summarized per id_a."""
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.35)
+    return pairs.groupBy("id_a").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("cos_sim"), 4).alias("sum_cos"),
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, COUNT(*) AS n_pairs, ROUND(SUM(cos_sim), 4) AS sum_cos
+FROM pairs WHERE cos_sim >= 0.35
+GROUP BY id_a
+"""
+
+
+# ── text analysis ───────────────────────────────────────────────────
+
+
+def q_token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting, aggregated per source."""
+    docs = t(spark, sf_dir, "documents")
+    counted = docs.select(
+        "source",
+        token_count(F.col("text")).alias("n_tok"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+    )
+    return counted.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNT_STATS = f"""
+WITH c AS (
+  SELECT source,
+         len(string_split_regex({_SQL_NORM}, ' ')) AS n_tok,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+       SUM(n_bpe) AS total_bpe_tokens, ROUND(AVG(n_tok), 4) AS avg_tokens
+FROM c GROUP BY source
+"""
+
+
+def q_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language-ID vs the labeled lang column —
+    confusion counts. Deterministic scoring, oracle-matched."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", predict_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _oracle_lang_sql() -> str:
+    from ..functions.text import LANG_MARKERS
+
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"len(list_intersect(ts, [{lst}])) AS s_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{l} > 0 AND s_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH toks AS (SELECT lang, {_SQL_TOKENS} AS ts FROM documents),
+scored AS (SELECT lang, {', '.join(score_exprs)} FROM toks)
+SELECT lang, {case} AS predicted, COUNT(*) AS n
+FROM scored GROUP BY lang, predicted
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring, histogrammed by score."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.round(quality_score(F.col("text"), QUALITY_STOPWORDS), 2).alias("score")
+    )
+    return scored.groupBy("score").agg(F.count("*").alias("n_docs"))
+
+
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+ORACLE_DOC_QUALITY = f"""
+WITH feat AS (
+  SELECT
+    length(text) AS n_chars,
+    string_split_regex({_SQL_NORM}, ' ') AS toks,
+    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+      / NULLIF(length(text), 0) AS punct_ratio
+  FROM documents),
+feat2 AS (
+  SELECT n_chars, punct_ratio,
+    len(list_filter(toks, x -> list_contains([{_STOP_LIST_SQL}], x))) * 1.0
+      / NULLIF(len(toks), 0) AS stop_ratio,
+    list_sum(list_transform(toks, x -> length(x))) * 1.0
+      / NULLIF(len(toks), 0) AS mwl
+  FROM feat),
+scored AS (
+  SELECT ROUND(CAST(
+      0.25 * (CASE WHEN n_chars BETWEEN 50 AND 2000 THEN 1.0 ELSE 0.5 END)
+    + 0.25 * (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.0 END)
+    + 0.25 * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
+    + 0.25 * (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+    AS DOUBLE), 2) AS score
+  FROM feat2)
+SELECT score, COUNT(*) AS n_docs FROM scored GROUP BY score
+"""
+
+
+# ── multimodal ──────────────────────────────────────────────────────
+
+
+def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synthesize media payloads from the
+    documents table, aggregate byte stats per media_type (the
+    metadata path the real decode pipeline shares)."""
+    docs = t(spark, sf_dir, "documents")
+    media = synthesize_media_from_documents(docs)
+    return media.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.sum("meta.byte_len").alias("total_bytes"),
+        F.min("meta.byte_len").alias("min_bytes"),
+        F.max("meta.byte_len").alias("max_bytes"),
+    )
+
+
+ORACLE_MULTIMODAL_BYTE_STATS = """
+WITH media AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         octet_length(encode(text)) AS byte_len
+  FROM documents)
+SELECT media_type, COUNT(*) AS n_media, SUM(byte_len) AS total_bytes,
+       MIN(byte_len) AS min_bytes, MAX(byte_len) AS max_bytes
+FROM media GROUP BY media_type
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (stubbed
+    decode, real Arrow plumbing): per-type feature-vector stats.
+    Python-stage math → rows-only check."""
+    docs = t(spark, sf_dir, "documents")
+    feats = extract_features(synthesize_media_from_documents(docs))
+    return feats.select(
+        "media_type",
+        "byte_len",
+        F.round(
+            F.aggregate(
+                "feature", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("feature_sum"),
+    ).groupBy("media_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("feature_sum"), 4).alias("avg_feature_sum"),
+    )
+
+
+# ── streaming-shaped (batch tumbling window) ────────────────────────
+
+
+def q_tumbling_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute tumbling window over the event stream — the
+    Structured-Streaming windowed-agg shape (SURVEY §2.10), computed
+    in batch with ``window()`` (epoch-aligned)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_TUMBLING_WINDOW = """
+SELECT CAST(CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS VARCHAR) AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_fingerprints": q_doc_fingerprints,
+    "exact_dedup_summary": q_exact_dedup_summary,
+    "token_jaccard_near_dup": q_token_jaccard_near_dup,
+    "minhash_lsh_near_dup": q_minhash_lsh_near_dup,
+    "simhash_near_dup": q_simhash_near_dup,
+    "embedding_knn": q_embedding_knn,
+    "embedding_lsh_knn": q_embedding_lsh_knn,
+    "embedding_near_dup": q_embedding_near_dup,
+    "token_count_stats": q_token_count_stats,
+    "lang_id_agreement": q_lang_id_agreement,
+    "doc_quality": q_doc_quality,
+    "multimodal_byte_stats": q_multimodal_byte_stats,
+    "multimodal_features": q_multimodal_features,
+    "tumbling_window_30m": q_tumbling_window_30m,
+}
+
+# probabilistic / Python-stage ops intentionally absent → driver
+# records the weaker rows-only check for them
+ORACLE: dict[str, str] = {
+    "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
+    "exact_dedup_summary": ORACLE_EXACT_DEDUP_SUMMARY,
+    "token_jaccard_near_dup": ORACLE_TOKEN_JACCARD,
+    "embedding_knn": ORACLE_EMBEDDING_KNN,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "token_count_stats": ORACLE_TOKEN_COUNT_STATS,
+    "lang_id_agreement": _oracle_lang_sql(),
+    "doc_quality": ORACLE_DOC_QUALITY,
+    "multimodal_byte_stats": ORACLE_MULTIMODAL_BYTE_STATS,
+    "tumbling_window_30m": ORACLE_TUMBLING_WINDOW,
+}

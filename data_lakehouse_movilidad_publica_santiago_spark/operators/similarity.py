@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute force — one pass over N vectors per
+  query, JVM-side dot products (F.zip_with/F.aggregate). The
+  correctness baseline.
+- ``lsh_topk``: sign-random-hyperplane LSH — deterministic
+  pseudo-random hyperplanes derived from xxhash64, vectors bucketed
+  by sign bits; a query probes only its bucket (optionally
+  Hamming-1 neighbors). The 100 TB path: bucket column is
+  partition/cluster-by-able so a query touches one bucket's files.
+- ``embedding_near_dup_pairs``: exact cosine ≥ threshold all-pairs
+  (embedding-space near-dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a constant query vector;
+    deterministic tiebreak on id. Returns (id, cos_sim, rank)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cos_sim"), F.asc(id_col))),
+    )
+    return ranked.filter(F.col("rank") <= k)
+
+
+def hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane: component j =
+    centered hash of (seed, j). Stable across engines and runs."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed * 1000003 % (2**31))
+    v = rng.standard_normal(dim)
+    return [float(x) for x in (v / np.linalg.norm(v))]
+
+
+def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit i = sign(vec · plane_i)."""
+    bits = [
+        F.when(
+            _dot(vec, F.array(*[F.lit(c) for c in plane])) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming1: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's sign
+    bucket (plus Hamming-1 neighbor buckets by default). Recall
+    depends on n_planes; precision of returned scores is exact."""
+    dim = len(query_vec)
+    planes = [hyperplane(dim, s) for s in range(n_planes)]
+    bucketed = embeddings.withColumn("_bucket", sign_bucket(F.col(vec_col), planes))
+
+    import numpy as np
+
+    qv = np.array(query_vec, dtype="float64")
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if float(qv @ np.array(plane)) > 0:
+            qbucket |= 1 << i
+    probe = {qbucket}
+    if probe_hamming1:
+        probe |= {qbucket ^ (1 << i) for i in range(n_planes)}
+
+    cand = bucketed.filter(F.col("_bucket").isin([int(b) for b in probe]))
+    return cosine_topk(cand.drop("_bucket"), query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine-similarity near-duplicate pairs (id_a < id_b)."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    ).alias("a")
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).alias("b")
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(sim, 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
