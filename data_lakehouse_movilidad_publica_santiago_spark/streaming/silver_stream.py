@@ -1,0 +1,168 @@
+"""Streaming silver pipeline.
+
+Mapping from the reference's batch semantics (SURVEY §2.10):
+- micro-batch / trigger : one cut per run → file-source stream with
+  ``Trigger.AvailableNow`` over the bronze dir (new CSVs = new cuts)
+- late/dirty data       : quarantine split with reason codes inside
+  ``foreachBatch`` — the SAME ``transform_viajes_df`` plan as batch,
+  never dropping rows silently
+- exactly-once          : checkpointing + the batch sinks' idempotent
+  layout (foreachBatch writes per-batch parquet; gold MERGE dedups)
+- tumbling windows      : ``window(ts, '30 minutes')`` + watermark —
+  the streaming form of ``fct_boardings_30m``
+- state                 : ``applyInPandasWithState`` per-card trip
+  chaining (beyond-reference custom stateful operator)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.quality import REASON_COL
+from ..schemas import VIAJES_RAW_COLUMNS, all_varchar_schema, clean_columns
+from ..silver.viajes import transform_viajes_df
+
+
+def stream_silver_viajes(
+    spark: SparkSession,
+    bronze_dir: str | Path,
+    out_dir: str | Path,
+    checkpoint_dir: str | Path,
+    cut: str = "stream",
+    year: int = 0,
+    month: int = 0,
+    available_now: bool = True,
+):
+    """File-source stream over a bronze viajes directory → valid trip
+    + quarantine parquet sinks via foreachBatch.
+
+    Returns the started StreamingQuery (AvailableNow by default so
+    callers can ``awaitTermination()`` for the drain-and-stop batch
+    semantics the reference's per-cut CLI loop has).
+    """
+    schema = all_varchar_schema(VIAJES_RAW_COLUMNS)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("sep", "|")
+        .option("header", "true")
+        .option("nullValue", "-")
+        .option("quote", "")
+        .csv(str(bronze_dir))
+        .select(*clean_columns(VIAJES_RAW_COLUMNS))
+    )
+
+    out_dir = Path(out_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        plans = transform_viajes_df(batch_df, cut, year, month)
+        tagged = plans["tagged"].cache()
+        try:
+            valid = tagged.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
+            invalid = tagged.filter(F.col(REASON_COL).isNotNull()).withColumnRenamed(
+                REASON_COL, "reason_code"
+            )
+            valid.write.mode("append").parquet(str(out_dir / "trips"))
+            invalid.write.mode("append").parquet(str(out_dir / "quarantine"))
+        finally:
+            tagged.unpersist()
+
+    writer = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_boardings_30m(
+    events: DataFrame,
+    ts_col: str = "tiempo_subida",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked 30-minute tumbling-window boardings aggregate — the
+    streaming realization of ``fct_boardings_30m``. ``events`` is a
+    streaming DF of typed validations; late rows beyond the watermark
+    are dropped instead of quarantined (streaming semantics)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), "30 minutes").alias("w"),
+            "parada_subida",
+            "tipo_transporte",
+            "tipo_dia",
+        )
+        .agg(
+            F.count("*").alias("boardings"),
+            F.sum("fExpansionServicioPeriodoTS").alias("boardings_expanded"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("parada_subida").alias("stop_code"),
+            F.col("tipo_transporte").alias("mode_code"),
+            "tipo_dia",
+            "boardings",
+            "boardings_expanded",
+        )
+    )
+
+
+_CHAIN_STATE_SCHEMA = "n_legs long, last_ts timestamp"
+_CHAIN_OUT_SCHEMA = (
+    "id_tarjeta string, chain_legs long, first_leg boolean, emitted_at timestamp"
+)
+
+
+def _chain_fn(key, pdf_iter, state: GroupState):
+    """Per-card running leg counter with a 60-min inactivity timeout —
+    a new chain (trip) starts when the card is idle longer than the
+    transfer window. Everything imported locally: the closure must be
+    self-contained for executor pickling."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        state.remove()
+        return iter([])
+
+    n_legs, last_ts = state.get if state.exists else (0, None)
+    rows = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("tiempo_subida")
+        for ts in pdf["tiempo_subida"]:
+            if last_ts is not None and (ts - last_ts).total_seconds() > 3600:
+                n_legs = 0  # idle > 60 min → new trip chain
+            n_legs += 1
+            rows.append(
+                {
+                    "id_tarjeta": key[0],
+                    "chain_legs": n_legs,
+                    "first_leg": n_legs == 1,
+                    "emitted_at": ts,
+                }
+            )
+            last_ts = ts
+    state.update((n_legs, last_ts))
+    state.setTimeoutDuration(60 * 60 * 1000)
+    return iter([pd.DataFrame(rows)])
+
+
+def stream_trip_chains(validations: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): chain legs
+    into trips per card using a 60-minute inactivity gap. ``validations``
+    is a streaming DF with at least (id_tarjeta, tiempo_subida)."""
+    return (
+        validations.groupBy("id_tarjeta")
+        .applyInPandasWithState(
+            _chain_fn,
+            outputStructType=_CHAIN_OUT_SCHEMA,
+            stateStructType=_CHAIN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,129 @@
+"""Structured Streaming tests: file-source silver stream with
+quarantine split, watermarked windowed aggregation, stateful trip
+chaining — all driven with AvailableNow triggers on the fixture lake."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_movilidad_publica_santiago_spark.streaming import (
+    stream_silver_viajes,
+    stream_trip_chains,
+    streaming_boardings_30m,
+)
+
+import dtpm_fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def bronze(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("lake")
+    fx.build_lake(root)
+    return root
+
+
+def test_stream_silver_viajes(spark, bronze, tmp_path_factory):
+    out = tmp_path_factory.mktemp("stream_out")
+    bronze_dir = (
+        bronze / "raw/dtpm/dataset=viajes/year=2025/month=04/cut=2025-04-21"
+    )
+    q = stream_silver_viajes(
+        spark,
+        bronze_dir,
+        out,
+        tmp_path_factory.mktemp("ckpt"),
+        cut="2025-04-21",
+        year=2025,
+        month=4,
+    )
+    q.awaitTermination(120)
+    trips = spark.read.parquet(str(out / "trips"))
+    quarantine = spark.read.parquet(str(out / "quarantine"))
+    assert trips.count() == 4  # same valid set as the batch path
+    assert quarantine.count() == 7
+    reasons = {r["reason_code"] for r in quarantine.select("reason_code").collect()}
+    assert "BAD_RANGE_N_ETAPAS" in reasons and "MISSING_ID" in reasons
+    assert trips.select("tipo_dia").distinct().collect()[0][0] == "LABORAL"
+
+
+def test_streaming_boardings_window(spark, bronze, tmp_path_factory):
+    """Drive the windowed agg through a real stream: rate-limited file
+    source over the silver etapas output."""
+    from data_lakehouse_movilidad_publica_santiago_spark.silver import run_silver
+    from data_lakehouse_movilidad_publica_santiago_spark.sources.catalog import (
+        discover_partitions,
+    )
+
+    etapas_part = [
+        p for p in discover_partitions(bronze) if p.dataset == "etapas"
+    ][0]
+    run_silver(spark, etapas_part, bronze)
+    silver_dir = str(
+        bronze
+        / "processed/dtpm/dataset=etapas/year=2025/month=04"
+        / f"cut={fx.CUT_ETAPAS}/etapas_validation.parquet"
+    )
+    batch_schema = spark.read.parquet(silver_dir).schema
+    stream = spark.readStream.schema(batch_schema).parquet(silver_dir)
+    agg = streaming_boardings_30m(stream, watermark="10 minutes")
+    out = tmp_path_factory.mktemp("win_out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt2")))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-CLOSED windows: max event time
+    # is 09:15, watermark = 09:05, so the 08:30 window (2 boardings)
+    # closes and emits while the 09:00 window (the 09:15 boarding)
+    # correctly stays open in state — late-data semantics, not loss
+    rows = spark.read.parquet(str(out)).collect()
+    assert {r["window_start"].strftime("%H:%M") for r in rows} == {"08:30"}
+    assert sum(r["boardings"] for r in rows) == 2
+
+
+def test_stateful_trip_chains(spark, tmp_path_factory):
+    """applyInPandasWithState: legs 20 min apart chain; a 90-min gap
+    starts a new chain."""
+    import pandas as pd
+
+    src_dir = tmp_path_factory.mktemp("chain_src")
+    pdf = pd.DataFrame(
+        {
+            "id_tarjeta": ["C1", "C1", "C1", "C2"],
+            "tiempo_subida": pd.to_datetime(
+                [
+                    "2025-04-21 08:00:00",
+                    "2025-04-21 08:20:00",  # same chain (20 min)
+                    "2025-04-21 10:30:00",  # new chain (130 min gap)
+                    "2025-04-21 09:00:00",
+                ]
+            ),
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(src_dir / "p"))
+    schema = "id_tarjeta string, tiempo_subida timestamp"
+    stream = spark.readStream.schema(schema).parquet(str(src_dir / "p"))
+    chains = stream_trip_chains(stream)
+    out = tmp_path_factory.mktemp("chain_out")
+    q = (
+        chains.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt3")))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["id_tarjeta"], str(r["emitted_at"])): r
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert rows[("C1", "2025-04-21 08:00:00")]["chain_legs"] == 1
+    assert rows[("C1", "2025-04-21 08:20:00")]["chain_legs"] == 2
+    assert rows[("C1", "2025-04-21 10:30:00")]["chain_legs"] == 1  # gap reset
+    assert rows[("C2", "2025-04-21 09:00:00")]["first_leg"] is True
