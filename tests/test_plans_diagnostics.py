@@ -1,0 +1,109 @@
+"""Plan-quality assertions (the 100 TB posture, testable) + gold load
+diagnostics report."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_movilidad_publica_santiago_spark.analytics import inventory
+from data_lakehouse_movilidad_publica_santiago_spark.plans import (
+    has_broadcast_hash_join,
+    has_nested_loop_join,
+    pushed_filters,
+    scan_read_schema,
+)
+
+from conftest import SF_CORRECTNESS
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """The flagship's shipdate filter must appear in PushedFilters."""
+    df = inventory.q_pricing_summary(spark, SF_CORRECTNESS)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+
+
+def test_column_pruning(spark):
+    """pricing_summary reads only the 7 needed lineitem columns."""
+    df = inventory.q_pricing_summary(spark, SF_CORRECTNESS)
+    cols = set(scan_read_schema(df))
+    assert "l_shipdate" in cols and "l_quantity" in cols
+    assert "l_partkey" not in cols and "l_suppkey" not in cols
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = inventory.q_star_join_revenue(spark, SF_CORRECTNESS)
+    assert has_broadcast_hash_join(df)
+
+
+def test_asof_join_is_hash_not_nested_loop(spark):
+    """The SCD2 as-of join has an equi BK → must plan as a hash join,
+    never BroadcastNestedLoopJoin (SURVEY §4 join-strategy row)."""
+    df = inventory.q_asof_resolve(spark, SF_CORRECTNESS)
+    assert has_broadcast_hash_join(df)
+    assert not has_nested_loop_join(df)
+
+
+def test_serving_filters_push_to_scan(spark, tmp_path_factory):
+    """API cut/day filters reach the silver parquet scan."""
+    import dtpm_fixtures as fx
+    from data_lakehouse_movilidad_publica_santiago_spark.serving import (
+        QueryFilters,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.serving.query_service import (
+        SilverLake,
+        apply_filters,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.silver import run_silver
+    from data_lakehouse_movilidad_publica_santiago_spark.sources.catalog import (
+        discover_partitions,
+    )
+
+    root = tmp_path_factory.mktemp("lake")
+    fx.build_lake(root)
+    for p in discover_partitions(root, dataset="etapas"):
+        run_silver(spark, p, root)
+    lake = SilverLake(spark, root)
+    df = apply_filters(
+        lake.etapas(),
+        QueryFilters(cut_from="2025-04-01", tipo_dia=["LABORAL"]),
+        cut_col="cut",
+        day_col="tipo_dia",
+    )
+    pf = pushed_filters(df)
+    assert any("cut" in f for f in pf), pf
+    assert any("tipo_dia" in f for f in pf), pf
+
+
+def test_load_report(spark, tmp_path_factory):
+    import dtpm_fixtures as fx
+    from data_lakehouse_movilidad_publica_santiago_spark.gold import GoldLoader
+    from data_lakehouse_movilidad_publica_santiago_spark.gold.diagnostics import (
+        build_load_report,
+        write_load_report,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.silver import run_silver
+    from data_lakehouse_movilidad_publica_santiago_spark.sources.catalog import (
+        discover_partitions,
+    )
+
+    root = tmp_path_factory.mktemp("lake")
+    fx.build_lake(root)
+    loader = GoldLoader(spark, root / "gold")
+    for p in discover_partitions(root):
+        run_silver(spark, p, root)
+        loader.run(p, root)
+
+    report = build_load_report(loader.store, root)
+    assert report["facts"]["fct_trip"]["grain_duplicates"]["duplicate_keys"] == 0
+    assert report["facts"]["fct_trip"]["sk_miss_rates"]["rows"] == 3
+    miss = report["facts"]["fct_trip"]["sk_miss_rates"]["miss_rates_pct"]
+    assert miss["origin_stop_sk"] == 0.0
+    q = {r["reason_code"]: r["n"] for r in report["quarantine"]["viajes"]["reasons"]}
+    assert q["NEG_DISTANCE"] == 3
+    assert report["runs"]["ok"] == 3
+
+    jp, mp = write_load_report(report, root / "diagnostics")
+    assert jp.exists() and mp.exists()
+    assert "fct_trip" in mp.read_text()
