@@ -1,0 +1,113 @@
+"""Pipeline CLI — the reference's command surface re-expressed
+(src/silver/transform_silver.py and src/gold/load_gold.py CLIs):
+
+    python -m data_lakehouse_movilidad_publica_santiago_spark silver \
+        --lake /path/to/lake [--dataset viajes] [--cut 2025-04-21] [--fail-fast]
+    python -m data_lakehouse_movilidad_publica_santiago_spark gold \
+        --lake /path/to/lake [--dataset ...] [--cut ...] [--force]
+    python -m data_lakehouse_movilidad_publica_santiago_spark report --lake ...
+    python -m data_lakehouse_movilidad_publica_santiago_spark export-sqlite \
+        --lake ... --out dw.db
+
+Exit code = number of failed partitions (CLI loop parity,
+transform_silver.py:147-161).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+from .gold import GoldLoader
+from .gold.diagnostics import build_load_report, write_load_report
+from .gold.sqlite_export import export_gold_to_sqlite
+from .session import get_spark
+from .silver import run_silver
+from .sources.catalog import discover_partitions
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--lake", required=True, type=Path)
+    p.add_argument("--dataset", default=None)
+    p.add_argument("--cut", default=None)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="data_lakehouse_movilidad_publica_santiago_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("silver", help="raw partitions → silver + quarantine")
+    _add_common(sp)
+    sp.add_argument("--fail-fast", action="store_true")
+
+    gp = sub.add_parser("gold", help="silver partitions → DW constellation")
+    _add_common(gp)
+    gp.add_argument("--force", action="store_true", help="ignore run-log OK skip")
+
+    rp = sub.add_parser("report", help="gold load diagnostics report")
+    rp.add_argument("--lake", required=True, type=Path)
+
+    ep = sub.add_parser("export-sqlite", help="export the DW to one .db file")
+    ep.add_argument("--lake", required=True, type=Path)
+    ep.add_argument("--out", required=True, type=Path)
+
+    args = ap.parse_args(argv)
+    spark = get_spark(app_name=f"dlmps-{args.cmd}")
+    failed = 0
+
+    if args.cmd == "silver":
+        parts = discover_partitions(args.lake, args.dataset, args.cut)
+        if not parts:
+            print("no matching partitions", file=sys.stderr)
+            return 1
+        for p in parts:
+            try:
+                stats = run_silver(spark, p, args.lake)
+                print(
+                    f"OK  {p.dataset}/{p.cut}: read={stats['read_row_count']} "
+                    f"valid={stats['valid_row_count']} "
+                    f"invalid={stats['invalid_row_count']} "
+                    f"({stats['quarantine_rate_pct']}%)"
+                )
+            except Exception as exc:
+                failed += 1
+                print(f"FAIL {p.dataset}/{p.cut}: {exc}", file=sys.stderr)
+                if args.fail_fast:
+                    break
+
+    elif args.cmd == "gold":
+        parts = discover_partitions(args.lake, args.dataset, args.cut)
+        if not parts:
+            print("no matching partitions", file=sys.stderr)
+            return 1
+        loader = GoldLoader(spark, args.lake / "gold")
+        for p in parts:
+            try:
+                res = loader.run(p, args.lake, force=args.force)
+                print(f"{res['status']}  {p.dataset}/{p.cut}: " + json.dumps(
+                    {k: v for k, v in res.items()
+                     if k not in ("status", "dataset", "cut")},
+                    default=str,
+                ))  # fmt: skip
+            except Exception as exc:
+                failed += 1
+                print(f"FAIL {p.dataset}/{p.cut}: {exc}", file=sys.stderr)
+
+    elif args.cmd == "report":
+        loader = GoldLoader(spark, args.lake / "gold")
+        report = build_load_report(loader.store, args.lake)
+        jp, mp = write_load_report(report, args.lake / "diagnostics")
+        print(f"wrote {jp} and {mp}")
+
+    elif args.cmd == "export-sqlite":
+        loader = GoldLoader(spark, args.lake / "gold")
+        counts = export_gold_to_sqlite(loader.store, args.out)
+        print(json.dumps(counts))
+
+    return failed
+
+
+if __name__ == "__main__":
+    sys.exit(main())
