@@ -264,19 +264,29 @@ WHERE rn = 1
 
 def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 versions of per-customer order status: snapshots =
-    (custkey, orderdate) keeping the highest orderkey per day."""
+    (custkey, orderdate) keeping the highest orderkey per day.
+
+    The keep-latest dedup is a single ``max_by`` aggregate (map-side
+    combinable) rather than a row_number window — one shuffle instead
+    of window-sort + re-aggregation; orderkey is unique so the winner
+    is deterministic and identical to the ROW_NUMBER oracle."""
     o = t(spark, sf_dir, "orders")
-    snap = dedup_keep_latest(
-        o.select(
+    snap = (
+        o.groupBy(
+            "o_custkey", F.col("o_orderdate").cast("date").alias("event_date")
+        )
+        .agg(
+            F.max_by(
+                F.struct("o_orderstatus", "o_orderpriority"), F.col("o_orderkey")
+            ).alias("_w")
+        )
+        .select(
             "o_custkey",
-            F.col("o_orderdate").cast("date").alias("event_date"),
-            "o_orderstatus",
-            "o_orderpriority",
-            "o_orderkey",
-        ),
-        grain=["o_custkey", "event_date"],
-        order_by=[F.col("o_orderkey").desc()],
-    ).drop("o_orderkey")
+            "event_date",
+            F.col("_w.o_orderstatus").alias("o_orderstatus"),
+            F.col("_w.o_orderpriority").alias("o_orderpriority"),
+        )
+    )
     return snapshots_to_scd2(
         snap,
         bk="o_custkey",
