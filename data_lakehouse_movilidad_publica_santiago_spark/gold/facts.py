@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import dedup_keep_latest
+from ..operators.dedup import dedup_max_by
 from .store import GoldStore
 
 
@@ -106,10 +106,10 @@ def merge_fct_trip(
 ) -> tuple[int, int]:
     """viajes_trip silver → fct_trip. Returns (inserted, cash_excluded)."""
     cash = trips.filter(F.col("id_tarjeta").isNull()).count()
-    src = dedup_keep_latest(
+    src = dedup_max_by(
         trips.filter(F.col("id_tarjeta").isNotNull()),
         grain=["id_tarjeta", "id_viaje"],
-        order_by=[F.col("tiempo_inicio_viaje").desc()],
+        order_col="tiempo_inicio_viaje",
     ).withColumn("event_dt", _event_dt("date_start_sk"))
 
     dim_stop = store.read("dim_stop")
@@ -171,10 +171,10 @@ def merge_fct_trip_leg(
         | F.col("board_stop_code").isNotNull()
         | F.col("mode_code").isNotNull()
     )
-    src = dedup_keep_latest(
+    src = dedup_max_by(
         legs.filter(F.col("id_tarjeta").isNotNull() & nonempty),
         grain=["id_tarjeta", "id_viaje", "leg_seq"],
-        order_by=[F.col("ts_board").desc()],
+        order_col="ts_board",
     ).withColumn("event_dt", _event_dt("date_board_sk"))
 
     src = _asof_stop(src, store.read("dim_stop"), "board_stop_code", "board_stop_sk")
@@ -224,11 +224,12 @@ def merge_fct_trip_leg(
 
 def merge_fct_validation(store: GoldStore, ev: DataFrame, cut_sk: int) -> int:
     """etapas_validation silver → fct_validation."""
-    src = dedup_keep_latest(
+    src = dedup_max_by(
         ev,
         grain=["id_etapa", "tiempo_subida"],
-        # reference: ORDER BY (SELECT NULL); deterministic tiebreak here
-        order_by=[F.col("parada_subida").asc_nulls_last()],
+        # reference: ORDER BY (SELECT NULL); stable-ish pick here
+        order_col="parada_subida",
+        descending=False,
     ).withColumn("event_dt", _event_dt("date_board_sk"))
 
     dim_stop = store.read("dim_stop")
@@ -293,10 +294,10 @@ def merge_fct_boardings_30m(
     """subidas_30m silver → fct_boardings_30m (is_current stop join —
     deliberate deviation from as-of, load_gold.py:1568-1575)."""
     month_date_sk = year * 10000 + month * 100 + 1
-    src = dedup_keep_latest(
+    src = dedup_max_by(
         sv,
         grain=["stop_code", "time_30m_sk", "mode_code", "tipo_dia"],
-        order_by=[F.col("subidas_promedio").desc_nulls_last()],
+        order_col="subidas_promedio",
     )
     stops = store.read("dim_stop").filter(F.col("is_current"))
     src = _lookup(src, stops, "stop_code", "stop_code", "stop_sk", "stop_sk")

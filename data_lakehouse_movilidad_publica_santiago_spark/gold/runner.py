@@ -140,25 +140,25 @@ class GoldLoader:
             )
 
     def _collect_date_sks(self, dataset: str, silver: dict[str, DataFrame]) -> list[int]:
-        """MIN/MAX date SKs from the staged data (load_gold.py:1603-1630)."""
-        pairs: list[tuple[DataFrame, str]] = []
+        """MIN/MAX date SKs from the staged data (load_gold.py:1603-1630);
+        one aggregate job per table, all columns fused."""
+        per_table: dict[str, list[str]] = {}
         if dataset == "viajes":
-            pairs = [
-                (silver["trips"], "date_start_sk"),
-                (silver["trips"], "date_end_sk"),
-                (silver["legs"], "date_board_sk"),
-                (silver["legs"], "date_alight_sk"),
-            ]
+            per_table = {
+                "trips": ["date_start_sk", "date_end_sk"],
+                "legs": ["date_board_sk", "date_alight_sk"],
+            }
         elif dataset == "etapas":
-            pairs = [
-                (silver["valid"], "date_board_sk"),
-                (silver["valid"], "date_alight_sk"),
-            ]
+            per_table = {"valid": ["date_board_sk", "date_alight_sk"]}
         sks: list[int] = []
-        for df, col in pairs:
-            row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
-            if row["lo"] is not None:
-                sks += [int(row["lo"]), int(row["hi"])]
+        for key, cols in per_table.items():
+            aggs = []
+            for c in cols:
+                aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+            row = silver[key].agg(*aggs).collect()[0]
+            for c in cols:
+                if row[f"lo_{c}"] is not None:
+                    sks += [int(row[f"lo_{c}"]), int(row[f"hi_{c}"])]
         return sks
 
     # ── main entry ─────────────────────────────────────────────────
@@ -176,7 +176,11 @@ class GoldLoader:
         run_id = uuid.uuid4().hex
         started = datetime.now(tz=timezone.utc).isoformat()
         t0 = time.monotonic()
-        silver = self._silver(partition, lake_root)
+        # cache the silver inputs: dim harvests, date ranges, and fact
+        # merges each re-scan them otherwise (4-6 scans per table)
+        silver = {
+            k: df.cache() for k, df in self._silver(partition, lake_root).items()
+        }
         result: dict[str, Any] = {"dataset": dataset, "cut": cut}
         try:
             # event_date for SCD2 = cut date (load_gold.py:1788-1792)
@@ -273,3 +277,6 @@ class GoldLoader:
                 }
             )
             raise
+        finally:
+            for df in silver.values():
+                df.unpersist()

@@ -37,3 +37,23 @@ def dedup_keep_latest(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def dedup_max_by(
+    df: DataFrame,
+    grain: list[str],
+    order_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep-latest dedup as a ``max_by``/``min_by`` AGGREGATE instead
+    of a row_number window: map-side combinable (partial aggregation
+    before the shuffle), no per-partition sort — the scale path for
+    the pre-MERGE fact dedups where the window version shuffles every
+    full row. Ties on ``order_col`` pick an arbitrary winner, same as
+    the reference's single-key ORDER BY."""
+    others = [c for c in df.columns if c not in grain]
+    picker = F.max_by if descending else F.min_by
+    packed = df.groupBy(*grain).agg(
+        picker(F.struct(*others), F.col(order_col)).alias("_w")
+    )
+    return packed.select(*grain, *[F.col(f"_w.{c}").alias(c) for c in others])

@@ -35,6 +35,10 @@ _BASE_CONF: dict[str, str] = {
     # some sources (driver testdata `events`) carry parquet TIMESTAMP(NANOS),
     # which vanilla Spark rejects; read as long and convert at the scan
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # the silver enrichment plans carry 100-180 fields; the default
+    # maxFields=100 silently drops them out of whole-stage codegen
+    # (~2x slower interpreted path)
+    "spark.sql.codegen.maxFields": "400",
     "spark.ui.enabled": "false",
     "spark.sql.files.maxPartitionBytes": "128MB",
 }
@@ -57,6 +61,11 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = builder.master(master)
     conf = dict(_BASE_CONF)
+    # local mode = driver-only JVM: the driver heap IS the executor
+    # memory; the 1g default OOMs on wide-row CSV scans with 32 threads
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -52,13 +52,28 @@ def run_silver(
     lake_root: Path,
 ) -> dict[str, Any]:
     """Transform one raw partition → silver parquet + quarantine +
-    quality.json. Returns the quality stats dict."""
+    quality.json. Returns the quality stats dict.
+
+    Single-CSV-pass design: the enriched+tagged plan is cached
+    (MEMORY_AND_DISK — spills instead of OOM at scale) on its first
+    materialization; every sink, count, and audit derives from the
+    cache, and no separate raw ``count()`` pass re-parses the CSV
+    (read_row_count is reconstructed from the tagged totals).
+    """
     raw = read_pipe_csv(spark, partition.csv_paths, list(partition.columns))
-    read_row_count = raw.count()
+
+    # subidas pre-filters NULL Media_hora before tagging
+    # (transforms.py:930); count raw rows only where the prefilter
+    # makes tagged_total != raw (cheap: 6-column source)
+    read_row_count: int | None = None
+    if partition.dataset == "subidas_30m":
+        read_row_count = raw.count()
 
     plans = TRANSFORM_REGISTRY[partition.dataset](
         raw, partition.cut, partition.year, partition.month
     )
+    silver_dir = partition.silver_dir(lake_root)
+    quarantine_dir = partition.quarantine_dir(lake_root)
     tagged = plans["tagged"].cache()
     try:
         valid = tagged.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
@@ -66,10 +81,7 @@ def run_silver(
             REASON_COL, "reason_code"
         )
 
-        silver_dir = partition.silver_dir(lake_root)
-        quarantine_dir = partition.quarantine_dir(lake_root)
         outputs: list[str] = []
-
         if partition.dataset == "viajes":
             trips = trips_from_valid(valid)
             out_trip = silver_dir / "viajes_trip.parquet"
@@ -96,11 +108,9 @@ def run_silver(
             F.sum(F.when(F.col(REASON_COL).isNotNull(), 1).otherwise(0)).alias("i"),
         ).collect()[0]
         valid_count, invalid_count = int(counts["v"] or 0), int(counts["i"] or 0)
-
-        # subidas pre-filters NULL Media_hora before tagging
-        # (transforms.py:930); fold those into the audit so the
-        # read==valid+invalid assertion still holds.
         tagged_total = valid_count + invalid_count
+        if read_row_count is None:
+            read_row_count = tagged_total
         prefiltered = read_row_count - tagged_total
 
         contract = contract_check(contract_df, _CONTRACTS[partition.dataset]())

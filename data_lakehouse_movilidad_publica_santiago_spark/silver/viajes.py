@@ -190,12 +190,13 @@ def legs_from_valid(valid: DataFrame) -> DataFrame:
         )
         structs.append(F.when(keep, leg))  # NULL struct when not kept
 
+    # explode the fixed 4-array then drop the not-kept (NULL) slots with
+    # a plain filter: higher-order array lambdas (F.filter) run
+    # interpreted, while array+explode+filter stays in codegen
     exploded = valid.select(
         "cut", "year", "month", "id_viaje", "id_tarjeta",
-        F.explode(
-            F.filter(F.array(*structs), lambda s: s.isNotNull())
-        ).alias("leg"),
-    )  # fmt: skip
+        F.explode(F.array(*structs)).alias("leg"),
+    ).filter(F.col("leg").isNotNull())  # fmt: skip
     return exploded.select("cut", "year", "month", "id_viaje", "id_tarjeta", "leg.*")
 
 
