@@ -157,7 +157,10 @@ def merge_fct_trip(
         F.col("distancia_ruta").alias("distancia_ruta_m"),
         "factor_expansion",
     )
-    n = store.merge_insert(out, "fct_trip", ["cut_sk", "id_tarjeta", "id_viaje"])
+    n = store.merge_insert(
+        out, "fct_trip", ["cut_sk", "id_tarjeta", "id_viaje"],
+        partition_cols=["cut_sk"], prune={"cut_sk": [cut_sk]},
+    )
     return n, cash
 
 
@@ -217,7 +220,8 @@ def merge_fct_trip_leg(
         "te_wait_min",
     )
     n = store.merge_insert(
-        out, "fct_trip_leg", ["cut_sk", "id_tarjeta", "id_viaje", "leg_seq"]
+        out, "fct_trip_leg", ["cut_sk", "id_tarjeta", "id_viaje", "leg_seq"],
+        partition_cols=["cut_sk"], prune={"cut_sk": [cut_sk]},
     )
     return n, cash
 
@@ -284,7 +288,8 @@ def merge_fct_validation(store: GoldStore, ev: DataFrame, cut_sk: int) -> int:
         F.col("fExpansionServicioPeriodoTS").alias("fexp_servicio"),
     )
     return store.merge_insert(
-        out, "fct_validation", ["id_etapa", "tiempo_boarding", "cut_sk"]
+        out, "fct_validation", ["id_etapa", "tiempo_boarding", "cut_sk"],
+        partition_cols=["cut_sk"], prune={"cut_sk": [cut_sk]},
     )
 
 
@@ -320,4 +325,5 @@ def merge_fct_boardings_30m(
         out,
         "fct_boardings_30m",
         ["month_date_sk", "time_30m_sk", "stop_sk", "mode_sk", "tipo_dia", "cut_sk"],
+        partition_cols=["cut_sk"], prune={"cut_sk": [cut_sk]},
     )

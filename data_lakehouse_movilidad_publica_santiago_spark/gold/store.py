@@ -34,7 +34,9 @@ class GoldStore:
 
     def exists(self, table: str) -> bool:
         p = self.path(table)
-        return p.exists() and any(p.glob("*.parquet"))
+        # rglob: partitioned tables keep their files under
+        # <table>/<col>=<val>/ subdirectories
+        return p.exists() and any(p.rglob("*.parquet"))
 
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(str(self.path(table)))
@@ -52,19 +54,43 @@ class GoldStore:
         else:
             tmp.rename(final)
 
-    def append(self, df: DataFrame, table: str) -> None:
-        df.write.mode("append").parquet(str(self.path(table)))
+    def append(
+        self, df: DataFrame, table: str, partition_cols: list[str] | None = None
+    ) -> None:
+        writer = df.write.mode("append")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(str(self.path(table)))
 
-    def merge_insert(self, df: DataFrame, table: str, grain: list[str]) -> int:
+    def merge_insert(
+        self,
+        df: DataFrame,
+        table: str,
+        grain: list[str],
+        partition_cols: list[str] | None = None,
+        prune: dict[str, list] | None = None,
+    ) -> int:
         """Insert-only MERGE keyed on ``grain``; returns rows inserted.
 
         The existing-side scan reads only the grain columns
         (column-pruned); new rows are appended as new part-files.
+
+        Scale: pass ``partition_cols`` (typically ``["cut_sk"]``) so
+        appends are Hive-partitioned, and ``prune`` with the incoming
+        batch's values for those columns — the anti-join's existing
+        side then PARTITION-PRUNES to just the cuts being loaded
+        instead of scanning the whole historical fact. Safe because
+        the grain contains the partition column: rows in other
+        partitions can never match.
         """
         if not self.exists(table):
             new_rows = df
         else:
-            existing = self.read(table).select(*grain)
+            existing = self.read(table)
+            if prune:
+                for col, values in prune.items():
+                    existing = existing.filter(existing[col].isin(values))
+            existing = existing.select(*grain)
             cond = [
                 df[g].eqNullSafe(existing[g]) for g in grain
             ]  # NULLs in grain compare equal, like a unique index would
@@ -75,7 +101,7 @@ class GoldStore:
         try:
             n = new_rows.count()
             if n:
-                self.append(new_rows, table)
+                self.append(new_rows, table, partition_cols)
             return n
         finally:
             new_rows.unpersist()
