@@ -21,6 +21,11 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # default floor is 1MB: on MB-scale shuffles AQE coalesces to 1-3
+    # partitions and serializes the sort/window/agg stages that follow.
+    # 64k keeps small shuffles parallel; at scale the computed target
+    # size is >> this floor, so the setting is inert there.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.parquet.compression.codec": "zstd",
     # naive local timestamps everywhere in the reference (DATETIME2, no tz)
     "spark.sql.session.timeZone": "UTC",
