@@ -588,7 +588,14 @@ FROM daily
 
 def q_ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE(4) over account balance (deterministic order w/ custkey
-    tiebreak), aggregated per quartile."""
+    tiebreak), aggregated per quartile.
+
+    Scale note: NTILE with a global ORDER BY is inherently a
+    single-partition window. The reference's Q8 runs it over the stop
+    dimension (~12k rows, BASELINE.md), where that is inert; for a
+    billion-row input the scalable rewrite is range-bucketing on
+    ``approx_percentile`` boundaries (quartile edges), which avoids
+    the exact equal-bucket-size tie handling only at the boundaries."""
     c = t(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
     q = c.withColumn("quartile", F.ntile(4).over(w))

@@ -42,17 +42,21 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine against a constant query vector;
-    deterministic tiebreak on id. Returns (id, cos_sim, rank)."""
+    deterministic tiebreak on id. Returns (id, cos_sim, rank).
+
+    Scale path: ``orderBy().limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — each partition keeps its local top-k
+    and only k rows per partition reach the driver-side merge, so no
+    global sort/shuffle of the N scored rows ever happens. The rank
+    window afterwards runs over exactly k rows (inert)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    order = [F.desc("cos_sim"), F.asc(id_col)]
     scored = embeddings.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
     )
-    ranked = scored.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("cos_sim"), F.asc(id_col))),
-    )
-    return ranked.filter(F.col("rank") <= k)
+    top = scored.orderBy(*order).limit(k)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 def hyperplane(dim: int, seed: int) -> list[float]:
