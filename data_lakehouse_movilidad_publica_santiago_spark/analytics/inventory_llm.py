@@ -38,6 +38,7 @@ from ..operators.multimodal import (
 from ..operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     lsh_topk,
 )
 from .inventory import t
@@ -199,6 +200,24 @@ SELECT id_a, COUNT(*) AS n_pairs, ROUND(SUM(cos_sim), 4) AS sum_cos
 FROM pairs WHERE cos_sim >= 0.35
 GROUP BY id_a
 """
+
+
+def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (subset of the exact ≥0.35 set by
+    construction — exact-verified candidates, so precision 1.0;
+    recall governed by table/plane counts). Rows-only check: bucket
+    collisions are probabilistic by design. Loose banding here
+    (4 planes × 12 tables) because the synthetic corpus only has
+    moderate-similarity pairs; production near-dup (sim ≥0.95) uses
+    the tighter defaults."""
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.35, n_tables=12, n_planes=4
+    )
+    return pairs.groupBy("id_a").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("cos_sim"), 4).alias("sum_cos"),
+    )
 
 
 # ── text analysis ───────────────────────────────────────────────────
@@ -393,6 +412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn": q_embedding_knn,
     "embedding_lsh_knn": q_embedding_lsh_knn,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
     "token_count_stats": q_token_count_stats,
     "lang_id_agreement": q_lang_id_agreement,
     "doc_quality": q_doc_quality,

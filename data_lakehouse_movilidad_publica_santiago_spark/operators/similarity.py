@@ -115,6 +115,88 @@ def lsh_topk(
     return cosine_topk(cand.drop("_bucket"), query_vec, k, id_col, vec_col)
 
 
+def embedding_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs, exact-verified — the
+    100 TB path next to ``embedding_near_dup_pairs`` (exact all-pairs,
+    O(N²)).
+
+    ``n_tables`` independent sign-hyperplane tables of ``n_planes``
+    bits each; two vectors collide in one table iff all bit signs
+    agree. Candidates = pairs sharing any table's bucket; each
+    candidate is verified with the exact cosine, so precision is 1.0
+    and recall = 1-(1-(1-θ/π)^n_planes)^n_tables for angle θ =
+    arccos(threshold). Defaults target θ≈18° (sim 0.95): recall ≈0.93.
+
+    Scale: bucket rows carry ONLY (id, table, bucket) into the
+    equality self-join shuffle — vectors are re-joined just for the
+    surviving candidates. No quadratic work outside genuinely
+    colliding buckets; the (table, bucket) key is cluster-by-able.
+    """
+    if dim is None:
+        first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos_sim double"
+            )
+        dim = int(first["d"])
+    tables = [
+        [hyperplane(dim, 7919 * t + i + 1) for i in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    banded = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.tbl", "bb.bucket")
+
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

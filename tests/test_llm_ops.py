@@ -111,6 +111,43 @@ def test_lsh_ann_recall(spark):
     # design, so tail overlap is not asserted
 
 
+def test_lsh_near_dup_precision_and_recall(spark):
+    """LSH-bucketed near-dup: every emitted pair is exact-verified
+    (precision 1.0 ⇒ subset of the exact all-pairs set); recall on
+    deterministic hyperplanes is fixed — theory gives ≈0.84 for
+    4 planes × 12 tables at the 0.35 threshold."""
+    import numpy as np
+
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((60, 16)).astype("float32")
+    # plant 20 true near-dups as noisy copies of the first 20 vectors
+    dups = base[:20] + rng.standard_normal((20, 16)).astype("float32") * 0.15
+    vecs = np.vstack([base, dups])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_lsh(
+            df, threshold=0.9, n_tables=12, n_planes=4
+        ).collect()
+    }
+    assert lsh <= exact  # exact verify ⇒ precision 1.0
+    assert len(exact) >= 15  # the planted pairs are found by brute force
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.7
+
+
 def test_multimodal_pipeline(spark):
     docs = spark.createDataFrame(
         [(i, f"document body number {i} " * (i + 1), "en", "s", 10)
