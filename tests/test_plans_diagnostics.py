@@ -45,6 +45,18 @@ def test_asof_join_is_hash_not_nested_loop(spark):
     assert not has_nested_loop_join(df)
 
 
+def test_cosine_topk_is_take_ordered(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    local top-k), never a single-partition global-window sort."""
+    from data_lakehouse_movilidad_publica_santiago_spark.analytics import (
+        inventory_llm,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.plans import explain_str
+
+    df = inventory_llm.q_embedding_knn(spark, SF_CORRECTNESS)
+    assert "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
 def test_serving_filters_push_to_scan(spark, tmp_path_factory):
     """API cut/day filters reach the silver parquet scan."""
     import dtpm_fixtures as fx
