@@ -88,7 +88,7 @@ g AS (SELECT f, COUNT(*) AS n FROM fp GROUP BY f HAVING COUNT(*) > 1)
 SELECT (SELECT COUNT(*) FROM fp)            AS n_docs,
        (SELECT COUNT(DISTINCT f) FROM fp)   AS n_distinct,
        (SELECT COUNT(*) FROM g)             AS n_dup_groups,
-       (SELECT COALESCE(SUM(n), 0) FROM g)  AS n_dup_docs
+       CAST((SELECT COALESCE(SUM(n), 0) FROM g) AS BIGINT) AS n_dup_docs
 """
 
 
@@ -115,8 +115,9 @@ pairs AS (
          ROUND(len(list_intersect(a.ts, b.ts)) * 1.0
                / len(list_distinct(a.ts || b.ts)), 6) AS jac
   FROM d a JOIN d b ON a.doc_id < b.doc_id)
-SELECT doc_a, COUNT(*) AS n_near_dups, SUM(n_inter) AS sum_inter,
-       SUM(n_union) AS sum_union, MAX(doc_b) AS max_doc_b
+SELECT doc_a, COUNT(*) AS n_near_dups,
+       CAST(SUM(n_inter) AS BIGINT) AS sum_inter,
+       CAST(SUM(n_union) AS BIGINT) AS sum_union, MAX(doc_b) AS max_doc_b
 FROM pairs WHERE jac >= 0.9
 GROUP BY doc_a
 """
@@ -245,8 +246,10 @@ WITH c AS (
          len(string_split_regex({_SQL_NORM}, ' ')) AS n_tok,
          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
   FROM documents)
-SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
-       SUM(n_bpe) AS total_bpe_tokens, ROUND(AVG(n_tok), 4) AS avg_tokens
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       ROUND(AVG(n_tok), 4) AS avg_tokens
 FROM c GROUP BY source
 """
 
@@ -345,7 +348,8 @@ WITH media AS (
          ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
          octet_length(encode(text)) AS byte_len
   FROM documents)
-SELECT media_type, COUNT(*) AS n_media, SUM(byte_len) AS total_bytes,
+SELECT media_type, COUNT(*) AS n_media,
+       CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
        MIN(byte_len) AS min_bytes, MAX(byte_len) AS max_bytes
 FROM media GROUP BY media_type
 """

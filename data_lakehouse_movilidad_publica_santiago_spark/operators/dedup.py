@@ -50,10 +50,31 @@ def dedup_max_by(
     before the shuffle), no per-partition sort — the scale path for
     the pre-MERGE fact dedups where the window version shuffles every
     full row. Ties on ``order_col`` pick an arbitrary winner, same as
-    the reference's single-key ORDER BY."""
+    the reference's single-key ORDER BY.
+
+    NULL safety: ``max_by(struct, key)`` skips rows whose key is NULL,
+    so a group where EVERY row has a NULL ``order_col`` would collapse
+    to a NULL struct — grain keys kept, every other column nulled
+    (silent corruption for nullable order columns like
+    ``parada_subida`` / ``ts_board``). We therefore order by a struct
+    key ``(order_col IS [NOT] NULL, order_col)``: the key itself is
+    never NULL, rows with a real ``order_col`` always beat NULL rows,
+    and an all-NULL group still keeps one real row (arbitrary, same as
+    a tie)."""
     others = [c for c in df.columns if c not in grain]
-    picker = F.max_by if descending else F.min_by
-    packed = df.groupBy(*grain).agg(
-        picker(F.struct(*others), F.col(order_col)).alias("_w")
-    )
+    if descending:
+        picker = F.max_by
+        # non-null key sorts above null key under MAX
+        key = F.struct(
+            F.col(order_col).isNotNull().alias("_present"),
+            F.col(order_col).alias("_k"),
+        )
+    else:
+        picker = F.min_by
+        # non-null key sorts below null key under MIN
+        key = F.struct(
+            F.col(order_col).isNull().alias("_absent"),
+            F.col(order_col).alias("_k"),
+        )
+    packed = df.groupBy(*grain).agg(picker(F.struct(*others), key).alias("_w"))
     return packed.select(*grain, *[F.col(f"_w.{c}").alias(c) for c in others])

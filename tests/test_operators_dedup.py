@@ -1,0 +1,58 @@
+"""Regression tests for grain dedup operators — in particular the
+NULL-order-column corruption ADVICE flagged in round 1: max_by/min_by
+skip NULL ordering keys, so an all-NULL group used to return a NULL
+struct and null every non-grain column."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_movilidad_publica_santiago_spark.operators.dedup import (
+    dedup_keep_latest,
+    dedup_max_by,
+)
+
+
+def _frame(spark):
+    # group g1: mixed NULL / non-NULL order col; g2: ALL NULL; g3: no dups
+    rows = [
+        ("g1", None, "a-null"),
+        ("g1", 5, "a-five"),
+        ("g1", 9, "a-nine"),
+        ("g2", None, "b-null-1"),
+        ("g2", None, "b-null-2"),
+        ("g3", 1, "c-one"),
+    ]
+    return spark.createDataFrame(rows, "k string, ord int, payload string")
+
+
+def test_dedup_max_by_all_null_group_keeps_real_row(spark):
+    out = dedup_max_by(_frame(spark), ["k"], "ord", descending=True)
+    by_key = {r["k"]: r for r in out.collect()}
+    assert set(by_key) == {"g1", "g2", "g3"}
+    # mixed group: non-null beats null, max wins
+    assert by_key["g1"]["payload"] == "a-nine"
+    assert by_key["g1"]["ord"] == 9
+    # all-NULL group: must keep a REAL row, not a nulled-out shell
+    assert by_key["g2"]["payload"] in ("b-null-1", "b-null-2")
+    assert by_key["g3"]["payload"] == "c-one"
+
+
+def test_dedup_min_by_prefers_non_null(spark):
+    out = dedup_max_by(_frame(spark), ["k"], "ord", descending=False)
+    by_key = {r["k"]: r for r in out.collect()}
+    assert by_key["g1"]["payload"] == "a-five"  # min non-null, not the NULL row
+    assert by_key["g2"]["payload"] in ("b-null-1", "b-null-2")
+
+
+def test_dedup_max_by_matches_window_semantics(spark):
+    """On data with a non-null unique order col, the aggregate path and
+    the row_number path agree exactly."""
+    df = spark.range(200).select(
+        (F.col("id") % 40).alias("k"),
+        F.col("id").alias("ord"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+    )
+    agg = dedup_max_by(df, ["k"], "ord", descending=True)
+    win = dedup_keep_latest(df, ["k"], [F.col("ord").desc()])
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, win.collect()))
