@@ -65,15 +65,18 @@ _FEATURE_SCHEMA = T.StructType(
 
 def _decode_image_stub(content: bytes) -> np.ndarray:
     """Deterministic fake decode: fold the bytes into FEATURE_DIM
-    buckets and normalize. Replace with a real decoder (PIL →
-    resize → pooled pixels) where the library exists."""
+    bucket SUMS. Integer-valued, so the features are exact in float32
+    up to 2^24 per bucket (payloads ≲ 1 MiB) and the differential
+    oracle can recompute them byte-for-byte in SQL. Replace with a
+    real decoder (PIL → resize → pooled pixels) where the library
+    exists."""
     if content is None or len(content) == 0:
         return np.zeros(FEATURE_DIM, dtype="float32")
     arr = np.frombuffer(content, dtype=np.uint8)
     pad = (-len(arr)) % FEATURE_DIM
     if pad:
         arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
-    folded = arr.reshape(-1, FEATURE_DIM).mean(axis=0) / 255.0
+    folded = arr.reshape(-1, FEATURE_DIM).sum(axis=0, dtype="int64")
     return folded.astype("float32")
 
 
@@ -101,7 +104,7 @@ def extract_features(media: DataFrame) -> DataFrame:
             pad = (-len(arr)) % feature_dim
             if pad:
                 arr = _np.concatenate([arr, _np.zeros(pad, dtype=_np.uint8)])
-            folded = arr.reshape(-1, feature_dim).mean(axis=0) / 255.0
+            folded = arr.reshape(-1, feature_dim).sum(axis=0, dtype="int64")
             return folded.astype("float32")
 
         for pdf in it:
