@@ -3,13 +3,16 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query executes end-to-end (collect of a small aggregated result).
-The reported value is the sum of per-query STEADY-STATE wall-clock
-seconds: a first full pass executes every headline query once to pay
-one-time costs (JVM/session startup, Catalyst analysis, whole-stage
-codegen Janino compilation, parquet footer caches — measured at ~1-3 s
-per query shape, independent of data size), then the timed pass runs
-each query again. This is the warm-run methodology of the TPC power
-run: it measures the query engine, not the JIT.
+The reported value is the sum of per-query MEDIAN-OF-3 steady-state
+wall-clock seconds: a first full pass executes every headline query
+once to pay one-time costs (JVM/session startup, Catalyst analysis,
+whole-stage codegen Janino compilation, parquet footer caches —
+measured at ~1-3 s per query shape, independent of data size), then
+THREE timed passes run each query and the median is reported, with
+the min-max spread alongside, so a single contended run (e.g. the
+driver's concurrent correctness pass) cannot distort the signal.
+This is the warm-run methodology of the TPC power run: it measures
+the query engine, not the JIT or the box's load spikes.
 """
 
 from __future__ import annotations
@@ -56,16 +59,27 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     # warm-up pass: compile every query shape once (codegen classes are
-    # cached by generated source, so the timed pass reuses them)
+    # cached by generated source, so the timed passes reuse them)
     for name in HEADLINE:
         ALL_QUERIES[name](spark, sf_dir).collect()
 
+    # three timed passes, interleaved across queries so a transient
+    # load spike hits at most one sample of several queries instead of
+    # all samples of one query
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            fn = ALL_QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = ALL_QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    spread: dict[str, list[float]] = {}
+    for name, runs in samples.items():
+        runs = sorted(runs)
+        timings[name] = round(runs[1], 3)  # median of 3
+        spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -76,6 +90,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "method": "median_of_3_warm",
+                "spread_min_max": spread,
             }
         )
     )
