@@ -25,7 +25,7 @@ from ..functions.hashing import row_hash
 from ..operators.asof import asof_join, snapshots_to_scd2
 from ..operators.dedup import dedup_keep_latest
 from ..operators.quality import QualityRule, split_by_quality, tag_quality
-from ..operators.windows import pct_of_total, top_k_per_group
+from ..operators.windows import pct_of_total, quantile_buckets, top_k_per_group
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -591,11 +591,11 @@ def q_ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak), aggregated per quartile.
 
     Scale note: NTILE with a global ORDER BY is inherently a
-    single-partition window. The reference's Q8 runs it over the stop
-    dimension (~12k rows, BASELINE.md), where that is inert; for a
-    billion-row input the scalable rewrite is range-bucketing on
-    ``approx_percentile`` boundaries (quartile edges), which avoids
-    the exact equal-bucket-size tie handling only at the boundaries."""
+    single-partition window — kept ONLY as the exact small-input path
+    (the reference's Q8 runs it over the ~12k-row stop dimension,
+    BASELINE.md, where it is inert). The scalable rewrite is
+    ``operators/windows.quantile_buckets`` — see
+    ``quantile_buckets_customers`` below, plan-asserted window-free."""
     c = t(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
     q = c.withColumn("quartile", F.ntile(4).over(w))
@@ -616,6 +616,51 @@ FROM (
   SELECT *, NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
   FROM customer)
 GROUP BY quartile
+"""
+
+
+def q_quantile_buckets_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE quartile path (operators/windows.quantile_buckets):
+    range-bucket on exact percentile boundaries — no global-order
+    window anywhere in the plan (plan-asserted in
+    test_plans_diagnostics).
+
+    Bucketing on integer cents keeps the differential gate exact:
+    quartile boundaries of integers interpolate at dyadic fractions
+    (p·(n-1) has fraction 0, .25, .5 or .75), which both engines
+    compute bit-identically, and the aggregates are pure integer
+    math."""
+    c = t(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * F.lit(100.0)).cast("long")
+    )
+    b = quantile_buckets(c, "bal_cents", n_buckets=4, descending=True, exact=True)
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("bal_cents").alias("sum_cents"),
+        F.min("bal_cents").alias("min_cents"),
+        F.max("bal_cents").alias("max_cents"),
+    )
+
+
+ORACLE_QUANTILE_BUCKETS = """
+WITH c AS (
+  SELECT CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents FROM customer),
+b AS (
+  SELECT quantile_cont(bal_cents, 0.25) AS q25,
+         quantile_cont(bal_cents, 0.50) AS q50,
+         quantile_cont(bal_cents, 0.75) AS q75
+  FROM c),
+x AS (
+  SELECT bal_cents,
+         CASE WHEN bal_cents >= q75 THEN 1
+              WHEN bal_cents >= q50 THEN 2
+              WHEN bal_cents >= q25 THEN 3
+              ELSE 4 END AS bucket
+  FROM c CROSS JOIN b)
+SELECT bucket, COUNT(*) AS n_customers,
+       CAST(SUM(bal_cents) AS BIGINT) AS sum_cents,
+       MIN(bal_cents) AS min_cents, MAX(bal_cents) AS max_cents
+FROM x GROUP BY bucket
 """
 
 
@@ -788,6 +833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_priority": q_topk_orders_per_priority,
     "lag_daily_delta": q_lag_daily_delta,
     "ntile_customer_quartiles": q_ntile_customer_quartiles,
+    "quantile_buckets_customers": q_quantile_buckets_customers,
     "pct_of_total_by_segment": q_pct_of_total_by_segment,
     "percentile_by_status": q_percentile_by_status,
     "distinct_buyers_having": q_distinct_buyers_having,
@@ -811,6 +857,7 @@ ORACLE: dict[str, str] = {
     "topk_orders_per_priority": ORACLE_TOPK_PER_PRIORITY,
     "lag_daily_delta": ORACLE_LAG_DAILY_DELTA,
     "ntile_customer_quartiles": ORACLE_NTILE_QUARTILES,
+    "quantile_buckets_customers": ORACLE_QUANTILE_BUCKETS,
     "pct_of_total_by_segment": ORACLE_PCT_OF_TOTAL,
     "percentile_by_status": ORACLE_PERCENTILE_BY_STATUS,
     "distinct_buyers_having": ORACLE_DISTINCT_BUYERS_HAVING,

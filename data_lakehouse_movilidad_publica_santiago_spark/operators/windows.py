@@ -28,6 +28,73 @@ def top_k_per_group(
     return out.drop("_rn")
 
 
+def quantile_buckets(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 4,
+    descending: bool = True,
+    exact: bool = False,
+    accuracy: int = 10000,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Scalable NTILE replacement: range-bucket on percentile
+    boundaries instead of a global-order window.
+
+    ``NTILE(n) OVER (ORDER BY col)`` moves the entire input through a
+    SINGLE partition (the reference's Q8 shape,
+    docs/queries/03_infraestructura.sql — inert at its ~12k-row stop
+    dimension, fatal at a billion rows). Here the boundaries come from
+    one small aggregate — ``approx_percentile`` (GK sketch, map-side
+    combinable) by default, exact ``percentile`` when ``exact=True``
+    for differential-testable runs — broadcast back as a 1-row
+    dimension, and the bucket assignment is a pure Column CASE chain:
+    no window, no global sort, no shuffle beyond the boundary
+    aggregate's reduce.
+
+    Documented deviation from NTILE: equal values always land in the
+    same bucket, so bucket sizes are only equal up to ties at the
+    boundaries (NTILE splits ties arbitrarily to force equal sizes —
+    a property that requires the global sort we're avoiding).
+
+    With ``descending=True`` (the Q8 shape) bucket 1 holds the top
+    values."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {accuracy}"
+    bounds = df.agg(
+        *[
+            F.expr(f"{fn}({col}, {p}{acc})").alias(f"_qb_{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    # boundaries ascend: _qb_0 < _qb_1 < ...; the When chain reads
+    # top-down from the outermost range
+    chain = None
+    if descending:
+        for b in range(len(probs), 0, -1):
+            cond = F.col(col) >= F.col(f"_qb_{b - 1}")
+            bucket_no = F.lit(len(probs) - b + 1)
+            chain = (
+                F.when(cond, bucket_no)
+                if chain is None
+                else chain.when(cond, bucket_no)
+            )
+        chain = chain.otherwise(F.lit(n_buckets))
+    else:
+        for b in range(len(probs), 0, -1):
+            cond = F.col(col) > F.col(f"_qb_{b - 1}")
+            chain = (
+                F.when(cond, F.lit(b + 1))
+                if chain is None
+                else chain.when(cond, F.lit(b + 1))
+            )
+        chain = chain.otherwise(F.lit(1))
+    return with_bounds.withColumn(bucket_col, chain).drop(
+        *[f"_qb_{i}" for i in range(len(probs))]
+    )
+
+
 def pct_of_total(
     metric: Column,
     partition_by: list[str] | None = None,

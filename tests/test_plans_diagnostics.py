@@ -57,6 +57,37 @@ def test_cosine_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in explain_str(df, "simple")
 
 
+def test_quantile_buckets_plan_is_window_free(spark):
+    """The scalable NTILE replacement must contain NO window operator
+    (in particular no single-partition global-order WindowExec) —
+    only the boundary aggregate, a broadcast of its 1-row result, and
+    a codegen'd CASE projection."""
+    from data_lakehouse_movilidad_publica_santiago_spark.plans import explain_str
+
+    df = inventory.q_quantile_buckets_customers(spark, SF_CORRECTNESS)
+    plan = explain_str(df, "simple")
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_quantile_buckets_matches_ntile_up_to_ties(spark):
+    """On unique values (acctbal cents with unique tiebreak absent),
+    bucket counts from quantile_buckets stay within ties of NTILE's
+    equal split."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.windows import (
+        quantile_buckets,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 37 % 1009).alias("v")
+    )
+    out = quantile_buckets(df, "v", n_buckets=4, descending=True, exact=True)
+    counts = {r["bucket"]: r["n"] for r in out.groupBy("bucket").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {1, 2, 3, 4}
+    assert all(abs(c - 250) <= 1 for c in counts.values()), counts
+
+
 def test_serving_filters_push_to_scan(spark, tmp_path_factory):
     """API cut/day filters reach the silver parquet scan."""
     import dtpm_fixtures as fx
