@@ -382,6 +382,39 @@ def q_asof_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_merge_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of resolution through the BIG-DIM path
+    (``asof_join_merge``: union + carry-forward window, no broadcast,
+    no join) — shares ``asof_resolve``'s oracle, proving the two
+    strategies agree."""
+    from ..operators.asof import asof_join_merge
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim = _scd2_dim(spark, sf_dir).select(
+        F.col("o_custkey"),
+        F.col("o_orderstatus").alias("status_at_ship"),
+        F.col("valid_from"),
+        F.col("valid_to"),
+    )
+    fact = li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey",
+        "o_custkey",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+    resolved = asof_join_merge(
+        fact,
+        dim,
+        bk="o_custkey",
+        event_time="ship_date",
+    )
+    return resolved.groupBy("status_at_ship").agg(
+        F.count("*").alias("n_lineitems"),
+        F.round(F.sum("revenue"), 2).alias("revenue"),
+    )
+
+
 ORACLE_ASOF_RESOLVE = f"""
 WITH dim AS ({_ORACLE_SCD2_DIM}),
 fact AS (
@@ -826,6 +859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_latest": q_dedup_keep_latest,
     "scd2_timeline": q_scd2_timeline,
     "asof_resolve": q_asof_resolve,
+    "asof_merge_resolve": q_asof_merge_resolve,
     "star_join_revenue": q_star_join_revenue,
     "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
     "semi_join_discounted_orders": q_semi_join_discounted_orders,
@@ -850,6 +884,7 @@ ORACLE: dict[str, str] = {
     "dedup_keep_latest": ORACLE_DEDUP_KEEP_LATEST,
     "scd2_timeline": ORACLE_SCD2_TIMELINE,
     "asof_resolve": ORACLE_ASOF_RESOLVE,
+    "asof_merge_resolve": ORACLE_ASOF_RESOLVE,
     "star_join_revenue": ORACLE_STAR_JOIN_REVENUE,
     "anti_join_customers_without_orders": ORACLE_ANTI_JOIN,
     "semi_join_discounted_orders": ORACLE_SEMI_JOIN,

@@ -13,6 +13,14 @@ Spark-first: the equality on the business key makes this a HASH join
 (broadcast for dim-sized tables) with the validity window evaluated as
 a residual join condition — NOT a BroadcastNestedLoopJoin. Version
 windows per BK are non-overlapping, so at most one dim row matches.
+
+Three strategies by dim size (all plan-asserted in tests):
+- ``asof_join(broadcast_dim=True)``: broadcast hash + residual —
+  dims under the broadcast threshold (the reference's ~12k-row dims);
+- ``asof_join(broadcast_dim=False)``: shuffle sort-merge on the BK +
+  residual — big dims with modest per-BK version counts;
+- ``asof_join_merge``: union + carry-forward window, no join at all —
+  unbounded dim size AND version counts (the 100 TB hardening path).
 """
 
 from __future__ import annotations
@@ -50,6 +58,94 @@ def asof_join(
     for k in bks:
         joined = joined.drop(d[k])
     return joined
+
+
+def asof_join_merge(
+    fact: DataFrame,
+    dim: DataFrame,
+    bk: str | list[str],
+    event_time: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """As-of join for dims too large to broadcast: union + carry-forward
+    window instead of a join.
+
+    The broadcast path (``asof_join``) needs the dim to fit the
+    broadcast threshold; the shuffle-hash/sort-merge path
+    (``broadcast_dim=False``) is fine while per-BK version counts are
+    modest but still materializes every (fact row × candidate version)
+    pair before the residual filter. This path has NO join at all:
+
+    1. union dim version-starts and fact events into one stream of
+       (bk, ts, is_dim) rows — dim rows sort before fact rows at equal
+       ts so ``valid_from <= event_time`` stays inclusive;
+    2. one window over ``partitionBy(bk).orderBy(ts, is_dim DESC)``
+       with ``last(dim_payload, ignorenulls=True)`` carries the most
+       recent version forward onto each fact row;
+    3. validate the carried version's ``valid_to`` (SCD2 gaps resolve
+       to no-match), null the dim columns (left) or drop (inner).
+
+    One shuffle on the BK, running-window state = one dim struct —
+    scales to arbitrarily large dims and version counts. Same
+    semantics as ``asof_join`` (verified equal in tests; the
+    ``asof_merge_resolve`` gate query shares ``asof_resolve``'s SQL
+    oracle). Reference predicate: src/gold/load_gold.py:1109-1118.
+    """
+    bks = [bk] if isinstance(bk, str) else list(bk)
+    fact_payload = [c for c in fact.columns if c not in bks]
+    dim_payload = [c for c in dim.columns if c not in bks]
+    et_type = fact.schema[event_time].dataType
+
+    fact_struct = F.struct(*[fact[c] for c in fact_payload])
+    dim_struct = F.struct(*[dim[c] for c in dim_payload])
+    fact_struct_type = fact.select(fact_struct.alias("s")).schema["s"].dataType
+    dim_struct_type = dim.select(dim_struct.alias("s")).schema["s"].dataType
+
+    f_rows = fact.select(
+        *[F.col(k) for k in bks],
+        F.col(event_time).cast(et_type).alias("_ts"),
+        F.lit(0).alias("_is_dim"),
+        fact_struct.alias("_fact"),
+        F.lit(None).cast(dim_struct_type).alias("_dim"),
+    )
+    d_rows = dim.select(
+        *[F.col(k) for k in bks],
+        F.col(valid_from).cast(et_type).alias("_ts"),
+        F.lit(1).alias("_is_dim"),
+        F.lit(None).cast(fact_struct_type).alias("_fact"),
+        dim_struct.alias("_dim"),
+    )
+
+    w = (
+        Window.partitionBy(*bks)
+        .orderBy(F.col("_ts").asc(), F.col("_is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        f_rows.unionByName(d_rows)
+        .withColumn("_v", F.last("_dim", ignorenulls=True).over(w))
+        .filter(F.col("_is_dim") == 0)
+    )
+    valid = F.col("_v").isNotNull() & (
+        F.col(f"_v.{valid_to}").isNull()
+        | (F.col("_ts") <= F.col(f"_v.{valid_to}"))
+    )
+    if how == "inner":
+        carried = carried.filter(valid)
+        dim_cols = [F.col(f"_v.{c}").alias(c) for c in dim_payload]
+    elif how == "left":
+        dim_cols = [
+            F.when(valid, F.col(f"_v.{c}")).alias(c) for c in dim_payload
+        ]
+    else:  # pragma: no cover - contract
+        raise ValueError(f"asof_join_merge supports left/inner, got {how!r}")
+    return carried.select(
+        *[F.col(k) for k in bks],
+        *[F.col(f"_fact.{c}").alias(c) for c in fact_payload],
+        *dim_cols,
+    )
 
 
 def snapshots_to_scd2(
