@@ -29,7 +29,7 @@ per cut at scale (the reference needs it only because of IDENTITY).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dedup_max_by
@@ -104,8 +104,17 @@ def trip_sk_expr(cut_sk: Column, id_tarjeta: Column, id_viaje: Column) -> Column
 def merge_fct_trip(
     store: GoldStore, trips: DataFrame, cut_sk: int
 ) -> tuple[int, int]:
-    """viajes_trip silver → fct_trip. Returns (inserted, cash_excluded)."""
-    cash = trips.filter(F.col("id_tarjeta").isNull()).count()
+    """viajes_trip silver → fct_trip. Returns (inserted, cash_excluded).
+
+    The cash-exclusion count rides the merge's own job as an
+    ``observe`` metric — no separate counting scan per cut."""
+    obs = Observation()
+    trips = trips.observe(
+        obs,
+        F.coalesce(
+            F.sum(F.col("id_tarjeta").isNull().cast("long")), F.lit(0)
+        ).alias("cash"),
+    )
     src = dedup_max_by(
         trips.filter(F.col("id_tarjeta").isNotNull()),
         grain=["id_tarjeta", "id_viaje"],
@@ -161,14 +170,22 @@ def merge_fct_trip(
         out, "fct_trip", ["cut_sk", "id_tarjeta", "id_viaje"],
         partition_cols=["cut_sk"], prune={"cut_sk": [cut_sk]},
     )
-    return n, cash
+    return n, int(obs.get["cash"])
 
 
 def merge_fct_trip_leg(
     store: GoldStore, legs: DataFrame, cut_sk: int
 ) -> tuple[int, int]:
-    """viajes_leg silver → fct_trip_leg. Returns (inserted, cash_excluded)."""
-    cash = legs.filter(F.col("id_tarjeta").isNull()).count()
+    """viajes_leg silver → fct_trip_leg. Returns (inserted,
+    cash_excluded); the cash count is an ``observe`` metric on the
+    merge job (no extra scan)."""
+    obs = Observation()
+    legs = legs.observe(
+        obs,
+        F.coalesce(
+            F.sum(F.col("id_tarjeta").isNull().cast("long")), F.lit(0)
+        ).alias("cash"),
+    )
     nonempty = (
         F.col("ts_board").isNotNull()
         | F.col("board_stop_code").isNotNull()
@@ -223,7 +240,7 @@ def merge_fct_trip_leg(
         out, "fct_trip_leg", ["cut_sk", "id_tarjeta", "id_viaje", "leg_seq"],
         partition_cols=["cut_sk"], prune={"cut_sk": [cut_sk]},
     )
-    return n, cash
+    return n, int(obs.get["cash"])
 
 
 def merge_fct_validation(store: GoldStore, ev: DataFrame, cut_sk: int) -> int:
