@@ -43,9 +43,13 @@ HEADLINE = [
     "percentile_by_status",
     "pct_of_total_by_segment",
     "demand_by_day_type",
+    # round-2 scale-path operators
+    "quantile_buckets_customers",
+    "asof_merge_resolve",
     # LLM-data-pipeline headliners (scale paths)
     "doc_fingerprints",
     "minhash_lsh_near_dup",
+    "embedding_lsh_near_dup",
     "embedding_knn",
     "token_count_stats",
     "tumbling_window_30m",

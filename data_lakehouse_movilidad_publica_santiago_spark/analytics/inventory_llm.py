@@ -250,7 +250,7 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tighter defaults."""
     emb = t(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs_lsh(
-        emb, threshold=0.35, n_tables=24, n_planes=2
+        emb, threshold=0.35, n_tables=24, n_planes=2, strategy="bucket_local"
     )
     return pairs.groupBy("id_a").agg(
         F.count("*").alias("n_pairs"),

@@ -18,7 +18,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """vec·vec. With ``dim`` known, emit an unrolled flat expression
+    (a[0]*b[0] + a[1]*b[1] + ...) — pure whole-stage-codegen arithmetic,
+    ~10× the interpreted higher-order-function fold, with the SAME
+    left-to-right summation order (bit-identical doubles). Without
+    ``dim``, fall back to the lambda fold (interpreted; cold paths only).
+    """
+    if dim is not None:
+        terms = [
+            a.getItem(i).cast("double") * b.getItem(i).cast("double")
+            for i in range(dim)
+        ]
+        out = terms[0]
+        for term in terms[1:]:
+            out = out + term
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -26,12 +41,39 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _dot_lit(a: Column, plane: list[float]) -> Column:
+    """vec·constant-plane via the interpreted fold on a literal array.
+
+    Deliberately NOT unrolled: ``F.array(lit, …)`` constant-folds to a
+    single Literal node, so a 48-plane banding projection stays a
+    ~50-node plan. Unrolling each plane into 64 GetArrayItem×Multiply
+    nodes makes a ~3000-node tree whose whole-stage codegen allocates
+    hundreds of MB compiling — enough to OOM a default-1g driver
+    (measured). Banding touches only N rows (one pass, map-only), so
+    the interpreted fold is not a hot path; pair VERIFICATION is, and
+    that uses the unrolled ``_dot(…, dim)``."""
+    return _dot(a, F.array(*[F.lit(float(c)) for c in plane]))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def _norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(_dot(a, a, dim))
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY if the plan has fewer partitions
+    than the session's default parallelism. A small parquet table scans
+    as one partition, which turns the all-pairs BNLJ (and banding
+    explode) into a single task — measured 65s → 8.6s at sf0.1 just by
+    spreading it. At cluster scale the scan already has ≥ parallelism
+    partitions and this is a no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def cosine_topk(
@@ -50,10 +92,11 @@ def cosine_topk(
     global sort/shuffle of the N scored rows ever happens. The rank
     window afterwards runs over exactly k rows (inert)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    dim = len(query_vec)
     order = [F.desc("cos_sim"), F.asc(id_col)]
     scored = embeddings.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        F.round(cosine(F.col(vec_col), q, dim), 6).alias("cos_sim"),
     )
     top = scored.orderBy(*order).limit(k)
     return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
@@ -70,10 +113,12 @@ def hyperplane(dim: int, seed: int) -> list[float]:
 
 
 def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """LSH bucket id: bit i = sign(vec · plane_i)."""
+    """LSH bucket id: bit i = sign(vec · plane_i). Column-expression
+    form — fine for one table; for many tables use
+    ``sign_buckets_all`` (vectorized, one numpy matmul per batch)."""
     bits = [
         F.when(
-            _dot(vec, F.array(*[F.lit(c) for c in plane])) > 0,
+            _dot_lit(vec, plane) > 0,
             F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
         for i, plane in enumerate(planes)
@@ -82,6 +127,42 @@ def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def sign_buckets_all(tables: list[list[list[float]]]):
+    """Vectorized bucket ids for ALL tables at once: a pandas UDF that
+    computes the (batch × dim) @ (dim × tables·planes) matmul in numpy
+    and packs sign bits per table → ``array<long>`` of length
+    ``n_tables``.
+
+    Why a Python stage: 48 plane-dots per row is 48 interpreted
+    higher-order folds (~39 µs each, measured) as Column lambdas, or a
+    ~3000-node unrolled tree whose codegen OOMs a default-1g driver.
+    One Arrow-batched matmul is ~1000× the interpreted fold and keeps
+    the plan at a single node. Per-row map-only → embarrassingly
+    parallel at cluster scale.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mats = np.asarray(tables, dtype="float64")  # (T, P, D)
+    n_tables_, n_planes_, _ = mats.shape
+    flat = mats.reshape(n_tables_ * n_planes_, -1).T.copy()  # (D, T*P)
+    powers = (1 << np.arange(n_planes_, dtype="int64"))
+
+    @pandas_udf("array<long>")
+    def _buckets(v):  # pd.Series[list[float]] -> pd.Series[list[int]]
+        import numpy as _np
+        import pandas as _pd
+
+        if len(v) == 0:
+            return _pd.Series([], dtype="object")
+        x = _np.stack([_np.asarray(e, dtype="float64") for e in v])
+        bits = (x @ flat) > 0  # (N, T*P)
+        b = bits.reshape(len(v), n_tables_, n_planes_) @ powers  # (N, T)
+        return _pd.Series(list(b.astype("int64")))
+
+    return _buckets
 
 
 def lsh_topk(
@@ -109,17 +190,22 @@ def lsh_topk(
     corpus. That trade is inherent to sign-LSH, not this
     implementation.
 
-    Scale: the per-table bucket id is a pure Column expression —
-    precompute it as a stored column and CLUSTER BY it so a query
-    reads only its probed buckets' files; the filter below is the
-    query-time form of the same pruning."""
+    Scale: bucket ids come from one vectorized Arrow-batched matmul
+    per batch (``sign_buckets_all``) — precompute them as a stored
+    column and CLUSTER BY bucket so a query reads only its probed
+    buckets' files; the filter below is the query-time form of the
+    same pruning."""
     import numpy as np
 
     dim = len(query_vec)
     qv = np.array(query_vec, dtype="float64")
+    tables = [
+        [hyperplane(dim, 7919 * t + i + 1) for i in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    buckets_udf = sign_buckets_all(tables)
     cond = None
-    for t in range(n_tables):
-        planes = [hyperplane(dim, 7919 * t + i + 1) for i in range(n_planes)]
+    for t, planes in enumerate(tables):
         qbucket = 0
         for i, plane in enumerate(planes):
             if float(qv @ np.array(plane)) > 0:
@@ -127,10 +213,14 @@ def lsh_topk(
         probe = {qbucket}
         if probe_hamming1:
             probe |= {qbucket ^ (1 << i) for i in range(n_planes)}
-        hit = sign_bucket(F.col(vec_col), planes).isin([int(b) for b in probe])
+        hit = F.col("__bk").getItem(t).isin([int(b) for b in probe])
         cond = hit if cond is None else (cond | hit)
 
-    cand = embeddings.filter(cond)
+    cand = (
+        embeddings.withColumn("__bk", buckets_udf(F.col(vec_col)))
+        .filter(cond)
+        .drop("__bk")
+    )
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
@@ -142,6 +232,7 @@ def embedding_near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    strategy: str = "pair_join",
 ) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs, exact-verified — the
     100 TB path next to ``embedding_near_dup_pairs`` (exact all-pairs,
@@ -156,10 +247,24 @@ def embedding_near_dup_pairs_lsh(
     formula gives recall ≈0.80 (measured ≈0.85 on planted near-dups);
     raise ``n_tables`` for tighter guarantees.
 
-    Scale: bucket rows carry ONLY (id, table, bucket) into the
-    equality self-join shuffle — vectors are re-joined just for the
-    surviving candidates. No quadratic work outside genuinely
-    colliding buckets; the (table, bucket) key is cluster-by-able.
+    Two verification strategies, both exact:
+
+    - ``"pair_join"`` (default): bucket rows carry ONLY (id, table,
+      bucket) into the equality self-join shuffle; id pairs are
+      deduped FIRST (16-byte rows), then vectors re-join just for
+      unique candidates and a codegen'd unrolled dot verifies each.
+      Right when banding is tight (many small buckets, few collisions
+      per pair) — the shuffle stays narrow and per-pair work is rare.
+    - ``"bucket_local"``: vectors ride the (table, bucket) shuffle and
+      each bucket verifies ALL its pairs in one vectorized numpy block
+      (``applyInPandas`` per bucket, dimension-sequential accumulation
+      → bit-identical to the JVM fold); only surviving pairs leave
+      the bucket, then a tiny global distinct. Right when banding is
+      loose (big buckets, heavy pair duplication across tables) —
+      there is no 10M+-row pair-join machinery at all; measured 10×
+      the pair_join path at sf0.1 under recall-1.0 gate banding.
+      Guardrail at scale: per-bucket work is O(|bucket|²·dim), so cap
+      bucket size (more planes) before reaching for this path.
     """
     if dim is None:
         first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -172,20 +277,88 @@ def embedding_near_dup_pairs_lsh(
         [hyperplane(dim, 7919 * t + i + 1) for i in range(n_planes)]
         for t in range(n_tables)
     ]
-    banded = embeddings.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        sign_bucket(F.col(vec_col), planes).alias("bucket"),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
+    buckets_udf = sign_buckets_all(tables)
+
+    if strategy == "bucket_local":
+        # (tbl, bucket, doc_id, vec): vectors ride the bucket shuffle;
+        # each group verifies its own pairs in one numpy block. The
+        # accumulation is dimension-sequential (a Python loop of
+        # vectorized outer-product adds), i.e. the same left-to-right
+        # fold as the JVM expression path — bit-identical doubles, so
+        # the exact twin's oracle equality carries over. Pairs are
+        # pre-filtered inside the bucket with a half-ulp-loose bound
+        # and exact-filtered after JVM-side HALF_UP rounding.
+        banded_v = (
+            _ensure_parallelism(embeddings)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.col(vec_col).alias("vec"),
+                buckets_udf(F.col(vec_col)).alias("bk"),
             )
-        ).alias("bb"),
-    ).select("doc_id", "bb.tbl", "bb.bucket")
+            .select(
+                "doc_id", "vec", F.posexplode("bk").alias("tbl", "bucket")
+            )
+        )
+
+        def _bucket_pairs(pdf):
+            import numpy as np
+            import pandas as pd
+
+            if len(pdf) < 2:
+                return pd.DataFrame(
+                    {
+                        "id_a": pd.Series([], dtype="int64"),
+                        "id_b": pd.Series([], dtype="int64"),
+                        "cos_raw": pd.Series([], dtype="float64"),
+                    }
+                )
+            pdf = pdf.sort_values("doc_id")
+            ids = pdf["doc_id"].to_numpy()
+            mat = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf["vec"]]
+            )
+            m, d = mat.shape
+            acc = np.zeros((m, m))
+            nsq = np.zeros(m)
+            for j in range(d):
+                col = mat[:, j]
+                acc = acc + col[:, None] * col[None, :]
+                nsq = nsq + col * col
+            norms = np.sqrt(nsq)
+            cos = acc / (norms[:, None] * norms[None, :])
+            ia, ib = np.triu_indices(m, k=1)
+            keep = cos[ia, ib] >= (threshold - 5.1e-7)
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ia[keep]],
+                    "id_b": ids[ib[keep]],
+                    "cos_raw": cos[ia, ib][keep],
+                }
+            )
+
+        survivors = banded_v.groupBy("tbl", "bucket").applyInPandas(
+            _bucket_pairs, "id_a long, id_b long, cos_raw double"
+        )
+        return (
+            survivors.select(
+                "id_a",
+                "id_b",
+                F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .distinct()
+        )
+
+    banded = (
+        _ensure_parallelism(embeddings)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            buckets_udf(F.col(vec_col)).alias("bk"),
+        )
+        .select(
+            "doc_id", F.posexplode("bk").alias("tbl", "bucket")
+        )
+    )
 
     cand = (
         banded.alias("a")
@@ -198,24 +371,39 @@ def embedding_near_dup_pairs_lsh(
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .distinct()
     )
+
+    # pair_join: dedup the narrow id pairs FIRST (16-byte rows), then
+    # re-join the vectors just for unique candidates. Per-side norms
+    # are computed ONCE over N rows; the per-pair verification is a
+    # single unrolled codegen'd dot. cos = dot/(norm_a*norm_b) is
+    # bit-identical to the full per-pair cosine (same fold order).
     va = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col), dim).alias("norm_a"),
     )
     vb = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col), dim).alias("norm_b"),
     )
-    return (
-        cand.join(va, "id_a")
+    verified = (
+        cand.distinct()
+        .join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("va"), F.col("vb"), dim)
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    return verified
 
 
 def embedding_near_dup_pairs(
@@ -223,16 +411,26 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine-similarity near-duplicate pairs (id_a < id_b)."""
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    if dim is None:
+        first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"]) if first is not None else None
+    a = _ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col), dim).alias("norm_a"),
     ).alias("a")
     b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col), dim).alias("norm_b"),
     ).alias("b")
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    sim = _dot(F.col("va"), F.col("vb"), dim) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
     return pairs.select(
         "id_a", "id_b", F.round(sim, 6).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
