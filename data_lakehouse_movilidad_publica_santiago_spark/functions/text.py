@@ -112,6 +112,71 @@ def doc_fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
+    """Rolling-hash document fingerprints by winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm): hash every
+    character ``k``-gram of the normalized text, slide a window of
+    ``w`` consecutive gram-hashes, keep each window's minimum, return
+    the sorted distinct selection (``array<string>``).
+
+    Guarantees: any shared substring of length ≥ k+w-1 between two
+    documents yields at least one shared fingerprint, and the
+    selection density is ~2/(w+1) of all grams — the standard local
+    sampling for partial-overlap/plagiarism detection, where whole-doc
+    hashing (``doc_fingerprint``) and shingle MinHash both fail on
+    contained or re-ordered fragments.
+
+    The gram hash is md5 (both engines compute identical digests on
+    identical normalized bytes; hex strings compare lexicographically
+    in both), so a DuckDB oracle can replay the selection exactly.
+    Per-row map-only expression → embarrassingly parallel at scale;
+    downstream matching is one explode + fingerprint groupBy.
+    """
+    empty = F.array().cast("array<string>")
+
+    def _mins(g: Column) -> Column:
+        # if fewer than w grams exist, take one window over all of them
+        n_windows = F.greatest(
+            F.size(g) - F.lit(w - 1), F.least(F.size(g), F.lit(1))
+        )
+        return F.when(
+            F.size(g) > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.array_min(F.slice(g, j, w)),
+            ),
+        ).otherwise(empty)
+
+    def _grams(s: Column) -> Column:
+        n_grams = F.length(s) - F.lit(k - 1)
+        return F.when(
+            n_grams > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.md5(s.substr(i, F.lit(k)).cast("binary")),
+            ),
+        ).otherwise(empty)
+
+    # Interpreted higher-order lambdas re-evaluate NON-lambda
+    # subexpressions once per element (no subexpression elimination),
+    # so referencing the normalized string / gram array directly inside
+    # a lambda body would redo the regexp / all the md5s per element —
+    # O(n²) per document. Wrapping each intermediate in a one-element
+    # array and binding it as the HOF input makes it a lambda VARIABLE
+    # (materialized once, cheap to reference): normalize once, hash
+    # each gram once, window mins O(n·w).
+    fps = F.element_at(
+        F.transform(
+            F.array(normalize_text(col)),
+            lambda s: F.element_at(
+                F.transform(F.array(_grams(s)), _mins), 1
+            ),
+        ),
+        1,
+    )
+    return F.array_sort(F.array_distinct(fps))
+
+
 # language-ID: tiny per-language marker lexicons; scoring is a plain
 # deterministic count (the n-gram-heuristic shape of fastText-style
 # lang-ID, reduced to something both engines can compute exactly)
