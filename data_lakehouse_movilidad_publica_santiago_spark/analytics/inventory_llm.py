@@ -31,6 +31,7 @@ from ..operators.dedup_text import (
     exact_dup_groups,
     jaccard_pairs_exact,
     minhash_lsh_pairs,
+    simhash_md5_oracle_sql,
     simhash_pairs,
 )
 from ..operators.multimodal import (
@@ -41,6 +42,7 @@ from ..operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
+    ivf_topk,
     lsh_topk,
 )
 from .inventory import t
@@ -159,13 +161,25 @@ SELECT doc_a, doc_b, jac FROM pairs WHERE jac >= 0.5
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup candidates (Hamming ≤ 8) via 4-bit chunk
-    banding. The sketch is xxhash64-specific (DuckDB has no xxhash64)
-    → rows-only check, with a pigeonhole completeness property test
-    (banding finds EVERY pair with Hamming ≤ 15) in
+    """SimHash near-dup pairs (Hamming ≤ 8) via 4-bit chunk banding,
+    on the 60-bit md5-nibble sketch that DuckDB can recompute
+    bit-identically — so the O(N²) true-Hamming SQL is a full
+    differential oracle (banding recall for Hamming ≤ 14 is 1.0 by
+    pigeonhole, and 8 < 14). The xxhash64 sketch stays the production
+    default with its own pigeonhole completeness property test in
     test_lsh_recall."""
     docs = t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+    pairs = simhash_pairs(
+        docs, "doc_id", "text", max_hamming=8, hash_fn="md5"
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+ORACLE_SIMHASH_NEAR_DUP = simhash_md5_oracle_sql(
+    "documents", "text", max_hamming=8
+)
 
 
 # ── similarity search ───────────────────────────────────────────────
@@ -215,6 +229,21 @@ def q_embedding_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return lsh_topk(
         emb, _query_vec(spark, sf_dir), k=10, n_planes=2, n_tables=8
+    )
+
+
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded spherical k-means coarse quantizer (8 cells),
+    probe the 4 cells nearest the query, exact rescoring inside the
+    candidate set. Complements sign-LSH: IVF cells adapt to the data
+    distribution, so it reaches MEASURED recall 1.0 on this
+    weak-similarity corpus at half the scan fraction LSH needs
+    (pinned by test_lsh_recall) — the exact-kNN SQL is the oracle.
+    At 100 TB the stored ``ivf_cell`` column clusters the table so a
+    query reads ~n_probe/n_cells of the files."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_cells=8, n_probe=4
     )
 
 
@@ -476,6 +505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
     "embedding_lsh_knn": q_embedding_lsh_knn,
+    "ivf_knn": q_ivf_knn,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
     "token_count_stats": q_token_count_stats,
@@ -486,16 +516,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_window_30m": q_tumbling_window_30m,
 }
 
-# simhash_near_dup is the only rows-only entry left (xxhash64-specific
-# sketch; DuckDB has no xxhash64) — it carries a pigeonhole
-# completeness property test instead (test_lsh_recall)
 ORACLE: dict[str, str] = {
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "exact_dedup_summary": ORACLE_EXACT_DEDUP_SUMMARY,
     "token_jaccard_near_dup": ORACLE_TOKEN_JACCARD,
     "minhash_lsh_near_dup": ORACLE_MINHASH_LSH,
+    "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
     "embedding_knn": ORACLE_EMBEDDING_KNN,
     "embedding_lsh_knn": ORACLE_EMBEDDING_KNN,
+    "ivf_knn": ORACLE_EMBEDDING_KNN,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "embedding_lsh_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "token_count_stats": ORACLE_TOKEN_COUNT_STATS,

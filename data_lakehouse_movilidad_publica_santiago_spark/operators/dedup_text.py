@@ -218,20 +218,126 @@ def simhash64(text_col_name: str) -> Column:
     return F.expr(_SIMHASH_SQL.format(toks=toks_sql))
 
 
+def simhash60_md5(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Engine-portable 60-bit SimHash sketch → (doc_id, sim).
+
+    Per-token bits come from the first 15 hex nibbles of md5(token)
+    (both Spark and DuckDB ship bit-identical lowercase-hex md5), so a
+    DuckDB oracle can recompute the IDENTICAL sketch — unlike the
+    xxhash64 variant (``simhash64``), which stays the fast
+    production default. 60 bits (not 64) keeps every shift inside a
+    signed BIGINT's non-negative range in both engines.
+
+    Shape: explode tokens → 15 nibble columns → 60 codegen'd SUM
+    aggregates (±1 per bit) → sign → bit-pack. One shuffle on doc_id
+    with map-side partial aggregation — the same scale shape as the
+    MinHash signature pass."""
+    toks = (
+        "array_distinct(split(trim(regexp_replace(lower("
+        f"{text_col}), '[^a-z0-9]+', ' ')), ' '))"
+    )
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(toks)).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    # hex nibble j of the md5 digest, via ascii (instr needs a literal
+    # needle, so the alphabet-lookup form isn't expressible)
+    nibbles = tok.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"CASE WHEN ascii(substr(h, {j + 1}, 1)) >= 97 "
+                f"THEN ascii(substr(h, {j + 1}, 1)) - 87 "
+                f"ELSE ascii(substr(h, {j + 1}, 1)) - 48 END"
+            ).alias(f"n{j}")
+            for j in range(15)
+        ],
+    )
+    sums = nibbles.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN (shiftright(n{i // 4}, {i % 4}) & 1) = 1 "
+                    "THEN 1 ELSE -1 END"
+                )
+            ).alias(f"b{i}")
+            for i in range(60)
+        ]
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i in range(60)
+    )
+    return sums.select("doc_id", F.expr(packed).alias("sim"))
+
+
+def simhash_md5_oracle_sql(table: str, text_col: str, max_hamming: int) -> str:
+    """DuckDB SQL recomputing ``simhash60_md5`` bit-identically and
+    filtering ALL pairs by true Hamming distance — the differential
+    oracle for ``simhash_pairs(hash_fn='md5')`` (valid because 15×4-bit
+    banding has recall 1.0 for Hamming ≤ 14 by pigeonhole)."""
+    nibbles = ", ".join(
+        f"CASE WHEN ascii(substr(h, {j + 1}, 1)) >= 97 "
+        f"THEN ascii(substr(h, {j + 1}, 1)) - 87 "
+        f"ELSE ascii(substr(h, {j + 1}, 1)) - 48 END AS n{j}"
+        for j in range(15)
+    )
+    sums = ", ".join(
+        f"SUM(CASE WHEN ((n{i // 4} >> {i % 4}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    norm = (
+        f"trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ', 'g'))"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest(list_distinct(string_split({norm}, ' ')))) AS h
+  FROM {table}),
+nib AS (SELECT doc_id, {nibbles} FROM tok),
+bits AS (SELECT doc_id, {sums} FROM nib GROUP BY doc_id),
+sk AS (SELECT doc_id, {packed} AS sim FROM bits)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sim, b.sim)) AS hamming
+FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_hamming: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup candidates: band the 64-bit sketch into
-    sixteen 4-bit chunks — by pigeonhole, any pair with Hamming ≤ 15
-    shares at least one exact chunk, so recall is GUARANTEED for the
-    default max_hamming=8 (unlike coarser bandings); precision comes
-    from the true-Hamming filter."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), simhash64(text_col).alias("sim")
-    )
+    """SimHash near-dup candidates: band the sketch into 4-bit
+    chunks — by pigeonhole, any pair with Hamming ≤ chunks−1 shares at
+    least one exact chunk, so recall is GUARANTEED for the default
+    max_hamming=8 (unlike coarser bandings); precision comes from the
+    true-Hamming filter.
+
+    ``hash_fn='xxhash64'`` (default): 64-bit sketch, cheapest (one JVM
+    expression). ``hash_fn='md5'``: 60-bit engine-portable sketch
+    (``simhash60_md5``) whose DuckDB twin is bit-identical — the
+    differential-oracle path."""
+    if hash_fn == "md5":
+        sh = simhash60_md5(df, id_col, text_col)
+        n_chunks = 15
+    elif hash_fn == "xxhash64":
+        sh = df.select(
+            F.col(id_col).alias("doc_id"), simhash64(text_col).alias("sim")
+        )
+        n_chunks = 16
+    else:  # pragma: no cover - contract
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     chunks = F.array(
         *[
             F.struct(
@@ -240,7 +346,7 @@ def simhash_pairs(
                 .bitwiseAND(F.lit(0xF))
                 .alias("val"),
             )
-            for i in range(16)
+            for i in range(n_chunks)
         ]
     )
     banded = sh.select(

@@ -117,3 +117,56 @@ def test_simhash_banding_complete_to_hamming_15(docs):
         for r in simhash_pairs(docs, "doc_id", "text", max_hamming=15).collect()
     }
     assert banded == exact and exact
+
+
+def test_ivf_knn_gate_params_equal_exact(emb):
+    """Gate params (8 cells, probe 4): IVF top-10 == exact top-10 on
+    the driver corpus, so the exact-kNN SQL is a valid oracle."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    ]
+    exact = [(r.vec_id, r.cos_sim) for r in cosine_topk(emb, qv, 10).collect()]
+    approx = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_topk(emb, qv, 10, n_cells=8, n_probe=4).collect()
+    ]
+    assert approx == exact
+
+
+def test_simhash_md5_banding_complete_to_hamming_14(docs):
+    """Portable 60-bit sketch: 15 four-bit chunks ⇒ banding finds
+    EVERY pair within Hamming 14 (the oracle-soundness guarantee for
+    the md5 gate query's Hamming ≤ 8)."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.dedup_text import (
+        simhash60_md5,
+    )
+
+    sk = simhash60_md5(docs, "doc_id", "text").cache()
+    a, b = sk.alias("a"), sk.alias("b")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.sim").bitwiseXOR(F.col("b.sim"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 14)
+        .collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_pairs(
+            docs, "doc_id", "text", max_hamming=14, hash_fn="md5"
+        ).collect()
+    }
+    assert banded == exact and exact
