@@ -89,20 +89,77 @@ def safe_extract_zip(zip_path: Path, dest: Path) -> list[Path]:
     return out
 
 
+def _fmt_cell(v: object) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float) and v.is_integer():
+        # the reference's Polars round-trip prints integral floats
+        # without the trailing .0 (infer_schema_length=0 → str)
+        return str(int(v))
+    return str(v)
+
+
 def xlsb_to_csv(xlsb_path: Path, out_csv: Path, sheet: str | int = 1) -> Path:
-    """XLSB workbook → pipe-CSV (S4). Requires pyxlsb (not in this
-    container) — import-gated with a precise error."""
-    try:
-        from pyxlsb import open_workbook
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "xlsb_to_csv requires the 'pyxlsb' package, which is not "
-            "installed in this environment; land the workbook as CSV "
-            "upstream or install pyxlsb at deployment"
-        ) from exc
-    with open_workbook(str(xlsb_path)) as wb:  # pragma: no cover
-        with wb.get_sheet(sheet) as ws, open(out_csv, "w", encoding="utf-8") as fh:
-            for row in ws.rows():
-                fh.write("|".join("" if c.v is None else str(c.v) for c in row))
+    """XLSB worksheet → pipe-CSV dump (S4), via the bundled pure-Python
+    BIFF12 reader (``sources/xlsb.py``) — no pyxlsb needed."""
+    from .xlsb import XlsbWorkbook
+
+    with XlsbWorkbook(xlsb_path) as wb:
+        with open(out_csv, "w", encoding="utf-8") as fh:
+            for _, values in wb.rows(sheet):
+                fh.write("|".join(_fmt_cell(v) for v in values))
                 fh.write("\n")
     return out_csv
+
+
+def convert_subidas_xlsb(
+    xlsb_path: Path, out_csv: Path
+) -> dict[str, object]:
+    """Full reference conversion contract for the monthly subidas
+    workbook (build_lake.py:352-444): capture the FICHA sheet as a
+    key→value dict, pick the data sheet (first non-FICHA), take the
+    first non-empty row as the header, write the remaining rows as
+    pipe-CSV (header first), and return the sidecar metadata fields
+    (columns / row_count / ficha / source_sheet)."""
+    from .xlsb import XlsbWorkbook
+
+    with XlsbWorkbook(xlsb_path) as wb:
+        ficha: dict[str, object] = {}
+        ficha_sheet = next(
+            (s for s in wb.sheets if "FICHA" in s.upper()), None
+        )
+        if ficha_sheet:
+            for _, vals in wb.rows(ficha_sheet):
+                if len(vals) >= 2 and vals[0] is not None:
+                    ficha[str(vals[0])] = vals[1]
+        data_sheet = next(
+            (s for s in wb.sheets if "FICHA" not in s.upper()),
+            wb.sheets[-1],
+        )
+        header: list[str] | None = None
+        n_rows = 0
+        with open(out_csv, "w", encoding="utf-8") as fh:
+            for _, values in wb.rows(data_sheet):
+                if all(v is None for v in values):
+                    continue
+                if header is None:
+                    header = [
+                        str(v) if v is not None else "" for v in values
+                    ]
+                    fh.write("|".join(header) + "\n")
+                    continue
+                padded = [
+                    values[i] if i < len(values) else None
+                    for i in range(len(header))
+                ]
+                fh.write("|".join(_fmt_cell(v) for v in padded) + "\n")
+                n_rows += 1
+    return {
+        "columns": header or [],
+        "column_count": len(header) if header else 0,
+        "row_count": n_rows,
+        "source_sheet": data_sheet,
+        "ficha": ficha,
+    }
