@@ -292,6 +292,9 @@ def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         bk="o_custkey",
         event_date="event_date",
         attrs=["o_orderstatus", "o_orderpriority"],
+        # the max_by aggregate above already guarantees one row per
+        # (custkey, day) — skip the first() re-consolidation pass
+        pre_consolidated=True,
     )
 
 

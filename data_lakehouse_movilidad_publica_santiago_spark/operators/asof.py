@@ -154,12 +154,15 @@ def snapshots_to_scd2(
     event_date: str,
     attrs: list[str],
     change_hash: Column | None = None,
+    pre_consolidated: bool = False,
 ) -> DataFrame:
     """Collapse (bk, event_date, attrs…) snapshots into an SCD2 table.
 
     Steps (all set-based, two window shuffles on the BK):
     1. one row per (bk, event_date): ``first(attr)`` consolidation
-       (load_gold.py:955-961 parity);
+       (load_gold.py:955-961 parity) — skipped when the caller
+       already guarantees the grain (``pre_consolidated=True``),
+       saving a SortAggregate pass;
     2. drop consecutive versions whose change hash is unchanged
        (same-hash ⇒ no new version);
     3. valid_from = event_date, valid_to = next valid_from − 1 day,
@@ -171,9 +174,12 @@ def snapshots_to_scd2(
     from ..functions.hashing import row_hash as _row_hash
 
     bks = [bk] if isinstance(bk, str) else list(bk)
-    one = snapshots.groupBy(*bks, event_date).agg(
-        *[F.first(a, ignorenulls=True).alias(a) for a in attrs]
-    )
+    if pre_consolidated:
+        one = snapshots.select(*bks, event_date, *attrs)
+    else:
+        one = snapshots.groupBy(*bks, event_date).agg(
+            *[F.first(a, ignorenulls=True).alias(a) for a in attrs]
+        )
     h = change_hash if change_hash is not None else _row_hash(*attrs)
     one = one.withColumn("row_hash", h)
 
