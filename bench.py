@@ -51,6 +51,8 @@ HEADLINE = [
     "minhash_lsh_near_dup",
     "embedding_lsh_near_dup",
     "embedding_knn",
+    "ivf_knn",
+    "simhash_near_dup",
     "token_count_stats",
     "tumbling_window_30m",
 ]
