@@ -437,6 +437,71 @@ GROUP BY d.o_orderstatus
 
 
 # --------------------------------------------------------------------------
+# Keyless interval (range) join — bucketized band join
+# --------------------------------------------------------------------------
+
+
+def q_range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join via ``operators/range_join.interval_join``:
+    1995-H1 shipments × urgent-order 14-day windows with NO equality
+    key — the bucketed band join turns what Catalyst would plan as a
+    nested-loop into a plain bucket equi-join + residual (each
+    matching pair meets in exactly one bucket, so no dedup pass).
+    Summarized per ship month; quantities summed as integers so the
+    oracle compare is addition-order-free."""
+    from ..operators.range_join import interval_join
+
+    li = t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_quantity").cast("int").alias("qty"),
+    ).filter(
+        (F.col("ship_date") >= F.lit("1995-01-01"))
+        & (F.col("ship_date") <= F.lit("1995-06-30"))
+    )
+    o = t(spark, sf_dir, "orders")
+    win = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate").cast("date") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate").cast("date") <= F.lit("1995-06-30"))
+    ).select(
+        F.col("o_orderkey").alias("window_id"),
+        F.col("o_orderdate").cast("date").alias("win_lo"),
+        F.date_add(F.col("o_orderdate").cast("date"), 14).alias("win_hi"),
+    )
+    joined = interval_join(
+        pts, win, "ship_date", "win_lo", "win_hi", bucket_width_days=7
+    )
+    return joined.groupBy(
+        F.month("ship_date").alias("ship_month")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("window_id").alias("n_windows"),
+        F.sum("qty").alias("sum_qty"),
+    )
+
+
+ORACLE_RANGE_JOIN_SHIPMENTS = """
+WITH pts AS (
+  SELECT CAST(l_shipdate AS DATE) AS ship_date, CAST(l_quantity AS INT) AS qty
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'),
+win AS (
+  SELECT o_orderkey AS window_id, CAST(o_orderdate AS DATE) AS win_lo,
+         CAST(o_orderdate AS DATE) + 14 AS win_hi
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-06-30')
+SELECT month(ship_date) AS ship_month,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT window_id) AS n_windows,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty
+FROM pts JOIN win ON ship_date BETWEEN win_lo AND win_hi
+GROUP BY month(ship_date)
+"""
+
+
+# --------------------------------------------------------------------------
 # J1/J8 — multi-dim star join with broadcast
 # --------------------------------------------------------------------------
 
@@ -863,6 +928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_timeline": q_scd2_timeline,
     "asof_resolve": q_asof_resolve,
     "asof_merge_resolve": q_asof_merge_resolve,
+    "range_join_shipments": q_range_join_shipments,
     "star_join_revenue": q_star_join_revenue,
     "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
     "semi_join_discounted_orders": q_semi_join_discounted_orders,
@@ -888,6 +954,7 @@ ORACLE: dict[str, str] = {
     "scd2_timeline": ORACLE_SCD2_TIMELINE,
     "asof_resolve": ORACLE_ASOF_RESOLVE,
     "asof_merge_resolve": ORACLE_ASOF_RESOLVE,
+    "range_join_shipments": ORACLE_RANGE_JOIN_SHIPMENTS,
     "star_join_revenue": ORACLE_STAR_JOIN_REVENUE,
     "anti_join_customers_without_orders": ORACLE_ANTI_JOIN,
     "semi_join_discounted_orders": ORACLE_SEMI_JOIN,
