@@ -338,6 +338,18 @@ def simhash_pairs(
         n_chunks = 16
     else:  # pragma: no cover - contract
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+    # Exact-dedup BEFORE near-dedup (the standard pipeline order): a
+    # duplicate-heavy corpus floods every chunk bucket with identical
+    # sketches, making the banding join quadratic in MEMBER count.
+    # Banding over DISTINCT sketches is quadratic only in distinct-
+    # sketch count; same-sketch pairs (Hamming 0) and the member
+    # expansion of surviving sketch pairs are pure equality joins
+    # bounded by OUTPUT size — semantically identical, and the
+    # sketch-level dedup shuffle is ``n_chunks×`` smaller.
+    sh = sh.cache()
+    sketches = sh.select("sim").distinct()
+
     chunks = F.array(
         *[
             F.struct(
@@ -349,26 +361,48 @@ def simhash_pairs(
             for i in range(n_chunks)
         ]
     )
-    banded = sh.select(
-        "doc_id", "sim", F.explode(chunks).alias("c")
-    ).select("doc_id", "sim", "c.chunk", "c.val")
+    banded = sketches.select(
+        "sim", F.explode(chunks).alias("c")
+    ).select("sim", "c.chunk", "c.val")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    sketch_pairs = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.sim") < F.col("b.sim")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
             F.col("a.sim").alias("sim_a"),
             F.col("b.sim").alias("sim_b"),
+            hamming.alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["sim_a", "sim_b"])
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    ma = sh.select(F.col("sim").alias("sim_a"), F.col("doc_id").alias("id_a"))
+    mb = sh.select(F.col("sim").alias("sim_b"), F.col("doc_id").alias("id_b"))
+    cross = (
+        sketch_pairs.join(ma, "sim_a")
+        .join(mb, "sim_b")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
     )
+    same = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.sim") == F.col("y.sim"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
