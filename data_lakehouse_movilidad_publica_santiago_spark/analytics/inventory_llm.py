@@ -8,9 +8,10 @@ Probabilistic operators (MinHash-LSH, LSH-ANN, LSH near-dup) are
 gated against their EXACT twins' SQL: their banding parameters are
 chosen with MEASURED recall 1.0 on this corpus (pinned by
 ``tests/test_lsh_recall.py``), so LSH output = exact output and the
-exact SQL is a valid oracle. SimHash stays rows-only (its sketch is
-xxhash64-specific, which DuckDB lacks) but carries a pigeonhole
-completeness property test instead.
+exact SQL is a valid oracle. SimHash and winnowing run on md5-derived
+sketches the DuckDB oracle recomputes bit-identically (xxhash64
+variants stay the production defaults), so every query here is fully
+oracle-gated.
 """
 
 from __future__ import annotations
@@ -33,6 +34,8 @@ from ..operators.dedup_text import (
     minhash_lsh_pairs,
     simhash_md5_oracle_sql,
     simhash_pairs,
+    winnowing_fingerprints,
+    winnowing_oracle_sql,
 )
 from ..operators.multimodal import (
     extract_features,
@@ -180,6 +183,32 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SIMHASH_NEAR_DUP = simhash_md5_oracle_sql(
     "documents", "text", max_hamming=8
 )
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (MOSS scheme:
+    char-8-gram hashes, min of each 4-gram window), summarized per doc.
+    The hash is md5-nibble-derived so the DuckDB oracle recomputes the
+    identical fingerprint sets."""
+    docs = t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(
+        docs, "doc_id", "text", k=8, w=4, hash_fn="md5"
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+        F.sum("fingerprint").alias("sum_fp"),
+    )
+
+
+ORACLE_WINNOWING = f"""
+WITH fps AS ({winnowing_oracle_sql("documents", "doc_id", "text", k=8, w=4)})
+SELECT doc_id, COUNT(*) AS n_fps, MIN(fingerprint) AS min_fp,
+       MAX(fingerprint) AS max_fp,
+       CAST(SUM(fingerprint) AS BIGINT) AS sum_fp
+FROM fps GROUP BY doc_id
+"""
 
 
 # ── similarity search ───────────────────────────────────────────────
@@ -503,6 +532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_jaccard_near_dup": q_token_jaccard_near_dup,
     "minhash_lsh_near_dup": q_minhash_lsh_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
     "embedding_knn": q_embedding_knn,
     "embedding_lsh_knn": q_embedding_lsh_knn,
     "ivf_knn": q_ivf_knn,
@@ -522,6 +552,7 @@ ORACLE: dict[str, str] = {
     "token_jaccard_near_dup": ORACLE_TOKEN_JACCARD,
     "minhash_lsh_near_dup": ORACLE_MINHASH_LSH,
     "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
+    "winnowing_fingerprints": ORACLE_WINNOWING,
     "embedding_knn": ORACLE_EMBEDDING_KNN,
     "embedding_lsh_knn": ORACLE_EMBEDDING_KNN,
     "ivf_knn": ORACLE_EMBEDDING_KNN,

@@ -186,6 +186,117 @@ def minhash_lsh_pairs(
     ).filter(F.col("jac") >= threshold)
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme: Schleimer,
+    Wilkerson & Aiken, SIGMOD'03): hash every character k-gram, then
+    keep the MIN hash of each window of ``w`` consecutive k-grams —
+    the distinct kept hashes are the document's fingerprint set, which
+    two documents share iff they share sufficiently long substrings.
+
+    Set-based shape (no per-row Python, no sequential scan): k-gram
+    positions come from ``posexplode(sequence(...))``, the per-gram
+    hash is md5-derived (first 8 hex nibbles → int, so a DuckDB oracle
+    recomputes it bit-identically — classic Rabin-Karp rolling hashes
+    are an O(1)-per-step sequential optimization with the same output
+    set; distributed, the window-min over position IS the rolling
+    structure), and window selection is one ``min() OVER (PARTITION BY
+    doc ORDER BY pos ROWS w-1 FOLLOWING)`` pass. One shuffle on
+    doc_id; output is the distinct (doc_id, fingerprint) set.
+
+    Documents shorter than ``k`` chars contribute their whole text as
+    a single gram; fewer than ``w`` grams yield one whole-document
+    window. Window starts run 1..max(n_grams-w+1, 1).
+    """
+    from pyspark.sql import Window as W
+
+    norm = (
+        f"trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' '))"
+    )
+    normed = df.select(
+        F.col(id_col).alias("doc_id"), F.expr(norm).alias("nrm")
+    )
+    # posexplode is 0-based; +1 aligns positions with the 1-based
+    # oracle SQL (matters for the short-document window boundary)
+    grams = normed.selectExpr(
+        "doc_id",
+        f"posexplode(transform(sequence(1, greatest(length(nrm) - {k} + 1, 1)),"
+        f" i -> substring(nrm, i, {k}))) AS (pos0, g)",
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    if hash_fn == "xxhash64":
+        # production default: one 64-bit hash per gram, ~5x the
+        # md5-nibble path (measured at sf0.1); engine-specific
+        hashed = grams.select(
+            "doc_id", "pos", F.xxhash64("g").alias("hv")
+        )
+    elif hash_fn == "md5":
+        # first 8 hex nibbles -> int (cross-engine: ascii arithmetic,
+        # BIGINT per term -- INT32 would silently wrap in Spark and
+        # raise in DuckDB)
+        nib = "(CASE WHEN ascii(substr(h, {j}, 1)) >= 97 THEN ascii(substr(h, {j}, 1)) - 87 ELSE ascii(substr(h, {j}, 1)) - 48 END)"
+        val = " + ".join(
+            f"(CAST({nib.format(j=j + 1)} AS BIGINT) * {16 ** (7 - j)})"
+            for j in range(8)
+        )
+        hashed = grams.withColumn("h", F.md5("g")).select(
+            "doc_id", "pos", F.expr(f"CAST({val} AS BIGINT)").alias("hv")
+        )
+    else:  # pragma: no cover - contract
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, w - 1)
+    )
+    n_win = W.partitionBy("doc_id")
+    kept = (
+        hashed.withColumn("wmin", F.min("hv").over(win))
+        .withColumn("n_grams", F.max("pos").over(n_win))
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w + 1, F.lit(1)))
+        .select("doc_id", F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )
+    return kept
+
+
+def winnowing_oracle_sql(
+    table: str, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> str:
+    """DuckDB SQL recomputing ``winnowing_fingerprints`` exactly."""
+    norm = (
+        f"trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ', 'g'))"
+    )
+    nib = "(CASE WHEN ascii(substr(h, {j}, 1)) >= 97 THEN ascii(substr(h, {j}, 1)) - 87 ELSE ascii(substr(h, {j}, 1)) - 48 END)"
+    val = " + ".join(
+        f"(CAST({nib.format(j=j + 1)} AS BIGINT) * {16 ** (7 - j)})"
+        for j in range(8)
+    )
+    return f"""
+WITH d AS (SELECT {id_col} AS doc_id, {norm} AS nrm FROM {table}),
+g0 AS (
+  SELECT doc_id, nrm,
+         unnest(range(1, greatest(length(nrm) - {k} + 1, 1) + 1)) AS pos
+  FROM d),
+grams AS (SELECT doc_id, pos, md5(substr(nrm, pos, {k})) AS h FROM g0),
+hashed AS (SELECT doc_id, pos, CAST({val} AS BIGINT) AS hv FROM grams),
+kept AS (
+  SELECT doc_id, pos,
+         MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin,
+         MAX(pos) OVER (PARTITION BY doc_id) AS n_grams
+  FROM hashed)
+SELECT DISTINCT doc_id, wmin AS fingerprint
+FROM kept
+WHERE pos <= greatest(n_grams - {w} + 1, 1)
+"""
+
+
 # SQL-expr form because the Python F.shiftright/shiftleft helpers only
 # accept literal shift amounts; the SQL functions take full expressions
 _SIMHASH_SQL = """

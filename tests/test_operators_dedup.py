@@ -56,3 +56,37 @@ def test_dedup_max_by_matches_window_semantics(spark):
     agg = dedup_max_by(df, ["k"], "ord", descending=True)
     win = dedup_keep_latest(df, ["k"], [F.col("ord").desc()])
     assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, win.collect()))
+
+
+def test_winnowing_fingerprints_edges(spark):
+    """Short docs: len < k -> one whole-text gram; n_grams < w -> one
+    whole-document window. Identical docs share identical sets; both
+    hash variants agree on SET STRUCTURE (not values)."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.dedup_text import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny"),                         # len < k
+            (2, "exactly8"),                     # len == k
+            (3, "a slightly longer document body here"),
+            (4, "a slightly longer document body here"),  # dup of 3
+            (5, ""),                             # empty
+        ],
+        "doc_id long, text string",
+    )
+    for hash_fn in ("xxhash64", "md5"):
+        fps = winnowing_fingerprints(
+            docs, "doc_id", "text", k=8, w=4, hash_fn=hash_fn
+        ).collect()
+        by_doc: dict[int, set[int]] = {}
+        for r in fps:
+            by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+        # every doc (even empty/short) has >= 1 fingerprint
+        assert set(by_doc) == {1, 2, 3, 4, 5}
+        assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+        # exact duplicates -> identical fingerprint sets
+        assert by_doc[3] == by_doc[4]
+        # distinct docs -> distinct sets
+        assert by_doc[1] != by_doc[3]
