@@ -41,9 +41,8 @@ def write_jdbc(
     (TRUNCATE instead of DROP+CREATE), the idempotent full-refresh
     shape for dims.
     """
-    out = df
-    if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
-        out = df.coalesce(num_partitions)
+    # coalesce never increases the partition count, so no guard needed
+    out = df.coalesce(num_partitions) if num_partitions is not None else df
     writer = (
         out.write.format("jdbc")
         .option("url", url)
@@ -79,6 +78,10 @@ def read_jdbc(
     if driver:
         reader = reader.option("driver", driver)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires explicit lower_bound/upper_bound"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -186,6 +186,27 @@ def minhash_lsh_pairs(
     ).filter(F.col("jac") >= threshold)
 
 
+
+def _md5_nibble_sql(j: int) -> str:
+    """Hex nibble ``j`` (0-based) of a lowercase-hex digest column
+    ``h``, as dialect-agnostic SQL (identical text runs on Spark SQL
+    and DuckDB — this sharing is what keeps the md5-sketch operators
+    and their DuckDB oracles bit-identical; instr/strpos can't be used
+    because Spark's needs a literal needle)."""
+    c = f"ascii(substr(h, {j + 1}, 1))"
+    return f"(CASE WHEN {c} >= 97 THEN {c} - 87 ELSE {c} - 48 END)"
+
+
+def _md5_hex8_bigint_sql() -> str:
+    """First 8 hex nibbles of digest column ``h`` packed into a BIGINT
+    (BIGINT per term — INT32 would silently wrap in Spark and raise in
+    DuckDB). Same dialect-agnostic property as ``_md5_nibble_sql``."""
+    return " + ".join(
+        f"(CAST({_md5_nibble_sql(j)} AS BIGINT) * {16 ** (7 - j)})"
+        for j in range(8)
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -236,16 +257,10 @@ def winnowing_fingerprints(
             "doc_id", "pos", F.xxhash64("g").alias("hv")
         )
     elif hash_fn == "md5":
-        # first 8 hex nibbles -> int (cross-engine: ascii arithmetic,
-        # BIGINT per term -- INT32 would silently wrap in Spark and
-        # raise in DuckDB)
-        nib = "(CASE WHEN ascii(substr(h, {j}, 1)) >= 97 THEN ascii(substr(h, {j}, 1)) - 87 ELSE ascii(substr(h, {j}, 1)) - 48 END)"
-        val = " + ".join(
-            f"(CAST({nib.format(j=j + 1)} AS BIGINT) * {16 ** (7 - j)})"
-            for j in range(8)
-        )
         hashed = grams.withColumn("h", F.md5("g")).select(
-            "doc_id", "pos", F.expr(f"CAST({val} AS BIGINT)").alias("hv")
+            "doc_id",
+            "pos",
+            F.expr(f"CAST({_md5_hex8_bigint_sql()} AS BIGINT)").alias("hv"),
         )
     else:  # pragma: no cover - contract
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
@@ -272,11 +287,7 @@ def winnowing_oracle_sql(
     norm = (
         f"trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ', 'g'))"
     )
-    nib = "(CASE WHEN ascii(substr(h, {j}, 1)) >= 97 THEN ascii(substr(h, {j}, 1)) - 87 ELSE ascii(substr(h, {j}, 1)) - 48 END)"
-    val = " + ".join(
-        f"(CAST({nib.format(j=j + 1)} AS BIGINT) * {16 ** (7 - j)})"
-        for j in range(8)
-    )
+    val = _md5_hex8_bigint_sql()
     return f"""
 WITH d AS (SELECT {id_col} AS doc_id, {norm} AS nrm FROM {table}),
 g0 AS (
@@ -357,14 +368,7 @@ def simhash60_md5(
     # needle, so the alphabet-lookup form isn't expressible)
     nibbles = tok.select(
         "doc_id",
-        *[
-            F.expr(
-                f"CASE WHEN ascii(substr(h, {j + 1}, 1)) >= 97 "
-                f"THEN ascii(substr(h, {j + 1}, 1)) - 87 "
-                f"ELSE ascii(substr(h, {j + 1}, 1)) - 48 END"
-            ).alias(f"n{j}")
-            for j in range(15)
-        ],
+        *[F.expr(_md5_nibble_sql(j)).alias(f"n{j}") for j in range(15)],
     )
     sums = nibbles.groupBy("doc_id").agg(
         *[
@@ -391,10 +395,7 @@ def simhash_md5_oracle_sql(table: str, text_col: str, max_hamming: int) -> str:
     oracle for ``simhash_pairs(hash_fn='md5')`` (valid because 15×4-bit
     banding has recall 1.0 for Hamming ≤ 14 by pigeonhole)."""
     nibbles = ", ".join(
-        f"CASE WHEN ascii(substr(h, {j + 1}, 1)) >= 97 "
-        f"THEN ascii(substr(h, {j + 1}, 1)) - 87 "
-        f"ELSE ascii(substr(h, {j + 1}, 1)) - 48 END AS n{j}"
-        for j in range(15)
+        f"{_md5_nibble_sql(j)} AS n{j}" for j in range(15)
     )
     sums = ", ".join(
         f"SUM(CASE WHEN ((n{i // 4} >> {i % 4}) & 1) = 1 "
@@ -458,6 +459,12 @@ def simhash_pairs(
     # expansion of surviving sketch pairs are pure equality joins
     # bounded by OUTPUT size — semantically identical, and the
     # sketch-level dedup shuffle is ``n_chunks×`` smaller.
+    # cache: the sketch feeds the distinct-sketch banding AND both
+    # member-expansion joins. Spark's CacheManager dedups cache entries
+    # by logical plan, so repeated calls over the same input reuse one
+    # entry rather than accumulating; for one-shot batch use the entry
+    # dies with the session, and a long-lived server can evict it via
+    # spark.catalog.clearCache() between corpora.
     sh = sh.cache()
     sketches = sh.select("sim").distinct()
 

@@ -298,8 +298,12 @@ def train_ivf_centroids(
         if frac < 1.0
         else embeddings.select(vec_col).collect()
     )
+    if not sample:
+        return np.zeros((0, 0))
     x = np.stack([np.asarray(r[0], dtype="float64") for r in sample])
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    # tiny corpora: never ask for more cells than sampled vectors
+    n_cells = min(n_cells, len(x))
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=n_cells, replace=False)]
     for _ in range(n_iter):
@@ -365,6 +369,8 @@ def ivf_topk(
 
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, n_cells, vec_col)
+    if len(centroids) == 0:  # empty corpus: exact scan degrades fine
+        return cosine_topk(embeddings, query_vec, k, id_col, vec_col)
     q = np.asarray(query_vec, dtype="float64")
     q = q / np.linalg.norm(q)
     probe = np.argsort(-(centroids @ q))[:n_probe]

@@ -7,9 +7,10 @@
   ``pl.concat(...).sink_csv``, build_lake.py:313-324).
 - ``safe_extract_zip`` (S12): zip-bomb / path-traversal / symlink
   guarded extraction (build_lake.py:93-217 semantics).
-- ``xlsb_to_csv`` (S4): gated behind pyxlsb availability — raises a
-  clear error in environments without it (this container), same
-  sheet-iteration contract where present.
+- ``xlsb_to_csv`` / ``convert_subidas_xlsb`` (S4): XLSB ingest via the
+  bundled pure-Python BIFF12 reader (``sources/xlsb.py``) — no pyxlsb
+  dependency; same sheet-iteration + FICHA-capture contract as the
+  reference (build_lake.py:352-444).
 """
 
 from __future__ import annotations
@@ -142,6 +143,8 @@ def convert_subidas_xlsb(
         n_rows = 0
         with open(out_csv, "w", encoding="utf-8") as fh:
             for _, values in wb.rows(data_sheet):
+                # defensive parity with pyxlsb, which can yield
+                # all-None rows (our reader never does)
                 if all(v is None for v in values):
                     continue
                 if header is None:
@@ -150,6 +153,9 @@ def convert_subidas_xlsb(
                     ]
                     fh.write("|".join(header) + "\n")
                     continue
+                # reference parity (build_lake.py:421-423): rows are
+                # clipped/padded to the header width — cells beyond the
+                # right-most header column are dropped there too
                 padded = [
                     values[i] if i < len(values) else None
                     for i in range(len(header))

@@ -128,7 +128,11 @@ class XlsbWorkbook:
         self._sst: list[str] | None = None
         self.sheets: list[str] = []
         self._sheet_parts: dict[str, str] = {}
-        self._load_workbook()
+        try:
+            self._load_workbook()
+        except BaseException:
+            self._zf.close()
+            raise
 
     def __enter__(self) -> "XlsbWorkbook":
         return self

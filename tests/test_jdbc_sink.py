@@ -63,3 +63,11 @@ def test_jdbc_partitioned_read(spark, derby_url):
     )
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == 200
+
+
+def test_partitioned_read_requires_bounds(spark, derby_url):
+    with pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc(
+            spark, derby_url, "t_part", driver=DERBY_DRIVER,
+            partition_column="k",
+        )

@@ -5,8 +5,9 @@ oracle, which is only sound while the chosen banding has recall 1.0
 on the driver corpus (precision is 1.0 by construction — candidates
 are exact-verified). These tests pin that equality at the gate scale
 so a parameter or corpus drift fails HERE, not in the driver's
-correctness report. SimHash (no SQL twin) gets its pigeonhole
-completeness guarantee tested instead."""
+correctness report. SimHash's md5 sketch now has a full DuckDB twin
+(gate query); both sketch variants additionally carry their pigeonhole
+completeness guarantees here."""
 
 from __future__ import annotations
 
@@ -170,3 +171,19 @@ def test_simhash_md5_banding_complete_to_hamming_14(docs):
         ).collect()
     }
     assert banded == exact and exact
+
+
+def test_ivf_tiny_corpus_degrades_gracefully(spark, emb):
+    """Fewer vectors than n_cells: cells clamp to the corpus size and
+    results stay exact; empty corpus yields an empty result."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    tiny = emb.limit(5)
+    qv = [float(x) for x in tiny.select("embedding").first()[0]]
+    got = ivf_topk(tiny, qv, k=10, n_cells=16, n_probe=16).collect()
+    exact = cosine_topk(tiny, qv, 10).collect()
+    assert got == exact and len(got) == 5
+    empty = emb.filter("vec_id < 0")
+    assert ivf_topk(empty, qv, k=3, n_cells=8, n_probe=2).count() == 0
