@@ -47,7 +47,10 @@ def _rec(rid: int, payload: bytes) -> bytes:
 
 
 def _wstr(s: str) -> bytes:
-    return struct.pack("<I", len(s)) + s.encode("utf-16-le")
+    # cch counts UTF-16 CODE UNITS (astral chars = surrogate pair = 2),
+    # not characters — [MS-XLSB] XLWideString
+    b = s.encode("utf-16-le")
+    return struct.pack("<I", len(b) // 2) + b
 
 
 def _cell_prefix(col: int) -> bytes:
@@ -176,3 +179,75 @@ def test_convert_subidas_contract(sample_xlsb: Path, tmp_path: Path) -> None:
     lines = out.read_text(encoding="utf-8").splitlines()
     assert lines[0] == "stop_code|boardings|mode"
     assert len(lines) == 4
+
+
+# ── property-based round trip ───────────────────────────────────────
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_cell_vals = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**29), max_value=2**29 - 1),   # RK int range
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.booleans(),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12
+    ),
+)
+
+
+def _encode_cell(col: int, v) -> tuple[int, bytes] | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return (0x04, _cell_prefix(col) + (b"\x01" if v else b"\x00"))
+    if isinstance(v, int):
+        return (0x02, _cell_prefix(col) + struct.pack("<I", _rk_from_int(v)))
+    if isinstance(v, float):
+        return (0x05, _cell_prefix(col) + struct.pack("<d", v))
+    return (0x06, _cell_prefix(col) + _wstr(v))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(_cell_vals, min_size=1, max_size=6), min_size=1, max_size=8
+    )
+)
+def test_roundtrip_random_grids(tmp_path_factory, grid) -> None:
+    """Any grid of typed cells encoded per [MS-XLSB] decodes to the
+    same values (trailing Nones trimmed, empty rows absent)."""
+    rows = []
+    expected = []
+    for r, vals in enumerate(grid):
+        cells = []
+        for c, v in enumerate(vals):
+            enc = _encode_cell(c, v)
+            if enc is not None:
+                cells.append(enc)
+        if cells:
+            rows.append((r, cells))
+            width = max(c for c, v in enumerate(vals) if v is not None) + 1
+            expected.append(
+                (r, [v if v is not None else None for v in vals[:width]])
+            )
+    sheet = _sheet_records(rows)
+    wb_rec = _rec(
+        0x9C, struct.pack("<II", 0, 1) + _wstr("rId1") + _wstr("Datos")
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">'
+        '<Relationship Id="rId1" Type="ws" Target="worksheets/sheet1.bin"/>'
+        "</Relationships>"
+    )
+    path = tmp_path_factory.mktemp("xlsb") / "prop.xlsb"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.bin", wb_rec)
+        zf.writestr("xl/_rels/workbook.bin.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.bin", sheet)
+    with XlsbWorkbook(path) as wb:
+        got = list(wb.rows("Datos"))
+    assert got == expected
