@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from data_lakehouse_movilidad_publica_santiago_spark.analytics import (
+    business_gate,
     inventory,
     inventory_llm,
 )
@@ -27,8 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, plus the
     LLM-data-pipeline operator suite (dedup / similarity / text /
-    multimodal / tumbling windows)."""
-    return {**inventory.QUERIES, **inventory_llm.QUERIES}
+    multimodal / tumbling windows) and the business-corpus shape
+    twins (analytics/business_gate.py)."""
+    return {**inventory.QUERIES, **inventory_llm.QUERIES, **business_gate.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -37,4 +39,4 @@ def oracle_sql() -> dict[str, str]:
     Python-stage multimodal feature extractor are intentionally
     absent → rows-only check; their exact counterparts are
     oracle-verified."""
-    return {**inventory.ORACLE, **inventory_llm.ORACLE}
+    return {**inventory.ORACLE, **inventory_llm.ORACLE, **business_gate.ORACLE}

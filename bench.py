@@ -55,7 +55,11 @@ HEADLINE = [
     # simhash_near_dup is correctness-gated at sf0.01 but excluded
     # here: at sf0.1 its RESULT is ~2.5M pairs (the corpus is
     # duplicate-riddled), so wall time measures row transport, not
-    # the operator
+    # the operator.  dedup_clusters / dedup_survivors (correctness-
+    # gated likewise) consume that same ~2.5M-pair set as INPUT at
+    # sf0.1, so their wall time would measure the excluded pair
+    # transport too; the clustering loop itself is exercised by
+    # tests/test_clustering.py.
     "range_join_shipments",
     "token_count_stats",
     "tumbling_window_30m",

@@ -1,0 +1,382 @@
+"""Driver-gated twins of the reference's business-query corpus.
+
+``analytics/business.py`` carries the reference's 15 published
+analytics queries (`/root/reference/docs/queries/01..05_*.sql`) over
+the gold constellation; they are pytest-fixture-asserted
+(`tests/test_serving_analytics.py`).  The gold views don't exist in
+the driver's correctness harness, so this module re-expresses the
+judge-selected query SHAPES over the synthetic star the driver does
+register — each one a DataFrame-native plan with a DuckDB oracle, so
+the business corpus's operator mix (conditional pivot, role-playing
+multi-join, NTILE labeling, two-level aggregation, grouped
+percentiles, LAG series) is differentially verified, not just
+fixture-asserted.
+
+Shape map (reference SQL → twin here):
+- Q1 `01_demanda_horaria.sql` day-type pivot + ratio → ``biz_q1``
+- Q5 `04_calidad_servicio.sql` role-playing stop joins → ``biz_q5``
+- Q8 `03_infraestructura.sql` NTILE quartile labeling → ``biz_q8``
+- Q9 `05_usuarios.sql` per-trip agg → classify → share → ``biz_q9``
+- Q12 `04_calidad_servicio.sql` median/p90 + conditional AVG → ``biz_q12``
+- Q14 `01_demanda_horaria.sql` LAG daily series → ``biz_q14``
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .inventory import t
+
+
+def q_biz_demand_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 shape: one row per calendar slot (ship month ↔ 30-min
+    slot), conditional SUM pivot per category (returnflag ↔ day
+    type), then the A-vs-R percent-delta ratio column."""
+    li = t(spark, sf_dir, "lineitem")
+    qty = lambda flag: F.sum(  # noqa: E731
+        F.when(F.col("l_returnflag") == flag, F.col("l_quantity")).otherwise(0.0)
+    )
+    return (
+        li.groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            F.round(qty("A"), 2).alias("qty_a"),
+            F.round(qty("N"), 2).alias("qty_n"),
+            F.round(qty("R"), 2).alias("qty_r"),
+            F.round(
+                F.expr(
+                    "100.0D * sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0D END)"
+                    " / nullif(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0D END), 0)"
+                    " - 100.0D"
+                ),
+                1,
+            ).alias("pct_a_vs_r"),
+        )
+    )
+
+
+ORACLE_BIZ_DEMAND_PIVOT = """
+SELECT CAST(MONTH(l_shipdate) AS BIGINT) AS ship_month,
+       ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END), 2) AS qty_a,
+       ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END), 2) AS qty_n,
+       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END), 2) AS qty_r,
+       ROUND(100.0 * SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END)
+             / NULLIF(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END), 0)
+             - 100.0, 1) + 0.0 AS pct_a_vs_r  -- +0.0 folds IEEE -0.0 to 0.0 (Spark's BigDecimal round has no -0)
+FROM lineitem
+GROUP BY CAST(MONTH(l_shipdate) AS BIGINT)
+"""
+
+
+def q_biz_role_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: fact joined to the SAME dimension in two roles
+    (customer-nation and supplier-nation, like board-stop and
+    alight-stop), small dims broadcast, HAVING floor, derived ratio."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        )
+        .filter(F.col("n_lines") > 10)
+    )
+
+
+ORACLE_BIZ_ROLE_JOINS = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(AVG(l.l_quantity), 2) AS avg_qty
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+GROUP BY cn.n_name, sn.n_name
+HAVING COUNT(*) > 10
+"""
+
+
+def q_biz_coverage_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: aggregate per territory (nation ↔ comuna), derive a
+    per-unit coverage metric, NTILE(4) it, attach the category label.
+    The NTILE window input is the POST-aggregation nation table (25
+    rows) — the documented small-input exact path; the scalable twin
+    is ``quantile_buckets`` (plan-asserted in tests)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.round(F.sum("o_totalprice"), 0).alias("revenue"),
+            F.round(
+                F.sum("o_totalprice") / F.countDistinct("o_custkey"), 1
+            ).alias("revenue_per_buyer"),
+        )
+    )
+    quart = F.ntile(4).over(
+        Window.orderBy(F.col("revenue_per_buyer").asc(), F.col("nation").asc())
+    )
+    labeled = per_nation.withColumn("q_i", quart).withColumn(
+        "category",
+        F.element_at(
+            F.array(
+                F.lit("underserved"),
+                F.lit("low"),
+                F.lit("medium"),
+                F.lit("well-served"),
+            ),
+            F.col("q_i"),
+        ),
+    )
+    return labeled.select(
+        "nation",
+        "n_buyers",
+        "revenue",
+        "revenue_per_buyer",
+        # DuckDB NTILE is BIGINT; cast after the INT-indexed element_at
+        F.col("q_i").cast("long").alias("coverage_quartile"),
+        "category",
+    )
+
+
+ORACLE_BIZ_COVERAGE_QUARTILES = """
+WITH per_nation AS (
+  SELECT n.n_name AS nation,
+         COUNT(DISTINCT o.o_custkey) AS n_buyers,
+         ROUND(SUM(o.o_totalprice), 0) AS revenue,
+         ROUND(SUM(o.o_totalprice) / COUNT(DISTINCT o.o_custkey), 1) AS revenue_per_buyer
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name)
+SELECT nation, n_buyers, revenue, revenue_per_buyer,
+       NTILE(4) OVER (ORDER BY revenue_per_buyer ASC, nation ASC) AS coverage_quartile,
+       CASE NTILE(4) OVER (ORDER BY revenue_per_buyer ASC, nation ASC)
+            WHEN 1 THEN 'underserved' WHEN 2 THEN 'low'
+            WHEN 3 THEN 'medium' WHEN 4 THEN 'well-served' END AS category
+FROM per_nation
+"""
+
+
+def q_biz_intermodality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: two-level aggregation — per trip (order), flag which
+    modes (returnflags) appear and average the transfer metric over
+    non-first legs; classify each trip; then share-of-total and the
+    grouped MEDIAN of the per-trip mean (the ordered-set-aggregate
+    re-expression, SURVEY §2.5 W6)."""
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("has_a"),
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"),
+        F.avg(
+            F.when(F.col("l_linenumber") > 1, F.col("l_discount"))
+        ).alias("later_disc"),
+        F.countDistinct("l_linenumber").alias("n_lines"),
+    )
+    classified = per_order.withColumn(
+        "trip_type",
+        F.when((F.col("has_a") == 1) & (F.col("has_r") == 1), "A + R")
+        .when(F.col("has_a") == 1, "solo A")
+        .when(F.col("has_r") == 1, "solo R")
+        .otherwise("solo N"),
+    )
+    total = Window.partitionBy()
+    return (
+        classified.groupBy("trip_type")
+        .agg(
+            F.count("*").alias("n_trips"),
+            F.round(F.avg(F.col("n_lines").cast("double")), 2).alias("avg_lines"),
+            F.round(F.avg("later_disc"), 4).alias("avg_later_disc"),
+            F.round(F.expr("percentile(later_disc, 0.5D)"), 4).alias(
+                "median_later_disc"
+            ),
+        )
+        .withColumn(
+            "pct_trips",
+            F.round(
+                F.lit(100.0) * F.col("n_trips") / F.sum("n_trips").over(total), 2
+            ),
+        )
+    )
+
+
+ORACLE_BIZ_INTERMODALITY = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         MAX(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS has_a,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r,
+         AVG(CASE WHEN l_linenumber > 1 THEN l_discount END) AS later_disc,
+         COUNT(DISTINCT l_linenumber) AS n_lines
+  FROM lineitem GROUP BY l_orderkey),
+classified AS (
+  SELECT *,
+         CASE WHEN has_a = 1 AND has_r = 1 THEN 'A + R'
+              WHEN has_a = 1 THEN 'solo A'
+              WHEN has_r = 1 THEN 'solo R'
+              ELSE 'solo N' END AS trip_type
+  FROM per_order)
+SELECT trip_type,
+       COUNT(*) AS n_trips,
+       ROUND(AVG(CAST(n_lines AS DOUBLE)), 2) AS avg_lines,
+       ROUND(AVG(later_disc), 4) AS avg_later_disc,
+       ROUND(quantile_cont(later_disc, 0.5), 4) AS median_later_disc,
+       ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 2) AS pct_trips
+FROM classified
+GROUP BY trip_type
+"""
+
+
+def q_biz_wait_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: per mode (order status), mean + exact interpolated
+    median/p90 of the wait metric (total price), plus conditional
+    means per day-type (order priority), with the reference's
+    plausibility band filter."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice").between(0, 400000))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("price_avg"),
+            F.round(F.expr("percentile(o_totalprice, 0.5D)"), 2).alias(
+                "price_median"
+            ),
+            F.round(F.expr("percentile(o_totalprice, 0.9D)"), 2).alias(
+                "price_p90"
+            ),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("o_orderpriority") == "1-URGENT",
+                        F.col("o_totalprice"),
+                    )
+                ),
+                2,
+            ).alias("avg_urgent"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("o_orderpriority") == "5-LOW", F.col("o_totalprice")
+                    )
+                ),
+                2,
+            ).alias("avg_low"),
+        )
+    )
+
+
+ORACLE_BIZ_WAIT_PERCENTILES = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(AVG(o_totalprice), 2) AS price_avg,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS price_median,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS price_p90,
+       ROUND(AVG(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS avg_urgent,
+       ROUND(AVG(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS avg_low
+FROM orders
+WHERE o_totalprice BETWEEN 0 AND 400000
+GROUP BY o_orderstatus
+"""
+
+
+def q_biz_daily_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: per-day distinct cards (customers), sample count,
+    expanded demand (price sum), and the LAG delta vs the previous
+    day.  Aggregated by MONTH here so the unpartitioned LAG window's
+    input is the post-aggregation month table (≤ 80 rows) — same
+    small-input rationale as the reference's daily series over one
+    weekly cut; the arbitrarily-growing variant belongs to
+    ``lag_daily_delta``'s partitioned form."""
+    orders = t(spark, sf_dir, "orders")
+    # demand rounds to CENTS, not integers: the price sum is exact at 2
+    # decimals in a double, while ROUND(x, 0) sits on .5 boundaries
+    # where the two engines' accumulated last-bit differences flip the
+    # result (verify-skill gotcha: round aggressively but never ON a
+    # representable boundary of the data)
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.countDistinct("o_custkey").alias("n_buyers"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("demand"),
+    )
+    lag = F.lag("demand").over(Window.orderBy("month"))
+    return monthly.withColumn("delta_vs_prev", F.round(F.col("demand") - lag, 2))
+
+
+ORACLE_BIZ_DAILY_LAG = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         COUNT(DISTINCT o_custkey) AS n_buyers,
+         COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS demand
+  FROM orders GROUP BY 1)
+SELECT month, n_buyers, n_orders, demand,
+       ROUND(demand - LAG(demand) OVER (ORDER BY month), 2) AS delta_vs_prev
+FROM monthly
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "biz_q1_demand_pivot": q_biz_demand_pivot,
+    "biz_q5_role_joins": q_biz_role_joins,
+    "biz_q8_coverage_quartiles": q_biz_coverage_quartiles,
+    "biz_q9_intermodality": q_biz_intermodality,
+    "biz_q12_wait_percentiles": q_biz_wait_percentiles,
+    "biz_q14_daily_lag": q_biz_daily_lag,
+}
+
+ORACLE: dict[str, str] = {
+    "biz_q1_demand_pivot": ORACLE_BIZ_DEMAND_PIVOT,
+    "biz_q5_role_joins": ORACLE_BIZ_ROLE_JOINS,
+    "biz_q8_coverage_quartiles": ORACLE_BIZ_COVERAGE_QUARTILES,
+    "biz_q9_intermodality": ORACLE_BIZ_INTERMODALITY,
+    "biz_q12_wait_percentiles": ORACLE_BIZ_WAIT_PERCENTILES,
+    "biz_q14_daily_lag": ORACLE_BIZ_DAILY_LAG,
+}

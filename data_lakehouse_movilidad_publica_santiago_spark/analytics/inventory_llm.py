@@ -28,6 +28,11 @@ from ..functions.text import (
     quality_score,
     token_count,
 )
+from ..operators.clustering import (
+    canonical_survivors,
+    connected_components,
+    connected_components_oracle_sql,
+)
 from ..operators.dedup_text import (
     exact_dup_groups,
     jaccard_pairs_exact,
@@ -55,6 +60,34 @@ _SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _SQL_TOKENS = f"list_distinct(string_split_regex({_SQL_NORM}, ' '))"
 
 QUALITY_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "with"]
+
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+# per-document quality score (doc_id, score) — shared by the
+# doc_quality histogram oracle and the dedup-survivor keep-one oracle
+_SQL_DOC_SCORE = f"""
+WITH feat AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    string_split_regex({_SQL_NORM}, ' ') AS toks,
+    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+      / NULLIF(length(text), 0) AS punct_ratio
+  FROM documents),
+feat2 AS (
+  SELECT doc_id, n_chars, punct_ratio,
+    len(list_filter(toks, x -> list_contains([{_STOP_LIST_SQL}], x))) * 1.0
+      / NULLIF(len(toks), 0) AS stop_ratio,
+    list_sum(list_transform(toks, x -> length(x))) * 1.0
+      / NULLIF(len(toks), 0) AS mwl
+  FROM feat)
+SELECT doc_id, ROUND(CAST(
+    0.25 * (CASE WHEN n_chars BETWEEN 50 AND 2000 THEN 1.0 ELSE 0.5 END)
+  + 0.25 * (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.0 END)
+  + 0.25 * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
+  + 0.25 * (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+  AS DOUBLE), 2) AS score
+FROM feat2
+"""
 
 
 # ── dedup ───────────────────────────────────────────────────────────
@@ -208,6 +241,84 @@ SELECT doc_id, COUNT(*) AS n_fps, MIN(fingerprint) AS min_fp,
        MAX(fingerprint) AS max_fp,
        CAST(SUM(fingerprint) AS BIGINT) AS sum_fp
 FROM fps GROUP BY doc_id
+"""
+
+
+# ── pairs → clusters → survivors (the dedup last mile) ──────────────
+
+
+def _near_dup_pair_union(docs: DataFrame) -> DataFrame:
+    """The cluster gate's pair graph: MinHash-LSH (word-3-gram Jaccard
+    ≥ 0.5) ∪ SimHash (md5 sketch, Hamming ≤ 8) — both individually
+    oracle-gated above, so the union IS the oracle's pair set."""
+    mh = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, k=3, num_perm=64, bands=16
+    ).select("doc_a", "doc_b")
+    sh = simhash_pairs(
+        docs, "doc_id", "text", max_hamming=8, hash_fn="md5"
+    ).select("doc_a", "doc_b")
+    return mh.unionByName(sh)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: one row per
+    paired document, cluster_id = min doc_id of its component
+    (deterministic, pair-order independent)."""
+    docs = t(spark, sf_dir, "documents")
+    return connected_components(_near_dup_pair_union(docs))
+
+
+# the same pair sets the Spark side unions, as standalone SELECTs
+_MH_PAIRS_SQL = f"""
+WITH d0 AS (SELECT doc_id, {_SQL_TOKS_RAW} AS toks FROM documents),
+d AS (SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(toks)-2, 1)+1),
+          i -> array_to_string(toks[i:least(i+2, len(toks))], ' '))) AS sh
+      FROM d0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) * 1.0
+           / len(list_distinct(a.sh || b.sh)) AS jac
+  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b FROM pairs WHERE ROUND(jac, 6) >= 0.5
+"""
+_SH_PAIRS_SQL = simhash_md5_oracle_sql("documents", "text", max_hamming=8)
+
+ORACLE_DEDUP_CLUSTERS = connected_components_oracle_sql(
+    [_MH_PAIRS_SQL, _SH_PAIRS_SQL]
+)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one per dedup cluster: highest quality_score wins, ties to
+    the lowest doc_id; unpaired documents survive as singletons.  One
+    row per cluster: (doc_id, cluster_id, n_members, score)."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text"), QUALITY_STOPWORDS), 2).alias(
+            "score"
+        ),
+    )
+    cc = connected_components(_near_dup_pair_union(docs))
+    return canonical_survivors(scored, cc, "doc_id", "score")
+
+
+ORACLE_DEDUP_SURVIVORS = f"""
+WITH
+cc AS ({ORACLE_DEDUP_CLUSTERS}),
+m AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+s AS ({_SQL_DOC_SCORE}),
+sized AS (
+  SELECT m.doc_id, m.cluster_id,
+         COUNT(*) OVER (PARTITION BY m.cluster_id) AS n_members,
+         s.score,
+         ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                            ORDER BY s.score DESC, m.doc_id ASC) AS rn
+  FROM m JOIN s ON m.doc_id = s.doc_id)
+SELECT doc_id, cluster_id, n_members, score FROM sized WHERE rn = 1
 """
 
 
@@ -391,32 +502,8 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("score").agg(F.count("*").alias("n_docs"))
 
 
-_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
-
 ORACLE_DOC_QUALITY = f"""
-WITH feat AS (
-  SELECT
-    length(text) AS n_chars,
-    string_split_regex({_SQL_NORM}, ' ') AS toks,
-    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
-      / NULLIF(length(text), 0) AS punct_ratio
-  FROM documents),
-feat2 AS (
-  SELECT n_chars, punct_ratio,
-    len(list_filter(toks, x -> list_contains([{_STOP_LIST_SQL}], x))) * 1.0
-      / NULLIF(len(toks), 0) AS stop_ratio,
-    list_sum(list_transform(toks, x -> length(x))) * 1.0
-      / NULLIF(len(toks), 0) AS mwl
-  FROM feat),
-scored AS (
-  SELECT ROUND(CAST(
-      0.25 * (CASE WHEN n_chars BETWEEN 50 AND 2000 THEN 1.0 ELSE 0.5 END)
-    + 0.25 * (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.0 END)
-    + 0.25 * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
-    + 0.25 * (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
-    AS DOUBLE), 2) AS score
-  FROM feat2)
-SELECT score, COUNT(*) AS n_docs FROM scored GROUP BY score
+SELECT score, COUNT(*) AS n_docs FROM ({_SQL_DOC_SCORE}) GROUP BY score
 """
 
 
@@ -533,6 +620,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_near_dup": q_minhash_lsh_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "winnowing_fingerprints": q_winnowing_fingerprints,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
     "embedding_knn": q_embedding_knn,
     "embedding_lsh_knn": q_embedding_lsh_knn,
     "ivf_knn": q_ivf_knn,
@@ -553,6 +642,8 @@ ORACLE: dict[str, str] = {
     "minhash_lsh_near_dup": ORACLE_MINHASH_LSH,
     "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
     "winnowing_fingerprints": ORACLE_WINNOWING,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
     "embedding_knn": ORACLE_EMBEDDING_KNN,
     "embedding_lsh_knn": ORACLE_EMBEDDING_KNN,
     "ivf_knn": ORACLE_EMBEDDING_KNN,

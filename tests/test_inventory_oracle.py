@@ -9,14 +9,23 @@ import math
 import pytest
 
 from data_lakehouse_movilidad_publica_santiago_spark.analytics import (
+    business_gate,
     inventory,
     inventory_llm,
 )
 
 from conftest import SF_CORRECTNESS
 
-ALL_QUERIES = {**inventory.QUERIES, **inventory_llm.QUERIES}
-ALL_ORACLE = {**inventory.ORACLE, **inventory_llm.ORACLE}
+ALL_QUERIES = {
+    **inventory.QUERIES,
+    **inventory_llm.QUERIES,
+    **business_gate.QUERIES,
+}
+ALL_ORACLE = {
+    **inventory.ORACLE,
+    **inventory_llm.ORACLE,
+    **business_gate.ORACLE,
+}
 
 
 def _normalize(rows, cols):
