@@ -52,6 +52,10 @@ HEADLINE = [
     "embedding_lsh_near_dup",
     "embedding_knn",
     "ivf_knn",
+    # indexed variant: the warm-up pass pays the one-time index build
+    # (train + partitioned write); timed passes measure the online
+    # query — a file-pruned scan of n_probe/n_cells of the corpus
+    "ivf_knn_indexed",
     # simhash_near_dup is correctness-gated at sf0.01 but excluded
     # here: at sf0.1 its RESULT is ~2.5M pairs (the corpus is
     # duplicate-riddled), so wall time measures row transport, not

@@ -339,26 +339,31 @@ def q_biz_daily_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where the two engines' accumulated last-bit differences flip the
     # result (verify-skill gotcha: round aggressively but never ON a
     # representable boundary of the data)
+    # month as int YYYYMM (the reference's date_sk surrogate pattern,
+    # transforms.py:82-84) — engine-portable, no date/timestamp
+    # representation skew between Spark and the oracle
     monthly = orders.groupBy(
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month_sk")
     ).agg(
         F.countDistinct("o_custkey").alias("n_buyers"),
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("demand"),
     )
-    lag = F.lag("demand").over(Window.orderBy("month"))
+    lag = F.lag("demand").over(Window.orderBy("month_sk"))
     return monthly.withColumn("delta_vs_prev", F.round(F.col("demand") - lag, 2))
 
 
 ORACLE_BIZ_DAILY_LAG = """
 WITH monthly AS (
-  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+  SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS BIGINT) AS month_sk,
          COUNT(DISTINCT o_custkey) AS n_buyers,
          COUNT(*) AS n_orders,
          ROUND(SUM(o_totalprice), 2) AS demand
   FROM orders GROUP BY 1)
-SELECT month, n_buyers, n_orders, demand,
-       ROUND(demand - LAG(demand) OVER (ORDER BY month), 2) AS delta_vs_prev
+SELECT month_sk, n_buyers, n_orders, demand,
+       ROUND(demand - LAG(demand) OVER (ORDER BY month_sk), 2) AS delta_vs_prev
 FROM monthly
 """
 

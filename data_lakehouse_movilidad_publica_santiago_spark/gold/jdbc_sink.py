@@ -41,6 +41,13 @@ def write_jdbc(
     (TRUNCATE instead of DROP+CREATE), the idempotent full-refresh
     shape for dims.
     """
+    if truncate and mode != "overwrite":
+        # Spark silently ignores the truncate option outside
+        # overwrite mode — reject the combination instead of letting
+        # a caller believe the target was truncated
+        raise ValueError(
+            f"truncate=True requires mode='overwrite' (got mode={mode!r})"
+        )
     # coalesce never increases the partition count, so no guard needed
     out = df.coalesce(num_partitions) if num_partitions is not None else df
     writer = (

@@ -19,7 +19,7 @@ import shutil
 import uuid
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -82,6 +82,24 @@ class GoldStore:
         instead of scanning the whole historical fact. Safe because
         the grain contains the partition column: rows in other
         partitions can never match.
+
+        The insert count rides the write as an ``observe`` metric —
+        one pass, zero extra memory (no cache of the anti-join
+        result).  A fully-matched re-run performs an empty append,
+        which leaves at most one 0-row schema-marker part-file
+        (FileFormatWriter writes one file for an empty result);
+        readers are unaffected and its row-group stats prune it from
+        every scan.  Callers that must avoid even that (tight re-run
+        loops) should gate on the run log, as the batch runner does —
+        the same skip-if-OK discipline as the reference loader.
+
+        Crash safety (no Delta log in this env): the parquet job
+        committer (FileOutputCommitter v1) stages every task file
+        under ``_temporary/`` and publishes only at JOB commit;
+        readers ignore ``_``-prefixed paths, so a mid-append crash
+        leaves the table exactly as before and the next merge_insert
+        re-derives the same anti-join — convergent, never duplicated.
+        Pinned by ``tests/test_store_crash.py``.
         """
         if not self.exists(table):
             new_rows = df
@@ -95,13 +113,10 @@ class GoldStore:
                 df[g].eqNullSafe(existing[g]) for g in grain
             ]  # NULLs in grain compare equal, like a unique index would
             new_rows = df.join(existing, cond, "left_anti")
-        # one pass: count + write (cache the anti-join result, it is
-        # usually a fraction of the input)
-        new_rows = new_rows.cache()
-        try:
-            n = new_rows.count()
-            if n:
-                self.append(new_rows, table, partition_cols)
-            return n
-        finally:
-            new_rows.unpersist()
+        obs = Observation()
+        self.append(
+            new_rows.observe(obs, F.count(F.lit(1)).alias("n_inserted")),
+            table,
+            partition_cols,
+        )
+        return int(obs.get["n_inserted"])

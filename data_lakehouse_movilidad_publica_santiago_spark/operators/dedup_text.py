@@ -429,6 +429,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 8,
     hash_fn: str = "xxhash64",
+    cache_sketch: bool = True,
 ) -> DataFrame:
     """SimHash near-dup candidates: band the sketch into 4-bit
     chunks — by pigeonhole, any pair with Hamming ≤ chunks−1 shares at
@@ -463,9 +464,13 @@ def simhash_pairs(
     # member-expansion joins. Spark's CacheManager dedups cache entries
     # by logical plan, so repeated calls over the same input reuse one
     # entry rather than accumulating; for one-shot batch use the entry
-    # dies with the session, and a long-lived server can evict it via
-    # spark.catalog.clearCache() between corpora.
-    sh = sh.cache()
+    # dies with the session.  A long-lived server sweeping MANY
+    # DIFFERENT corpora accumulates one entry per distinct input plan:
+    # pass ``cache_sketch=False`` there (the sketch is recomputed per
+    # consumer — 3 map-side passes, no pinned memory) or evict between
+    # corpora via ``spark.catalog.clearCache()``.
+    if cache_sketch:
+        sh = sh.cache()
     sketches = sh.select("sim").distinct()
 
     chunks = F.array(

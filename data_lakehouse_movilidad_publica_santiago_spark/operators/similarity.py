@@ -383,6 +383,77 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample_cap: int = 100_000,
+    seed: int = 7,
+) -> None:
+    """Materialize a persistent IVF index: the corpus written
+    Hive-partitioned BY CELL (``ivf_cell=<c>/`` directories — the
+    at-rest CLUSTER BY the ``ivf_topk`` docstring promises) plus the
+    trained centroids as a small parquet table.
+
+    The partition layout is what turns n_probe/n_cells from a row
+    FILTER into a FILE-pruning guarantee: a query's
+    ``ivf_cell IN (probes)`` predicate is a partition filter, so the
+    scan lists and reads ONLY the probed cells' directories —
+    ~n_probe/n_cells of the bytes at any corpus size. Pinned by
+    ``tests/test_ivf_index.py`` via the scan's numFiles metric.
+
+    ``repartition(ivf_cell)`` before the write gives one task (so one
+    part-file) per cell instead of every task writing into every
+    cell's directory (the small-files anti-pattern).
+    """
+    spark = embeddings.sparkSession
+    cent = train_ivf_centroids(
+        embeddings, n_cells, vec_col, sample_cap=sample_cap, seed=seed
+    )
+    assigned = assign_ivf_cells(embeddings, cent, vec_col)
+    (
+        assigned.repartition(F.col("ivf_cell"))
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(f"{index_dir}/vectors")
+    )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN query over a ``build_ivf_index`` layout: pick the
+    ``n_probe`` cells nearest the query from the (tiny) centroid
+    table driver-side, then scan ONLY those cells' partitions and
+    rescore exactly.  The ``ivf_cell`` predicate prunes at the file
+    level (Hive partition filter), so query cost is
+    ~n_probe/n_cells of the corpus regardless of its size."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{index_dir}/centroids").collect()
+    cent = np.zeros((len(rows), len(rows[0]["centroid"])))
+    for r in rows:
+        cent[r["cell"]] = r["centroid"]
+    q = np.asarray(query_vec, dtype="float64")
+    q = q / np.linalg.norm(q)
+    probe = np.argsort(-(cent @ q))[:n_probe]
+    vecs = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("ivf_cell").isin([int(c) for c in probe])
+    )
+    return cosine_topk(vecs.drop("ivf_cell"), query_vec, k, id_col, vec_col)
+
+
 def embedding_near_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -136,9 +136,16 @@ def convert_subidas_xlsb(
                 if len(vals) >= 2 and vals[0] is not None:
                     ficha[str(vals[0])] = vals[1]
         data_sheet = next(
-            (s for s in wb.sheets if "FICHA" not in s.upper()),
-            wb.sheets[-1],
+            (s for s in wb.sheets if "FICHA" not in s.upper()), None
         )
+        if data_sheet is None:
+            # a FICHA-only (or sheetless) workbook has no data to
+            # export — fail loudly instead of silently re-dumping the
+            # FICHA sheet as data
+            raise ValueError(
+                f"{xlsb_path}: no non-FICHA data sheet found "
+                f"(sheets: {wb.sheets!r})"
+            )
         header: list[str] | None = None
         n_rows = 0
         with open(out_csv, "w", encoding="utf-8") as fh:

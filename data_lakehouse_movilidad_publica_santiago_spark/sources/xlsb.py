@@ -191,14 +191,18 @@ class XlsbWorkbook:
         return self._sheet_parts[name]
 
     def rows(self, sheet: str | int) -> Iterator[tuple[int, list[Any]]]:
+        """Yield ``(row_index, values)`` per BrtRowHdr — including
+        rows whose cells are all blank/error (an empty values list),
+        matching pyxlsb's behavior so row alignment is preserved for
+        sheets with styled-blank rows."""
         sst = self._shared_strings()
         part = self._resolve(sheet)
-        row_idx = -1
+        row_idx: int | None = None
         cells: dict[int, Any] = {}
         with self._zf.open(part) as fh:
             for rid, payload in _records(fh):
                 if rid == _BRT_ROW_HDR:
-                    if cells:
+                    if row_idx is not None:
                         yield row_idx, _dense(cells)
                     (row_idx,) = struct.unpack_from("<I", payload, 0)
                     cells = {}
@@ -207,11 +211,13 @@ class XlsbWorkbook:
                     val = _cell_value(rid, payload, sst)
                     if val is not None:
                         cells[col] = val
-            if cells:
+            if row_idx is not None:
                 yield row_idx, _dense(cells)
 
 
 def _dense(cells: dict[int, Any]) -> list[Any]:
+    if not cells:
+        return []
     width = max(cells) + 1
     return [cells.get(i) for i in range(width)]
 

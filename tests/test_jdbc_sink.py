@@ -71,3 +71,11 @@ def test_partitioned_read_requires_bounds(spark, derby_url):
             spark, derby_url, "t_part", driver=DERBY_DRIVER,
             partition_column="k",
         )
+
+
+def test_truncate_requires_overwrite(spark, derby_url):
+    """Spark ignores truncate outside overwrite mode — the sink
+    rejects the combination instead of silently not truncating."""
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="truncate"):
+        write_jdbc(df, derby_url, "dim_x", driver=DERBY_DRIVER, truncate=True)

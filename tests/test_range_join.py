@@ -73,3 +73,35 @@ def test_interval_join_plans_as_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_drops_inverted_intervals(spark):
+    """hi < lo is an empty inclusive interval: silently dropped, never
+    a descending-sequence explosion."""
+    pts = spark.createDataFrame(
+        [(1, "2025-01-10")], ["pid", "p"]
+    ).select("pid", F.col("p").cast("date"))
+    ivl = spark.createDataFrame(
+        [(1, "2025-01-20", "2025-01-01"), (2, "2025-01-01", "2025-01-31")],
+        ["wid", "lo", "hi"],
+    ).select("wid", F.col("lo").cast("date"), F.col("hi").cast("date"))
+    got = interval_join(pts, ivl, "p", "lo", "hi").collect()
+    assert [(r.pid, r.wid) for r in got] == [(1, 2)]
+
+
+def test_interval_join_span_cap_errors_not_ooms(spark):
+    """An open-ended interval (hi = 9999-12-31) fails the stage with a
+    descriptive error instead of exploding an unbounded sequence."""
+    import pytest
+
+    pts = spark.createDataFrame(
+        [(1, "2025-01-10")], ["pid", "p"]
+    ).select("pid", F.col("p").cast("date"))
+    ivl = spark.createDataFrame(
+        [(1, "2025-01-01", "9999-12-31")], ["wid", "lo", "hi"]
+    ).select("wid", F.col("lo").cast("date"), F.col("hi").cast("date"))
+    with pytest.raises(Exception, match="max_span_buckets"):
+        interval_join(
+            pts, ivl, "p", "lo", "hi", bucket_width_days=1,
+            max_span_buckets=1000,
+        ).collect()

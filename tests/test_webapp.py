@@ -99,7 +99,19 @@ def test_http_roundtrip(lake):  # pragma: no cover - env-gated
     client = TestClient(create_app(lake))
     health = client.get("/api/health").json()
     assert health["status"] == "ok" and health["data_ready"]
+    # /api/query honors the reference's 200-row cap (main.py:37)
     r = client.post("/api/query", json={"query_type": "overview"})
     assert r.status_code == 200 and r.json()["row_count"] == 1
+    at_cap = client.post(
+        "/api/query", json={"query_type": "overview", "limit": 200}
+    )
+    assert at_cap.status_code == 200
     bad = client.post("/api/query", json={"query_type": "overview", "limit": 999})
     assert bad.status_code == 422
+    # /api/map_points honors the 2000-point cap (main.py:53)
+    pts = client.post("/api/map_points", json={"limit": 2000})
+    assert pts.status_code == 200
+    body = pts.json()
+    assert body["point_count"] == len(body["points"]) <= 2000
+    too_many = client.post("/api/map_points", json={"limit": 2001})
+    assert too_many.status_code == 422

@@ -251,3 +251,33 @@ def test_roundtrip_random_grids(tmp_path_factory, grid) -> None:
     with XlsbWorkbook(path) as wb:
         got = list(wb.rows("Datos"))
     assert got == expected
+
+
+def test_blank_rows_are_yielded(sample_xlsb: Path) -> None:
+    """pyxlsb parity: a row whose cells are all blank is yielded as an
+    empty values list (so dumps keep row alignment for styled-blank
+    rows) rather than skipped."""
+    with XlsbWorkbook(sample_xlsb) as wb:
+        rows = list(wb.rows("FICHA_DATOS"))
+    assert rows == [(0, ["Fuente", "DTPM"]), (2, [])]
+
+
+def test_ficha_only_workbook_raises(sample_xlsb: Path, tmp_path: Path) -> None:
+    """A workbook with no non-FICHA sheet must fail loudly, not
+    re-export the FICHA sheet as data."""
+    import shutil
+
+    clone = tmp_path / "ficha_only.xlsb"
+    shutil.copy(sample_xlsb, clone)
+    # rebuild the workbook part with only the FICHA sheet entry
+    with zipfile.ZipFile(sample_xlsb) as src:
+        parts = {n: src.read(n) for n in src.namelist()}
+    wb = bytearray()
+    payload = struct.pack("<II", 0, 1) + _wstr("rId1") + _wstr("FICHA_DATOS")
+    wb += _rec(0x9C, payload)
+    parts["xl/workbook.bin"] = bytes(wb)
+    with zipfile.ZipFile(clone, "w") as zf:
+        for n, data in parts.items():
+            zf.writestr(n, data)
+    with pytest.raises(ValueError, match="non-FICHA"):
+        convert_subidas_xlsb(clone, tmp_path / "out.csv")
