@@ -54,8 +54,9 @@ def r(salt: int, mod: int) -> str:
     return R.format(salt=salt, mod=mod)
 
 
-def gen_viajes(con: duckdb.DuckDBPyConnection, root: Path, n: int) -> Path:
-    cut = "2025-04-21"
+def gen_viajes(
+    con: duckdb.DuckDBPyConnection, root: Path, n: int, cut: str = "2025-04-21"
+) -> Path:
     pdir = _pdir(root, "viajes", cut)
     cards = max(n // N_CARDS_DIV, 1)
     exprs: dict[str, str] = {
@@ -66,8 +67,8 @@ def gen_viajes(con: duckdb.DuckDBPyConnection, root: Path, n: int) -> Path:
         # ~0.2% negative distance → NEG_DISTANCE
         "distancia_eucl": f"CASE WHEN {r(19, 500)} = 1 THEN '-5.0' ELSE CAST(100 + {r(23, 20000)} AS VARCHAR) END",
         "distancia_ruta": f"CAST(150 + {r(29, 30000)} AS VARCHAR)",
-        "tiempo_inicio_viaje": f"strftime(TIMESTAMP '2025-04-21 05:00:00' + INTERVAL (({r(31, 64800)})) SECOND, '%Y-%m-%d %H:%M:%S')",
-        "tiempo_fin_viaje": f"strftime(TIMESTAMP '2025-04-21 05:20:00' + INTERVAL (({r(31, 64800)})) SECOND, '%Y-%m-%d %H:%M:%S')",
+        "tiempo_inicio_viaje": f"strftime(TIMESTAMP '{cut} 05:00:00' + INTERVAL (({r(31, 64800)})) SECOND, '%Y-%m-%d %H:%M:%S')",
+        "tiempo_fin_viaje": f"strftime(TIMESTAMP '{cut} 05:20:00' + INTERVAL (({r(31, 64800)})) SECOND, '%Y-%m-%d %H:%M:%S')",
         "periodo_inicio_viaje": f"'0' || CAST(1 + {r(37, 8)} AS VARCHAR) || ' - PERIODO'",
         "periodo_fin_viaje": f"'0' || CAST(1 + {r(41, 8)} AS VARCHAR) || ' - PERIODO'",
         "paradero_inicio_viaje": f"'S-' || CAST({r(43, N_STOPS)} AS VARCHAR)",
@@ -102,10 +103,10 @@ def gen_viajes(con: duckdb.DuckDBPyConnection, root: Path, n: int) -> Path:
             f"CASE WHEN {cond} THEN 'S-' || CAST({r(127 + leg, N_STOPS)} AS VARCHAR) ELSE '-' END"
         )
         exprs[f"tiempo_subida_{leg}"] = (
-            f"CASE WHEN {cond} THEN strftime(TIMESTAMP '2025-04-21 05:00:00' + INTERVAL (({r(31, 64800)}) + {leg} * 600) SECOND, '%Y-%m-%d %H:%M:%S') ELSE '-' END"
+            f"CASE WHEN {cond} THEN strftime(TIMESTAMP '{cut} 05:00:00' + INTERVAL (({r(31, 64800)}) + {leg} * 600) SECOND, '%Y-%m-%d %H:%M:%S') ELSE '-' END"
         )
         exprs[f"tiempo_bajada_{leg}"] = (
-            f"CASE WHEN {cond} THEN strftime(TIMESTAMP '2025-04-21 05:05:00' + INTERVAL (({r(31, 64800)}) + {leg} * 600) SECOND, '%Y-%m-%d %H:%M:%S') ELSE '-' END"
+            f"CASE WHEN {cond} THEN strftime(TIMESTAMP '{cut} 05:05:00' + INTERVAL (({r(31, 64800)}) + {leg} * 600) SECOND, '%Y-%m-%d %H:%M:%S') ELSE '-' END"
         )
         exprs[f"zona_subida_{leg}"] = f"CASE WHEN {cond} THEN CAST(1 + {r(131 + leg, 800)} AS VARCHAR) ELSE '-' END"
         exprs[f"zona_bajada_{leg}"] = f"CASE WHEN {cond} THEN CAST(1 + {r(137 + leg, 800)} AS VARCHAR) ELSE '-' END"
@@ -139,7 +140,7 @@ def gen_etapas(con: duckdb.DuckDBPyConnection, root: Path, n: int) -> Path:
         "fExpansionServicioPeriodoTS": f"CAST(1.0 + {r(19, 4000)} / 1000.0 AS VARCHAR)",
         # ~0.1% bad boolean
         "tiene_bajada": f"CASE WHEN {r(23, 1000)} = 2 THEN '9' ELSE CAST({r(29, 2)} AS VARCHAR) END",
-        "tiempo_subida": f"strftime(TIMESTAMP '2025-04-21 05:00:00' + INTERVAL (({r(31, 601200)})) SECOND, '%Y-%m-%d %H:%M:%S')",
+        "tiempo_subida": f"strftime(TIMESTAMP '{cut[:10]} 05:00:00' + INTERVAL (({r(31, 601200)})) SECOND, '%Y-%m-%d %H:%M:%S')",
         "tiempo_bajada": f"strftime(TIMESTAMP '2025-04-21 05:10:00' + INTERVAL (({r(31, 601200)})) SECOND, '%Y-%m-%d %H:%M:%S')",
         "tiempo_etapa": f"CAST(60 + {r(37, 2400)} AS VARCHAR)",
         # ~0.2% out-of-box UTM
