@@ -17,6 +17,7 @@ from data_lakehouse_movilidad_publica_santiago_spark.analytics import (
     business_gate,
     inventory,
     inventory_llm,
+    lake_gate,
 )
 
 
@@ -30,7 +31,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     LLM-data-pipeline operator suite (dedup / similarity / text /
     multimodal / tumbling windows) and the business-corpus shape
     twins (analytics/business_gate.py)."""
-    return {**inventory.QUERIES, **inventory_llm.QUERIES, **business_gate.QUERIES}
+    return {
+        **inventory.QUERIES,
+        **inventory_llm.QUERIES,
+        **business_gate.QUERIES,
+        **lake_gate.QUERIES,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -39,4 +45,9 @@ def oracle_sql() -> dict[str, str]:
     Python-stage multimodal feature extractor are intentionally
     absent → rows-only check; their exact counterparts are
     oracle-verified."""
-    return {**inventory.ORACLE, **inventory_llm.ORACLE, **business_gate.ORACLE}
+    return {
+        **inventory.ORACLE,
+        **inventory_llm.ORACLE,
+        **business_gate.ORACLE,
+        **lake_gate.ORACLE,
+    }

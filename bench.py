@@ -25,10 +25,11 @@ import time
 from data_lakehouse_movilidad_publica_santiago_spark.analytics import (
     inventory,
     inventory_llm,
+    lake_gate,
 )
 from data_lakehouse_movilidad_publica_santiago_spark.session import get_spark
 
-ALL_QUERIES = {**inventory.QUERIES, **inventory_llm.QUERIES}
+ALL_QUERIES = {**inventory.QUERIES, **inventory_llm.QUERIES, **lake_gate.QUERIES}
 
 HEADLINE = [
     "pricing_summary",
@@ -67,6 +68,10 @@ HEADLINE = [
     "range_join_shipments",
     "token_count_stats",
     "tumbling_window_30m",
+    # transactional table format: the warm-up pass pays the one-time
+    # commit sequence (append + COW merge + COW delete); timed passes
+    # measure the stats-pruned snapshot read
+    "txn_delete_skipping",
 ]
 
 

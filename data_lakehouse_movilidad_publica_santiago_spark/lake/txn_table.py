@@ -1,0 +1,723 @@
+"""Manifest-log transactional parquet tables (pure PySpark, no jars).
+
+``BASELINE.json`` names "Spark SQL + Delta/Iceberg" as the stated
+production approach; this environment ships neither jar, so this module
+implements the table-format contract itself, from the *published*
+protocol ideas (Delta's commit log / Iceberg's snapshot manifests):
+
+Layout::
+
+    <root>/
+      _txn_log/
+        00000000000000000000.json            one commit per version
+        00000000000000000009.checkpoint.json full live-set snapshot
+      data/
+        commit-<uuid>/part-*.parquet         immutable, never edited
+
+Guarantees
+----------
+- **Atomic commits.** A commit is a single put-if-absent of
+  ``_txn_log/<version>.json`` (``os.link`` — atomic create-if-absent on
+  POSIX; HDFS/ABFS rename-without-overwrite at cluster scale). Data
+  files land first under unique names; a crash before the log record
+  publishes leaves them unreferenced and therefore invisible.
+- **Snapshot isolation.** Readers resolve a version once and read only
+  that version's file list; files are immutable, so a concurrent
+  writer can never change what an in-flight reader sees.
+- **Time travel.** Any retained version (or latest-at-timestamp) is
+  readable, because old manifests and their files stay until VACUUM.
+- **Optimistic concurrency.** A losing writer (version file already
+  exists) rebases: appends always replay onto the new head;
+  copy-on-write ops (merge/delete/optimize) recompute from the new
+  snapshot, bounded by ``max_retries``.
+- **Data skipping.** Each added file carries per-column min/max/null
+  stats read from the parquet footers at commit time; point and range
+  predicates prune the file list before Spark ever plans the scan.
+
+Scale notes (100 TB): the log is O(commits) metadata, compacted by
+checkpoints every ``checkpoint_interval`` commits so resolving a
+snapshot reads one checkpoint + a handful of tail commits, never the
+whole history. Footer-stat collection is O(files-per-commit) metadata
+reads (what Delta gathers inside write tasks); file pruning for MERGE
+uses a broadcast range-join of the (tiny) file-stats table against the
+source keys, so the existing table is never scanned for files the
+source cannot touch. Mirrors the reference's tmp→rename atomicity
+(transforms.py:136-154) and insert-only MERGE (ddl_gold.sql:637),
+extended to the full upsert/delete/compact surface the reference's
+SQL-Server tier gets from its RDBMS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Iterable, Sequence
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LOG_DIR = "_txn_log"
+_DATA_DIR = "data"
+_V_WIDTH = 20
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A conflicting commit landed and the operation could not rebase."""
+
+
+class SchemaMismatchError(ValueError):
+    """Appended DataFrame schema does not match the table schema."""
+
+
+# ---------------------------------------------------------------------------
+# file statistics
+
+
+def _stat_value(v: Any) -> Any:
+    """JSON-encode a footer stat; ISO strings for temporal types keep
+    lexicographic order == chronological order, so pruning can compare
+    strings directly."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool stats are useless for pruning; drop
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    # bytes, Decimal and exotic types: no stats → those columns are
+    # simply never pruned (Decimal would need a scale-aware compare to
+    # stay SOUND against lexicographic string order; cheaper to skip)
+    return None
+
+
+def _collect_file_stats(path: Path) -> dict[str, Any]:
+    """rows/bytes/per-column min-max from the parquet footer — metadata
+    only, no data pages are read."""
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if "." in name:  # nested fields: skip, never pruned
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                mins[name] = maxs[name] = None
+                continue
+            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            if lo is None or hi is None:
+                mins[name] = maxs[name] = None
+                continue
+            if name not in mins or (mins[name] is not None and lo < mins[name]):
+                mins[name] = lo
+            if name not in maxs or (maxs[name] is not None and hi > maxs[name]):
+                maxs[name] = hi
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    return {
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(path),
+        "min": {k: v for k, v in mins.items() if v is not None},
+        "max": {k: v for k, v in maxs.items() if v is not None},
+        "nulls": nulls,
+    }
+
+
+def _cmp_vals(a: Any, b: Any) -> int:
+    """Compare two stat/predicate values of matching kind (numbers
+    numerically, strings — incl. ISO temporals — lexicographically)."""
+    return (a > b) - (a < b)
+
+
+def _file_may_match(entry: dict, col: str, op: str, value: Any) -> bool:
+    """Conservative skip test: True unless the footer stats PROVE no row
+    in the file can satisfy ``col op value``. Missing stats → True."""
+    import datetime
+
+    def conv(v: Any) -> Any:
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return v
+
+    lo = entry.get("stats", {}).get("min", {}).get(col)
+    hi = entry.get("stats", {}).get("max", {}).get(col)
+    if lo is None or hi is None:
+        return True
+    try:
+        if op == "=":
+            value = conv(value)
+            return _cmp_vals(lo, value) <= 0 <= _cmp_vals(hi, value)
+        if op in ("<", "<="):
+            c = _cmp_vals(lo, conv(value))
+            return c < 0 or (op == "<=" and c == 0)
+        if op in (">", ">="):
+            c = _cmp_vals(hi, conv(value))
+            return c > 0 or (op == ">=" and c == 0)
+        if op == "in":
+            return any(
+                _cmp_vals(lo, conv(v)) <= 0 <= _cmp_vals(hi, conv(v))
+                for v in value
+            )
+    except TypeError:  # mixed kinds (e.g. int stat vs str predicate)
+        return True
+    return True
+
+
+def _pred_to_column(c: str, op: str, v: Any):
+    """One ``(col, op, value)`` predicate as a Spark Column."""
+    col = F.col(c)
+    if op == "=":
+        return col == F.lit(v)
+    if op == "<":
+        return col < F.lit(v)
+    if op == "<=":
+        return col <= F.lit(v)
+    if op == ">":
+        return col > F.lit(v)
+    if op == ">=":
+        return col >= F.lit(v)
+    if op == "in":
+        return col.isin(list(v))
+    raise ValueError(f"unsupported predicate op {op!r}")
+
+
+# ---------------------------------------------------------------------------
+# snapshot
+
+
+@dataclass
+class Snapshot:
+    version: int
+    ts_ms: int
+    schema_json: str | None
+    files: dict[str, dict] = field(default_factory=dict)  # rel path -> entry
+
+    @property
+    def schema(self) -> T.StructType | None:
+        if self.schema_json is None:
+            return None
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def file_paths(self) -> list[str]:
+        return sorted(self.files)
+
+    def prune(self, predicates: Sequence[tuple[str, str, Any]]) -> list[str]:
+        """File paths that may contain rows matching ALL predicates
+        (each ``(col, op, value)``, op in = < <= > >= in)."""
+        out = []
+        for p in sorted(self.files):
+            e = self.files[p]
+            if all(_file_may_match(e, c, o, v) for c, o, v in predicates):
+                out.append(p)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# the table
+
+
+class TxnTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | Path,
+        checkpoint_interval: int = 10,
+        max_retries: int = 10,
+    ) -> None:
+        self.spark = spark
+        self.root = Path(root)
+        self.checkpoint_interval = checkpoint_interval
+        self.max_retries = max_retries
+        (self.root / _LOG_DIR).mkdir(parents=True, exist_ok=True)
+        (self.root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
+
+    # -- log plumbing -------------------------------------------------------
+
+    def _log_path(self, version: int, checkpoint: bool = False) -> Path:
+        suffix = ".checkpoint.json" if checkpoint else ".json"
+        return self.root / _LOG_DIR / f"{version:0{_V_WIDTH}d}{suffix}"
+
+    def _versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.root / _LOG_DIR):
+            stem = name.split(".")[0]
+            if name.endswith(".json") and not name.endswith(
+                ".checkpoint.json"
+            ) and len(stem) == _V_WIDTH and stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def history(self) -> list[dict]:
+        """All commit records, oldest first (metadata only)."""
+        out = []
+        for v in self._versions():
+            with open(self._log_path(v)) as f:
+                rec = json.load(f)
+            out.append(
+                {k: rec[k] for k in ("version", "ts_ms", "op")}
+                | {
+                    "added": len(rec.get("add", [])),
+                    "removed": len(rec.get("remove", [])),
+                }
+            )
+        return out
+
+    def snapshot(
+        self, version: int | None = None, timestamp_ms: int | None = None
+    ) -> Snapshot:
+        """Resolve a stable view: latest checkpoint ≤ target, replay the
+        tail commits. O(checkpoint_interval) log reads, not O(history)."""
+        versions = self._versions()
+        if not versions:
+            return Snapshot(version=-1, ts_ms=0, schema_json=None)
+        target = versions[-1] if version is None else version
+        if timestamp_ms is not None:
+            eligible = []
+            for v in versions:
+                with open(self._log_path(v)) as f:
+                    if json.load(f)["ts_ms"] <= timestamp_ms:
+                        eligible.append(v)
+            if not eligible:
+                raise ValueError("no commit at or before the given timestamp")
+            target = eligible[-1]
+        if target not in versions:
+            raise ValueError(f"version {target} does not exist")
+
+        start = 0
+        snap = Snapshot(version=-1, ts_ms=0, schema_json=None)
+        for v in reversed([x for x in versions if x <= target]):
+            cp = self._log_path(v, checkpoint=True)
+            if cp.exists():
+                with open(cp) as f:
+                    data = json.load(f)
+                snap = Snapshot(
+                    version=v,
+                    ts_ms=data["ts_ms"],
+                    schema_json=data.get("schema"),
+                    files={e["path"]: e for e in data["files"]},
+                )
+                start = v + 1
+                break
+        for v in [x for x in versions if start <= x <= target]:
+            with open(self._log_path(v)) as f:
+                rec = json.load(f)
+            if rec.get("schema"):
+                snap.schema_json = rec["schema"]
+            if rec["op"] == "overwrite":
+                snap.files = {}
+            for p in rec.get("remove", []):
+                snap.files.pop(p, None)
+            for e in rec.get("add", []):
+                snap.files[e["path"]] = e
+            snap.version = rec["version"]
+            snap.ts_ms = rec["ts_ms"]
+        return snap
+
+    def _try_commit(self, record: dict) -> bool:
+        """Put-if-absent publish of one commit. True on win, False when
+        another writer took the version (caller rebases)."""
+        dst = self._log_path(record["version"])
+        tmp = self.root / _LOG_DIR / f".tmp-{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, dst)  # atomic create-if-absent (POSIX)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            tmp.unlink(missing_ok=True)
+
+    def _maybe_checkpoint(self, snap_version: int) -> None:
+        if (snap_version + 1) % self.checkpoint_interval != 0:
+            return
+        snap = self.snapshot(version=snap_version)
+        cp = self._log_path(snap_version, checkpoint=True)
+        tmp = self.root / _LOG_DIR / f".tmp-{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": snap.version,
+                    "ts_ms": snap.ts_ms,
+                    "schema": snap.schema_json,
+                    "files": [snap.files[p] for p in sorted(snap.files)],
+                },
+                f,
+            )
+        tmp.rename(cp)  # checkpoints are derived — plain atomic replace
+
+    # -- data-file plumbing -------------------------------------------------
+
+    def _write_data_files(self, df: DataFrame) -> list[dict]:
+        """Write ``df`` under a unique commit dir; return add-entries
+        with footer stats. 0-row marker files are dropped here, so an
+        empty merge adds NOTHING to the log (no marker-file drift)."""
+        commit_dir = self.root / _DATA_DIR / f"commit-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(str(commit_dir))
+        entries = []
+        for p in sorted(commit_dir.rglob("*.parquet")):
+            stats = _collect_file_stats(p)
+            if stats["rows"] == 0:
+                p.unlink()
+                continue
+            entries.append(
+                {
+                    "path": str(p.relative_to(self.root)),
+                    "rows": stats["rows"],
+                    "bytes": stats["bytes"],
+                    "stats": {
+                        "min": stats["min"],
+                        "max": stats["max"],
+                        "nulls": stats["nulls"],
+                    },
+                }
+            )
+        return entries
+
+    def _check_schema(self, df: DataFrame, snap: Snapshot) -> None:
+        expected = snap.schema
+        if expected is None:
+            return
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        want = {f.name: f.dataType.simpleString() for f in expected.fields}
+        if got != want:
+            raise SchemaMismatchError(
+                f"append schema {sorted(got.items())} != table schema "
+                f"{sorted(want.items())}; use overwrite() to evolve"
+            )
+
+    # -- operations ---------------------------------------------------------
+
+    def append(self, df: DataFrame) -> int:
+        """ACID append. Returns the committed version."""
+        add = self._write_data_files(df)
+        schema_json = json.dumps(df.schema.jsonValue())
+        try:
+            for _ in range(self.max_retries):
+                head = self.latest_version()
+                version = 0 if head is None else head + 1
+                if head is not None:
+                    # re-check against the CURRENT head each attempt: a
+                    # racing initial commit may have set a different
+                    # schema than the one we validated before the race
+                    self._check_schema(df, self.snapshot(version=head))
+                rec = {
+                    "version": version,
+                    "ts_ms": int(time.time() * 1000),
+                    "op": "append",
+                    "add": add,
+                    "remove": [],
+                    "schema": schema_json if version == 0 else None,
+                }
+                if self._try_commit(rec):
+                    self._maybe_checkpoint(version)
+                    return version
+                # lost the race: appends commute — rebase = re-number
+        except SchemaMismatchError:
+            for e in add:  # our files will never be referenced
+                (self.root / e["path"]).unlink(missing_ok=True)
+            raise
+        raise ConcurrentCommitError(
+            f"append lost {self.max_retries} commit races"
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        """ACID full replace (schema may evolve)."""
+        add = self._write_data_files(df)
+        schema_json = json.dumps(df.schema.jsonValue())
+        for _ in range(self.max_retries):
+            head = self.latest_version()
+            version = 0 if head is None else head + 1
+            rec = {
+                "version": version,
+                "ts_ms": int(time.time() * 1000),
+                "op": "overwrite",
+                "add": add,
+                "remove": [],
+                "schema": schema_json,
+            }
+            if self._try_commit(rec):
+                self._maybe_checkpoint(version)
+                return version
+        raise ConcurrentCommitError(
+            f"overwrite lost {self.max_retries} commit races"
+        )
+
+    def read(
+        self,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+        predicates: Sequence[tuple[str, str, Any]] | None = None,
+    ) -> DataFrame:
+        """Snapshot read, optionally time-traveled, with file-level data
+        skipping when ``predicates`` (``(col, op, value)``) are given.
+        The predicates are ALSO applied row-level — skipping is purely a
+        scan reduction, semantics are unchanged."""
+        snap = self.snapshot(version=version, timestamp_ms=timestamp_ms)
+        paths = (
+            snap.prune(predicates) if predicates else snap.file_paths()
+        )
+        schema = snap.schema
+        if not paths:
+            if schema is None:
+                raise ValueError("table has no commits yet")
+            df = self.spark.createDataFrame([], schema)
+        else:
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(*[str(self.root / p) for p in paths])
+        if predicates:
+            for c, op, v in predicates:
+                df = df.filter(_pred_to_column(c, op, v))
+        return df
+
+    # -- copy-on-write ops --------------------------------------------------
+
+    def _affected_files_for_keys(
+        self, snap: Snapshot, source: DataFrame, keys: Sequence[str]
+    ) -> list[str]:
+        """Files that MAY contain a source key — broadcast range-join of
+        the (metadata-sized) file-stats table against the distinct
+        source keys on the FIRST key column's min/max. Sound: a file
+        whose k1-range misses every source k1 cannot match the full
+        composite key. The existing table's data is never scanned.
+
+        Soundness of the compare, by key type: integer kinds compare as
+        LONG (exact), float kinds as DOUBLE, strings and DATEs
+        lexicographically (DATE stats are ISO strings and Spark's
+        string cast of a DATE is the same ``YYYY-MM-DD``). TIMESTAMP /
+        DECIMAL / other keys skip pruning entirely (every file counts
+        as affected) — Spark's timestamp string cast uses a space where
+        ISO uses ``T``, so a lexicographic compare would be unsound."""
+        k1 = keys[0]
+        k1_type = dict((f.name, f.dataType) for f in source.schema.fields)[k1]
+        if isinstance(
+            k1_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            cast_to = "bigint"
+        elif isinstance(k1_type, (T.FloatType, T.DoubleType)):
+            cast_to = "double"
+        elif isinstance(k1_type, (T.StringType, T.DateType)):
+            cast_to = "string"
+        else:
+            return snap.file_paths()
+        ranges = []
+        for p in snap.file_paths():
+            e = snap.files[p]
+            lo = e.get("stats", {}).get("min", {}).get(k1)
+            hi = e.get("stats", {}).get("max", {}).get(k1)
+            if lo is None or hi is None:
+                ranges.append((p, None, None))  # no stats → always affected
+            else:
+                ranges.append((p, str(lo), str(hi)))
+        statless = [p for p, lo, _ in ranges if lo is None]
+        ranged = [(p, lo, hi) for p, lo, hi in ranges if lo is not None]
+        if not ranged:
+            return snap.file_paths()
+        rdf = self.spark.createDataFrame(
+            ranged,
+            schema="__path string, __lo string, __hi string",
+        )
+        hits = (
+            source.select(F.col(k1).cast(cast_to).alias("__k")).distinct()
+            .join(
+                F.broadcast(rdf),
+                (F.col("__k") >= F.col("__lo").cast(cast_to))
+                & (F.col("__k") <= F.col("__hi").cast(cast_to)),
+            )
+            .select("__path")
+            .distinct()
+        )
+        affected = [r["__path"] for r in hits.collect()]  # O(#files) rows
+        return sorted(set(affected) | set(statless))
+
+    def merge_upsert(self, source: DataFrame, keys: Sequence[str]) -> dict:
+        """MERGE: WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *.
+
+        Copy-on-write: only files whose key range can intersect the
+        source are rewritten; every other file is carried over
+        untouched. Beyond the reference's insert-only MERGE
+        (ddl_gold.sql:637) — this is the full upsert its RDBMS tier
+        provides. ``source`` must be unique on ``keys``.
+        """
+        last_err: Exception | None = None
+        for _ in range(self.max_retries):
+            head = self.latest_version()
+            if head is None:
+                v = self.append(source)
+                return {"version": v, "rewritten_files": 0, "kept_files": 0}
+            snap = self.snapshot(version=head)
+            self._check_schema(source, snap)
+            affected = self._affected_files_for_keys(snap, source, keys)
+            cols = [f.name for f in snap.schema.fields]
+            if affected:
+                target = self.spark.read.schema(snap.schema).parquet(
+                    *[str(self.root / p) for p in affected]
+                )
+                keep_old = target.join(
+                    source.select(*keys).distinct(), list(keys), "left_anti"
+                )
+                merged = keep_old.select(*cols).unionByName(
+                    source.select(*cols)
+                )
+            else:
+                merged = source.select(*cols)
+            add = self._write_data_files(merged)
+            rec = {
+                "version": head + 1,
+                "ts_ms": int(time.time() * 1000),
+                "op": "merge",
+                "add": add,
+                "remove": affected,
+                "schema": None,
+            }
+            if self.latest_version() == head and self._try_commit(rec):
+                self._maybe_checkpoint(head + 1)
+                return {
+                    "version": head + 1,
+                    "rewritten_files": len(affected),
+                    "kept_files": len(snap.files) - len(affected),
+                }
+            # a commit landed mid-rewrite: our remove-set may be stale —
+            # recompute the whole op from the new head
+            for e in add:  # orphaned rewrite output: unreference eagerly
+                (self.root / e["path"]).unlink(missing_ok=True)
+            last_err = ConcurrentCommitError("merge rebased")
+        raise ConcurrentCommitError(
+            f"merge_upsert lost {self.max_retries} commit races"
+        ) from last_err
+
+    def delete_where(
+        self, predicates: Sequence[tuple[str, str, Any]]
+    ) -> dict:
+        """DELETE via copy-on-write: stats-pruned candidate files are
+        rewritten without the matching rows; all other files carry over
+        untouched (their bytes are provably predicate-free)."""
+        for _ in range(self.max_retries):
+            head = self.latest_version()
+            if head is None:
+                raise ValueError("table has no commits yet")
+            snap = self.snapshot(version=head)
+            candidates = snap.prune(predicates)
+            if not candidates:
+                return {"version": head, "rewritten_files": 0, "deleted_rows": 0}
+            df = self.spark.read.schema(snap.schema).parquet(
+                *[str(self.root / p) for p in candidates]
+            )
+            cond = F.lit(True)
+            for c, op, v in predicates:
+                cond = cond & _pred_to_column(c, op, v)
+            kept = df.filter(~F.coalesce(cond, F.lit(False)))
+            add = self._write_data_files(kept)
+            before = sum(snap.files[p]["rows"] for p in candidates)
+            after = sum(e["rows"] for e in add)
+            rec = {
+                "version": head + 1,
+                "ts_ms": int(time.time() * 1000),
+                "op": "delete",
+                "add": add,
+                "remove": candidates,
+                "schema": None,
+            }
+            if self.latest_version() == head and self._try_commit(rec):
+                self._maybe_checkpoint(head + 1)
+                return {
+                    "version": head + 1,
+                    "rewritten_files": len(candidates),
+                    "deleted_rows": before - after,
+                }
+            for e in add:
+                (self.root / e["path"]).unlink(missing_ok=True)
+        raise ConcurrentCommitError(
+            f"delete_where lost {self.max_retries} commit races"
+        )
+
+    def optimize(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Bin-pack small files into ~target-size files (compaction).
+        Logically a no-op; physically collapses the small-file tail that
+        incremental merges accumulate. At 100 TB this is the routine
+        maintenance op that keeps scan task counts sane."""
+        for _ in range(self.max_retries):
+            head = self.latest_version()
+            if head is None:
+                raise ValueError("table has no commits yet")
+            snap = self.snapshot(version=head)
+            small = [
+                p
+                for p in snap.file_paths()
+                if snap.files[p]["bytes"] < target_file_bytes
+            ]
+            if len(small) < 2:
+                return {"version": head, "compacted_files": 0}
+            total = sum(snap.files[p]["bytes"] for p in small)
+            n_out = max(1, round(total / target_file_bytes))
+            df = (
+                self.spark.read.schema(snap.schema)
+                .parquet(*[str(self.root / p) for p in small])
+                .coalesce(n_out)
+            )
+            add = self._write_data_files(df)
+            rec = {
+                "version": head + 1,
+                "ts_ms": int(time.time() * 1000),
+                "op": "optimize",
+                "add": add,
+                "remove": small,
+                "schema": None,
+            }
+            if self.latest_version() == head and self._try_commit(rec):
+                self._maybe_checkpoint(head + 1)
+                return {"version": head + 1, "compacted_files": len(small)}
+            for e in add:
+                (self.root / e["path"]).unlink(missing_ok=True)
+        raise ConcurrentCommitError(
+            f"optimize lost {self.max_retries} commit races"
+        )
+
+    def vacuum(self, retain_last: int = 2, min_age_s: float = 3600.0) -> dict:
+        """Delete data files referenced by NO retained version. The last
+        ``retain_last`` versions stay time-travelable; older versions'
+        exclusive files are reclaimed. Log records are kept (tiny).
+
+        ``min_age_s`` protects files an IN-FLIGHT writer has landed but
+        not yet committed (they are unreferenced until its log record
+        publishes) — same retention-window discipline as Delta's
+        VACUUM. Tests pass 0 for determinism."""
+        versions = self._versions()
+        if not versions:
+            return {"deleted_files": 0}
+        retained = versions[-max(1, retain_last):]
+        referenced: set[str] = set()
+        for v in retained:
+            referenced |= set(self.snapshot(version=v).files)
+        deleted = 0
+        cutoff = time.time() - min_age_s
+        for p in sorted((self.root / _DATA_DIR).rglob("*.parquet")):
+            rel = str(p.relative_to(self.root))
+            if rel not in referenced and p.stat().st_mtime <= cutoff:
+                p.unlink()
+                deleted += 1
+        for d in sorted(
+            (self.root / _DATA_DIR).glob("commit-*"), reverse=True
+        ):
+            if d.is_dir() and not any(d.iterdir()):
+                d.rmdir()
+        return {"deleted_files": deleted, "retained_versions": retained}

@@ -12,6 +12,7 @@ from data_lakehouse_movilidad_publica_santiago_spark.analytics import (
     business_gate,
     inventory,
     inventory_llm,
+    lake_gate,
 )
 
 from conftest import SF_CORRECTNESS
@@ -20,11 +21,13 @@ ALL_QUERIES = {
     **inventory.QUERIES,
     **inventory_llm.QUERIES,
     **business_gate.QUERIES,
+    **lake_gate.QUERIES,
 }
 ALL_ORACLE = {
     **inventory.ORACLE,
     **inventory_llm.ORACLE,
     **business_gate.ORACLE,
+    **lake_gate.ORACLE,
 }
 
 

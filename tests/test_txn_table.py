@@ -1,0 +1,274 @@
+"""Transactional table format (lake.TxnTable): atomic commits, snapshot
+isolation, time travel, optimistic concurrency, copy-on-write MERGE /
+DELETE with file pruning, data skipping, OPTIMIZE, VACUUM."""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_movilidad_publica_santiago_spark.lake import (
+    ConcurrentCommitError,
+    SchemaMismatchError,
+    TxnTable,
+)
+
+
+def _df(spark, rows, schema="k int, v string"):
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def _content(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------- basics
+
+
+def test_append_read_roundtrip(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    assert t.append(_df(spark, [(1, "a"), (2, "b")])) == 0
+    assert t.append(_df(spark, [(3, "c")])) == 1
+    assert _content(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_schema_enforced_on_append(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(SchemaMismatchError):
+        t.append(_df(spark, [(1.5, "a")], schema="k double, v string"))
+    # overwrite may evolve the schema
+    t.overwrite(_df(spark, [(1.5, "x")], schema="k double, v string"))
+    assert _content(t.read()) == [(1.5, "x")]
+
+
+def test_empty_append_adds_no_files(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a")]))
+    before = t.snapshot().file_paths()
+    t.append(_df(spark, []))  # 0-row markers must be dropped
+    assert t.snapshot().file_paths() == before
+
+
+# ------------------------------------------------- snapshots / time travel
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a")]))
+    snap_v0 = t.read(version=0)  # resolve BEFORE the next commit
+    t.append(_df(spark, [(2, "b")]))
+    t.overwrite(_df(spark, [(9, "z")]))
+    # the in-flight reader still sees v0 (files are immutable)
+    assert _content(snap_v0) == [(1, "a")]
+    assert _content(t.read(version=1)) == [(1, "a"), (2, "b")]
+    assert _content(t.read()) == [(9, "z")]
+    ts1 = json.load(open(t._log_path(1)))["ts_ms"]
+    assert _content(t.read(timestamp_ms=ts1)) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError):
+        t.read(timestamp_ms=0)
+
+
+def test_checkpoint_replay_matches_full_replay(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t", checkpoint_interval=3)
+    for i in range(8):
+        t.append(_df(spark, [(i, f"r{i}")]))
+    assert (t.root / "_txn_log").glob("*.checkpoint.json") is not None
+    cps = list((t.root / "_txn_log").glob("*.checkpoint.json"))
+    assert cps, "expected at least one checkpoint"
+    assert _content(t.read()) == [(i, f"r{i}") for i in range(8)]
+    # old versions still resolvable across the checkpoint boundary
+    assert _content(t.read(version=4)) == [(i, f"r{i}") for i in range(5)]
+
+
+# --------------------------------------------------------- crash / atomic
+
+
+def test_uncommitted_data_files_are_invisible(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a")]))
+    # simulate a writer that crashed after landing data, before commit:
+    orphan = t._write_data_files(_df(spark, [(99, "ghost")]))
+    assert orphan  # files exist on disk ...
+    assert _content(t.read()) == [(1, "a")]  # ... but are invisible
+    # and a later vacuum (past the retention window) reclaims them
+    out = t.vacuum(retain_last=5, min_age_s=0)
+    assert out["deleted_files"] >= 1
+    assert _content(t.read()) == [(1, "a")]
+
+
+def test_interrupted_commit_leaves_no_partial_log(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a")]))
+    # a tmp log file from a dying writer must not corrupt the log
+    (t.root / "_txn_log" / ".tmp-dead.json").write_text("{corrupt")
+    assert t.latest_version() == 0
+    assert _content(t.read()) == [(1, "a")]
+
+
+# ------------------------------------------------------------ concurrency
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(0, "seed")]))
+    errs: list[Exception] = []
+
+    def worker(i: int) -> None:
+        try:
+            TxnTable(spark, tmp_path / "t").append(
+                _df(spark, [(i, f"w{i}")])
+            )
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    ths = [threading.Thread(target=worker, args=(i,)) for i in (1, 2, 3)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errs
+    assert _content(t.read()) == [
+        (0, "seed"), (1, "w1"), (2, "w2"), (3, "w3")
+    ]
+    assert t.latest_version() == 3  # three distinct commits, no clobber
+
+
+def test_lost_commit_race_rebases(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a")]))
+    # steal the next version slot to force the CAS to fail once
+    stolen = {
+        "version": 1, "ts_ms": 1, "op": "append",
+        "add": [], "remove": [], "schema": None,
+    }
+    with open(t._log_path(1), "w") as f:
+        json.dump(stolen, f)
+    v = t.append(_df(spark, [(2, "b")]))
+    assert v == 2  # rebased past the stolen slot
+    assert _content(t.read()) == [(1, "a"), (2, "b")]
+
+
+def test_merge_raises_after_retries_exhausted(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t", max_retries=1)
+    t.append(_df(spark, [(1, "a")]))
+    real_try = t._try_commit
+    t._try_commit = lambda rec: False  # permanent loser
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            t.merge_upsert(_df(spark, [(1, "x")]), keys=["k"])
+    finally:
+        t._try_commit = real_try
+
+
+# ------------------------------------------------------- merge / delete
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    out = t.merge_upsert(_df(spark, [(2, "B!"), (4, "d")]), keys=["k"])
+    assert out["version"] == 1
+    assert _content(t.read()) == [(1, "a"), (2, "B!"), (3, "c"), (4, "d")]
+    # time travel still sees the pre-merge state
+    assert _content(t.read(version=0)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_prunes_unaffected_files(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    # three disjoint key-range files via three commits of 1 file each
+    for lo in (0, 100, 200):
+        t.append(
+            _df(spark, [(lo + i, f"v{lo + i}") for i in range(10)]).coalesce(1)
+        )
+    before = set(t.snapshot().file_paths())
+    assert len(before) == 3
+    out = t.merge_upsert(_df(spark, [(105, "UP")]), keys=["k"])
+    # only the 100..109 file was rewritten; the other two carried over
+    assert out["rewritten_files"] == 1
+    assert out["kept_files"] == 2
+    after = set(t.snapshot().file_paths())
+    assert len(before & after) == 2
+    got = dict((k, v) for k, v in t.read().collect())
+    assert got[105] == "UP" and got[0] == "v0" and got[200] == "v200"
+
+
+def test_merge_composite_keys(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(
+        _df(spark, [(1, 1, "a"), (1, 2, "b")], schema="k1 int, k2 int, v string")
+    )
+    t.merge_upsert(
+        _df(spark, [(1, 2, "B"), (2, 1, "c")], schema="k1 int, k2 int, v string"),
+        keys=["k1", "k2"],
+    )
+    assert _content(t.read()) == [(1, 1, "a"), (1, 2, "B"), (2, 1, "c")]
+
+
+def test_delete_where_rewrites_only_candidates(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    for lo in (0, 100):
+        t.append(_df(spark, [(lo + i, "x") for i in range(10)]).coalesce(1))
+    out = t.delete_where([("k", ">=", 100), ("k", "<", 105)])
+    assert out["deleted_rows"] == 5
+    assert out["rewritten_files"] == 1  # the 0..9 file was never touched
+    assert _content(t.read()) == [
+        *[(i, "x") for i in range(10)],
+        *[(i, "x") for i in range(105, 110)],
+    ]
+
+
+# ------------------------------------------------------- skipping / maint
+
+
+def test_read_predicates_skip_files(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    for lo in (0, 100, 200):
+        t.append(_df(spark, [(lo + i, "x") for i in range(10)]).coalesce(1))
+    snap = t.snapshot()
+    assert len(snap.file_paths()) == 3
+    assert len(snap.prune([("k", "=", 105)])) == 1
+    assert len(snap.prune([("k", ">=", 100)])) == 2
+    assert len(snap.prune([("k", "in", [5, 205])])) == 2
+    df = t.read(predicates=[("k", "=", 105)])
+    # executor truth: only ONE file is actually opened
+    files = {r[0] for r in df.select(F.input_file_name()).distinct().collect()}
+    assert len(files) == 1
+    assert _content(df) == [(105, "x")]
+
+
+def test_optimize_compacts_without_changing_data(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    for i in range(6):
+        t.append(_df(spark, [(i, f"r{i}")]).coalesce(1))
+    before = _content(t.read())
+    n_before = len(t.snapshot().file_paths())
+    out = t.optimize(target_file_bytes=64 * 1024 * 1024)
+    assert out["compacted_files"] == n_before
+    assert len(t.snapshot().file_paths()) == 1
+    assert _content(t.read()) == before
+
+
+def test_vacuum_respects_retention(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a")]).coalesce(1))
+    t.overwrite(_df(spark, [(2, "b")]).coalesce(1))
+    t.overwrite(_df(spark, [(3, "c")]).coalesce(1))
+    # retain last 2 versions: v0's file is exclusive → reclaimed
+    out = t.vacuum(retain_last=2, min_age_s=0)
+    assert out["deleted_files"] == 1
+    assert _content(t.read(version=1)) == [(2, "b")]  # still travelable
+    assert _content(t.read()) == [(3, "c")]
+    with pytest.raises(Exception):
+        t.read(version=0).collect()  # reclaimed, as promised
+
+
+def test_history(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a")]))
+    t.merge_upsert(_df(spark, [(1, "b")]), keys=["k"])
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["append", "merge"]
