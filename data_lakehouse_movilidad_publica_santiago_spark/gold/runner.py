@@ -28,9 +28,19 @@ LOADER_VERSION = "spark-gold-1.0"
 
 
 class GoldLoader:
-    def __init__(self, spark: SparkSession, gold_root: Path) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        gold_root: Path,
+        store: GoldStore | None = None,
+    ) -> None:
+        """``store`` defaults to the plain-parquet GoldStore; pass
+        ``txn_store.TxnGoldStore(spark, gold_root)`` to run the same
+        pipeline on the transactional table format (ACID commits, file
+        skipping, time travel) — parity pinned by
+        tests/test_txn_gold_parity.py."""
         self.spark = spark
-        self.store = GoldStore(spark, gold_root)
+        self.store = store if store is not None else GoldStore(spark, gold_root)
 
     # ── etl_run_log ────────────────────────────────────────────────
 

@@ -202,6 +202,9 @@ class Snapshot:
     ts_ms: int
     schema_json: str | None
     files: dict[str, dict] = field(default_factory=dict)  # rel path -> entry
+    # per-stream high-water marks for exactly-once streaming writes:
+    # stream_id -> highest batch_id whose commit is in this snapshot
+    streams: dict[str, int] = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType | None:
@@ -262,6 +265,11 @@ class TxnTable:
         vs = self._versions()
         return vs[-1] if vs else None
 
+    def commit_info(self, version: int) -> dict:
+        """The raw commit record for one version (metadata only)."""
+        with open(self._log_path(version)) as f:
+            return json.load(f)
+
     def history(self) -> list[dict]:
         """All commit records, oldest first (metadata only)."""
         out = []
@@ -310,6 +318,7 @@ class TxnTable:
                     ts_ms=data["ts_ms"],
                     schema_json=data.get("schema"),
                     files={e["path"]: e for e in data["files"]},
+                    streams=dict(data.get("streams", {})),
                 )
                 start = v + 1
                 break
@@ -324,6 +333,10 @@ class TxnTable:
                 snap.files.pop(p, None)
             for e in rec.get("add", []):
                 snap.files[e["path"]] = e
+            txn = rec.get("txn")
+            if txn:
+                prev = snap.streams.get(txn["stream_id"], -1)
+                snap.streams[txn["stream_id"]] = max(prev, txn["batch_id"])
             snap.version = rec["version"]
             snap.ts_ms = rec["ts_ms"]
         return snap
@@ -358,6 +371,7 @@ class TxnTable:
                     "ts_ms": snap.ts_ms,
                     "schema": snap.schema_json,
                     "files": [snap.files[p] for p in sorted(snap.files)],
+                    "streams": snap.streams,
                 },
                 f,
             )
@@ -365,11 +379,31 @@ class TxnTable:
 
     # -- data-file plumbing -------------------------------------------------
 
-    def _write_data_files(self, df: DataFrame) -> list[dict]:
+    def _write_data_files(
+        self,
+        df: DataFrame,
+        cluster_by: Sequence[str] | None = None,
+        n_files: int | None = None,
+    ) -> list[dict]:
         """Write ``df`` under a unique commit dir; return add-entries
         with footer stats. 0-row marker files are dropped here, so an
-        empty merge adds NOTHING to the log (no marker-file drift)."""
+        empty merge adds NOTHING to the log (no marker-file drift).
+
+        ``cluster_by`` range-partitions + sorts the rows so each output
+        file owns a (nearly) disjoint key range — that is what makes
+        the footer min/max stats surgical for data skipping and MERGE
+        file pruning at scale (the liquid-clustering idea, minus the
+        incremental re-clustering): a point predicate then touches ~1
+        file instead of all of them."""
         commit_dir = self.root / _DATA_DIR / f"commit-{uuid.uuid4().hex[:12]}"
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            if n_files:  # explicit file count (AQE would coalesce tiny
+                # range shuffles to 1 partition = 1 file otherwise)
+                df = df.repartitionByRange(n_files, *cols)
+            else:
+                df = df.repartitionByRange(*cols)
+            df = df.sortWithinPartitions(*cols)
         df.write.mode("overwrite").parquet(str(commit_dir))
         entries = []
         for p in sorted(commit_dir.rglob("*.parquet")):
@@ -405,9 +439,26 @@ class TxnTable:
 
     # -- operations ---------------------------------------------------------
 
-    def append(self, df: DataFrame) -> int:
-        """ACID append. Returns the committed version."""
-        add = self._write_data_files(df)
+    def append(
+        self,
+        df: DataFrame,
+        cluster_by: Sequence[str] | None = None,
+        txn: tuple[str, int] | None = None,
+        n_files: int | None = None,
+    ) -> int | None:
+        """ACID append. Returns the committed version.
+
+        ``txn=(stream_id, batch_id)`` makes the append IDEMPOTENT per
+        stream: if a commit for this stream with ``batch_id`` (or
+        higher) is already in the table, the append is a no-op
+        returning None — the exactly-once contract a Structured
+        Streaming ``foreachBatch`` replay needs (same idea as Delta's
+        ``txnAppId``/``txnVersion``). The check re-runs against the
+        head INSIDE the commit-race loop, so two racing replays of the
+        same batch cannot both land."""
+        if txn is not None and self._batch_seen(*txn):
+            return None
+        add = self._write_data_files(df, cluster_by, n_files)
         schema_json = json.dumps(df.schema.jsonValue())
         try:
             for _ in range(self.max_retries):
@@ -418,6 +469,12 @@ class TxnTable:
                     # racing initial commit may have set a different
                     # schema than the one we validated before the race
                     self._check_schema(df, self.snapshot(version=head))
+                    if txn is not None and self._batch_seen(*txn):
+                        # a racing replay of the SAME batch won: drop
+                        # our duplicate files, succeed as a no-op
+                        for e in add:
+                            (self.root / e["path"]).unlink(missing_ok=True)
+                        return None
                 rec = {
                     "version": version,
                     "ts_ms": int(time.time() * 1000),
@@ -425,6 +482,11 @@ class TxnTable:
                     "add": add,
                     "remove": [],
                     "schema": schema_json if version == 0 else None,
+                    "txn": (
+                        {"stream_id": txn[0], "batch_id": txn[1]}
+                        if txn is not None
+                        else None
+                    ),
                 }
                 if self._try_commit(rec):
                     self._maybe_checkpoint(version)
@@ -438,9 +500,34 @@ class TxnTable:
             f"append lost {self.max_retries} commit races"
         )
 
-    def overwrite(self, df: DataFrame) -> int:
+    def _batch_seen(self, stream_id: str, batch_id: int) -> bool:
+        if self.latest_version() is None:
+            return False
+        return self.snapshot().streams.get(stream_id, -1) >= batch_id
+
+    def streaming_sink(self, stream_id: str, cluster_by=None):
+        """``foreachBatch`` callable writing this stream into the table
+        exactly once::
+
+            (df.writeStream.option("checkpointLocation", ckpt)
+               .foreachBatch(table.streaming_sink("my-stream")).start())
+
+        Source-side replay (checkpoint restart re-delivering a batch)
+        is absorbed by the per-stream batch high-water mark; sink-side
+        atomicity by the commit log. Together with a replayable source
+        that is end-to-end exactly-once."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.append(batch_df, cluster_by=cluster_by,
+                        txn=(stream_id, int(batch_id)))
+
+        return _sink
+
+    def overwrite(
+        self, df: DataFrame, cluster_by: Sequence[str] | None = None
+    ) -> int:
         """ACID full replace (schema may evolve)."""
-        add = self._write_data_files(df)
+        add = self._write_data_files(df, cluster_by)
         schema_json = json.dumps(df.schema.jsonValue())
         for _ in range(self.max_retries):
             head = self.latest_version()
@@ -549,7 +636,12 @@ class TxnTable:
         affected = [r["__path"] for r in hits.collect()]  # O(#files) rows
         return sorted(set(affected) | set(statless))
 
-    def merge_upsert(self, source: DataFrame, keys: Sequence[str]) -> dict:
+    def merge_upsert(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        cluster_by: Sequence[str] | None = None,
+    ) -> dict:
         """MERGE: WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *.
 
         Copy-on-write: only files whose key range can intersect the
@@ -557,12 +649,16 @@ class TxnTable:
         untouched. Beyond the reference's insert-only MERGE
         (ddl_gold.sql:637) — this is the full upsert its RDBMS tier
         provides. ``source`` must be unique on ``keys``.
+
+        ``cluster_by`` (typically ``keys``) range-clusters the rewrite
+        output so repeated merges keep file key-ranges disjoint — the
+        prune set stays small instead of widening merge over merge.
         """
         last_err: Exception | None = None
         for _ in range(self.max_retries):
             head = self.latest_version()
             if head is None:
-                v = self.append(source)
+                v = self.append(source, cluster_by)
                 return {"version": v, "rewritten_files": 0, "kept_files": 0}
             snap = self.snapshot(version=head)
             self._check_schema(source, snap)
@@ -580,7 +676,7 @@ class TxnTable:
                 )
             else:
                 merged = source.select(*cols)
-            add = self._write_data_files(merged)
+            add = self._write_data_files(merged, cluster_by)
             rec = {
                 "version": head + 1,
                 "ts_ms": int(time.time() * 1000),
@@ -650,11 +746,17 @@ class TxnTable:
             f"delete_where lost {self.max_retries} commit races"
         )
 
-    def optimize(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    def optimize(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        cluster_by: Sequence[str] | None = None,
+    ) -> dict:
         """Bin-pack small files into ~target-size files (compaction).
         Logically a no-op; physically collapses the small-file tail that
         incremental merges accumulate. At 100 TB this is the routine
-        maintenance op that keeps scan task counts sane."""
+        maintenance op that keeps scan task counts sane. ``cluster_by``
+        additionally re-sorts the compacted rows by key so the rewrite
+        restores disjoint file key-ranges (re-clustering pass)."""
         for _ in range(self.max_retries):
             head = self.latest_version()
             if head is None:
@@ -669,12 +771,17 @@ class TxnTable:
                 return {"version": head, "compacted_files": 0}
             total = sum(snap.files[p]["bytes"] for p in small)
             n_out = max(1, round(total / target_file_bytes))
-            df = (
-                self.spark.read.schema(snap.schema)
-                .parquet(*[str(self.root / p) for p in small])
-                .coalesce(n_out)
+            df = self.spark.read.schema(snap.schema).parquet(
+                *[str(self.root / p) for p in small]
             )
-            add = self._write_data_files(df)
+            if cluster_by:
+                cols = [F.col(c) for c in cluster_by]
+                df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(
+                    *cols
+                )
+                add = self._write_data_files(df)
+            else:
+                add = self._write_data_files(df.coalesce(n_out))
             rec = {
                 "version": head + 1,
                 "ts_ms": int(time.time() * 1000),

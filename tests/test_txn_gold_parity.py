@@ -1,0 +1,109 @@
+"""The gold pipeline on the transactional store must produce EXACTLY
+the tables the plain-parquet store produces — same fixture lake run
+through both, every table content-equal — plus the ACID extras (commit
+history, time travel to the pre-load state, idempotent re-run)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_lakehouse_movilidad_publica_santiago_spark.gold import GoldLoader
+from data_lakehouse_movilidad_publica_santiago_spark.gold.txn_store import (
+    TxnGoldStore,
+)
+from data_lakehouse_movilidad_publica_santiago_spark.lake import TxnTable
+from data_lakehouse_movilidad_publica_santiago_spark.silver import run_silver
+from data_lakehouse_movilidad_publica_santiago_spark.sources.catalog import (
+    discover_partitions,
+)
+
+import dtpm_fixtures as fx
+
+TABLES = [
+    "dim_date",
+    "dim_time_30m",
+    "dim_mode",
+    "dim_stop",
+    "dim_service",
+    "dim_operator_contract",
+    "dim_fare_period",
+    "dim_purpose",
+    "fct_trip",
+    "fct_trip_leg",
+    "fct_boarding_30m",
+    "fct_validation",
+]
+
+
+@pytest.fixture(scope="module")
+def both(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("lake_txn_parity")
+    fx.build_lake(root)
+    parts = discover_partitions(root)
+    for p in parts:
+        run_silver(spark, p, root)
+    plain = GoldLoader(spark, root / "gold_plain")
+    txn = GoldLoader(
+        spark, root / "gold_txn", store=TxnGoldStore(spark, root / "gold_txn")
+    )
+    plain_res = {p.dataset: plain.run(p, root) for p in parts}
+    txn_res = {p.dataset: txn.run(p, root) for p in parts}
+    return plain, txn, plain_res, txn_res, parts, root
+
+
+def _rows(df):
+    # repr-stringify so NULLs sort deterministically against values
+    return sorted(
+        tuple(repr(v) for v in r)
+        for r in df.select(sorted(df.columns)).collect()
+    )
+
+
+def test_every_gold_table_identical(both):
+    plain, txn, *_ = both
+    for table in TABLES:
+        if not plain.store.exists(table):
+            assert not txn.store.exists(table), table
+            continue
+        a = plain.store.read(table)
+        b = txn.store.read(table)
+        assert sorted(a.columns) == sorted(b.columns), table
+        assert _rows(a) == _rows(b), f"{table} content differs"
+
+
+def test_load_results_match(both):
+    _, _, plain_res, txn_res, *_ = both
+    for ds in plain_res:
+        assert plain_res[ds]["status"] == txn_res[ds]["status"] == "OK"
+        assert (
+            plain_res[ds].get("rows_inserted")
+            == txn_res[ds].get("rows_inserted")
+        ), ds
+
+
+def test_txn_rerun_is_skipped_and_appends_nothing(both):
+    _, txn, _, _, parts, root = both
+    fct = TxnTable(txn.spark, txn.store.path("fct_trip"))
+    v_before = fct.latest_version()
+    n_before = fct.read().count()
+    for p in parts:
+        assert txn.run(p, root)["status"] == "SKIPPED"
+    assert fct.latest_version() == v_before  # not even a no-op commit
+    assert fct.read().count() == n_before
+
+
+def test_txn_gold_time_travel_to_preload(both):
+    """Version 0 of a fact table is its first cut's load — earlier
+    states stay queryable after later cuts/merges land."""
+    _, txn, *_ = both
+    fct = TxnTable(txn.spark, txn.store.path("fct_trip"))
+    head = fct.latest_version()
+    assert head is not None
+    v0 = fct.read(version=0).count()
+    assert 0 < v0 <= fct.read().count()
+
+
+def test_txn_gold_history_ops(both):
+    _, txn, *_ = both
+    ops = {h["op"] for h in TxnTable(txn.spark, txn.store.path("dim_stop")).history()}
+    assert "overwrite" in ops or "append" in ops

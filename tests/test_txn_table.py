@@ -272,3 +272,91 @@ def test_history(spark, tmp_path):
     t.merge_upsert(_df(spark, [(1, "b")]), keys=["k"])
     ops = [h["op"] for h in t.history()]
     assert ops == ["append", "merge"]
+
+
+# ----------------------------------------------- clustering / streaming
+
+
+def test_cluster_by_gives_disjoint_file_ranges(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    rows = [(i, f"v{i}") for i in range(1000)]
+    import random
+
+    random.Random(7).shuffle(rows)
+    t.append(
+        _df(spark, rows).repartition(8),  # deliberately scrambled input
+        cluster_by=["k"],
+        n_files=4,
+    )
+    snap = t.snapshot()
+    spans = sorted(
+        (e["stats"]["min"]["k"], e["stats"]["max"]["k"])
+        for e in snap.files.values()
+    )
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, "clustered files must own disjoint key ranges"
+    # a point read therefore touches exactly one file
+    assert len(snap.prune([("k", "=", 500)])) == 1
+
+
+def test_optimize_recluster_restores_disjoint_ranges(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    # interleaved appends → overlapping file ranges
+    t.append(_df(spark, [(i, "a") for i in range(0, 100, 2)]).coalesce(1))
+    t.append(_df(spark, [(i, "b") for i in range(1, 100, 2)]).coalesce(1))
+    assert len(t.snapshot().prune([("k", "=", 50)])) == 2  # both overlap
+    before = _content(t.read())
+    t.optimize(target_file_bytes=64 * 1024 * 1024, cluster_by=["k"])
+    assert _content(t.read()) == before
+    assert len(t.snapshot().prune([("k", "=", 50)])) == 1
+
+
+def test_txn_append_idempotent_per_batch(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    assert t.append(_df(spark, [(1, "a")]), txn=("s1", 0)) == 0
+    # replay of the SAME batch: no-op, no duplicate rows
+    assert t.append(_df(spark, [(1, "a")]), txn=("s1", 0)) is None
+    assert t.append(_df(spark, [(2, "b")]), txn=("s1", 1)) == 1
+    # a DIFFERENT stream with the same batch id is independent
+    assert t.append(_df(spark, [(3, "c")]), txn=("s2", 0)) == 2
+    assert _content(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert t.snapshot().streams == {"s1": 1, "s2": 0}
+
+
+def test_streaming_sink_exactly_once_across_restart(spark, tmp_path):
+    import time as _time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t = TxnTable(spark, tmp_path / "t")
+
+    _df(spark, [(1, "a"), (2, "b")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema("k int, v string")
+            .parquet(str(src))
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(t.streaming_sink("gold-stream"))
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    assert _content(t.read()) == [(1, "a"), (2, "b")]
+    # land a new file, restart from the SAME checkpoint
+    _df(spark, [(3, "c")]).coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(0.1)
+    run_once()
+    assert _content(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    # a full re-run with NO new data must be a pure no-op
+    v_before = t.latest_version()
+    run_once()
+    assert t.latest_version() == v_before
+    assert _content(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
