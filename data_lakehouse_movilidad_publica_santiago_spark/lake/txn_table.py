@@ -425,17 +425,44 @@ class TxnTable:
             )
         return entries
 
-    def _check_schema(self, df: DataFrame, snap: Snapshot) -> None:
+    def _check_schema(
+        self, df: DataFrame, snap: Snapshot, merge_schema: bool = False
+    ) -> str | None:
+        """Validate ``df`` against the table schema. With
+        ``merge_schema`` (ADD-COLUMN evolution), extra columns in
+        either direction are fine as long as shared columns type-match
+        — parquet schema-on-read fills absences with NULL on both old
+        and new files — and the WIDENED schema json is returned for
+        the commit record. Returns None when the table schema already
+        covers ``df``."""
         expected = snap.schema
         if expected is None:
-            return
+            return None
         got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         want = {f.name: f.dataType.simpleString() for f in expected.fields}
-        if got != want:
+        if got == want:
+            return None
+        shared_mismatch = {
+            k for k in got.keys() & want.keys() if got[k] != want[k]
+        }
+        if shared_mismatch or not merge_schema:
             raise SchemaMismatchError(
                 f"append schema {sorted(got.items())} != table schema "
-                f"{sorted(want.items())}; use overwrite() to evolve"
+                f"{sorted(want.items())}"
+                + (
+                    f"; type changed for {sorted(shared_mismatch)}"
+                    if shared_mismatch
+                    else "; pass merge_schema=True to add columns"
+                )
+                + "; use overwrite() for incompatible evolution"
             )
+        new_fields = [
+            f for f in df.schema.fields if f.name not in want
+        ]
+        if not new_fields:
+            return None  # df is a SUBSET: table schema already covers it
+        widened = T.StructType(list(expected.fields) + new_fields)
+        return json.dumps(widened.jsonValue())
 
     # -- operations ---------------------------------------------------------
 
@@ -445,6 +472,7 @@ class TxnTable:
         cluster_by: Sequence[str] | None = None,
         txn: tuple[str, int] | None = None,
         n_files: int | None = None,
+        merge_schema: bool = False,
     ) -> int | None:
         """ACID append. Returns the committed version.
 
@@ -455,7 +483,11 @@ class TxnTable:
         Streaming ``foreachBatch`` replay needs (same idea as Delta's
         ``txnAppId``/``txnVersion``). The check re-runs against the
         head INSIDE the commit-race loop, so two racing replays of the
-        same batch cannot both land."""
+        same batch cannot both land.
+
+        ``merge_schema=True`` allows ADD-COLUMN evolution: new columns
+        widen the table schema in this commit; rows in older files
+        read as NULL for them (schema-on-read), no rewrite."""
         if txn is not None and self._batch_seen(*txn):
             return None
         add = self._write_data_files(df, cluster_by, n_files)
@@ -464,11 +496,14 @@ class TxnTable:
             for _ in range(self.max_retries):
                 head = self.latest_version()
                 version = 0 if head is None else head + 1
+                evolved: str | None = None
                 if head is not None:
                     # re-check against the CURRENT head each attempt: a
                     # racing initial commit may have set a different
                     # schema than the one we validated before the race
-                    self._check_schema(df, self.snapshot(version=head))
+                    evolved = self._check_schema(
+                        df, self.snapshot(version=head), merge_schema
+                    )
                     if txn is not None and self._batch_seen(*txn):
                         # a racing replay of the SAME batch won: drop
                         # our duplicate files, succeed as a no-op
@@ -481,7 +516,7 @@ class TxnTable:
                     "op": "append",
                     "add": add,
                     "remove": [],
-                    "schema": schema_json if version == 0 else None,
+                    "schema": schema_json if version == 0 else evolved,
                     "txn": (
                         {"stream_id": txn[0], "batch_id": txn[1]}
                         if txn is not None

@@ -51,6 +51,13 @@ def main() -> None:
     ap.add_argument("--rows-per-cut", type=int, default=30_000)
     ap.add_argument("--work", type=Path, default=Path("/tmp/multicut_bench"))
     ap.add_argument("--update-scale-md", action="store_true")
+    ap.add_argument(
+        "--store",
+        choices=["parquet", "txn"],
+        default="parquet",
+        help="gold store backend: plain parquet dirs or the "
+        "transactional table format (lake.TxnTable)",
+    )
     args = ap.parse_args()
 
     lake = args.work / "lake"
@@ -66,7 +73,14 @@ def main() -> None:
         gen_viajes(con, lake, args.rows_per_cut, cut=c)
 
     spark = get_spark(app_name="multicut-bench")
-    loader = GoldLoader(spark, gold)
+    if args.store == "txn":
+        from data_lakehouse_movilidad_publica_santiago_spark.gold.txn_store import (
+            TxnGoldStore,
+        )
+
+        loader = GoldLoader(spark, gold, store=TxnGoldStore(spark, gold))
+    else:
+        loader = GoldLoader(spark, gold)
     parts = {p.cut: p for p in discover_partitions(lake, dataset="viajes")}
 
     rows = []
@@ -105,6 +119,7 @@ def main() -> None:
     last5 = sum(ys[-5:]) / 5
     out = {
         "metric": "per_cut_gold_merge_wall",
+        "store": args.store,
         "cuts": n,
         "rows_per_cut": args.rows_per_cut,
         "gold_sec": ys,
@@ -115,12 +130,25 @@ def main() -> None:
     print(json.dumps(out))
 
     if args.update_scale_md:
-        md = ["", "## Multi-cut history: per-cut gold merge stays flat", ""]
+        md = [
+            "",
+            "## Multi-cut history: per-cut gold merge stays flat"
+            + (" (transactional store)" if args.store == "txn" else ""),
+            "",
+        ]
         md.append(
             f"{n} daily viajes cuts × {args.rows_per_cut} rows, loaded "
-            "sequentially into one gold store (`scripts/multicut_bench.py`). "
-            "The partition-pruned anti-join makes each merge O(batch), not "
-            "O(history):"
+            "sequentially into one gold store (`scripts/multicut_bench.py"
+            + (" --store txn" if args.store == "txn" else "")
+            + "`). "
+            + (
+                "The stats-pruned (file-skipping) anti-join on the "
+                "manifest-log store makes each merge O(batch), not "
+                "O(history):"
+                if args.store == "txn"
+                else "The partition-pruned anti-join makes each merge "
+                "O(batch), not O(history):"
+            )
         )
         md += ["", "| cut # | gold merge (s) | silver (s) |", "|---|---|---|"]
         for r in rows:

@@ -360,3 +360,40 @@ def test_streaming_sink_exactly_once_across_restart(spark, tmp_path):
     run_once()
     assert t.latest_version() == v_before
     assert _content(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+# ------------------------------------------------------ schema evolution
+
+
+def test_merge_schema_adds_column(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a")]))
+    # widening append: new column lands, old rows read as NULL
+    t.append(
+        _df(spark, [(2, "b", 9.5)], schema="k int, v string, score double"),
+        merge_schema=True,
+    )
+    got = _content(t.read())
+    assert got == [(1, "a", None), (2, "b", 9.5)]
+    # without the flag the same append still raises
+    with pytest.raises(SchemaMismatchError):
+        t.append(
+            _df(spark, [(3, "c", 1.0, 1)],
+                schema="k int, v string, score double, extra int"),
+        )
+    # a type CHANGE is rejected even with the flag
+    with pytest.raises(SchemaMismatchError):
+        t.append(
+            _df(spark, [(3, "c", "no")],
+                schema="k int, v string, score string"),
+            merge_schema=True,
+        )
+
+
+def test_merge_schema_subset_append_fills_null(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(
+        _df(spark, [(1, "a", 0.5)], schema="k int, v string, score double")
+    )
+    t.append(_df(spark, [(2, "b")]), merge_schema=True)  # missing 'score'
+    assert _content(t.read()) == [(1, "a", 0.5), (2, "b", None)]
