@@ -384,6 +384,7 @@ class TxnTable:
         df: DataFrame,
         cluster_by: Sequence[str] | None = None,
         n_files: int | None = None,
+        zorder_by: Sequence[str] | None = None,
     ) -> list[dict]:
         """Write ``df`` under a unique commit dir; return add-entries
         with footer stats. 0-row marker files are dropped here, so an
@@ -396,14 +397,24 @@ class TxnTable:
         incremental re-clustering): a point predicate then touches ~1
         file instead of all of them."""
         commit_dir = self.root / _DATA_DIR / f"commit-{uuid.uuid4().hex[:12]}"
-        if cluster_by:
+        drop_after_sort: str | None = None
+        if zorder_by:
+            from .zorder import ZCOL, with_zvalue
+
+            df = with_zvalue(df, zorder_by)
+            cols = [F.col(ZCOL)]
+            drop_after_sort = ZCOL
+        elif cluster_by:
             cols = [F.col(c) for c in cluster_by]
+        if zorder_by or cluster_by:
             if n_files:  # explicit file count (AQE would coalesce tiny
                 # range shuffles to 1 partition = 1 file otherwise)
                 df = df.repartitionByRange(n_files, *cols)
             else:
                 df = df.repartitionByRange(*cols)
             df = df.sortWithinPartitions(*cols)
+            if drop_after_sort:
+                df = df.drop(drop_after_sort)
         df.write.mode("overwrite").parquet(str(commit_dir))
         entries = []
         for p in sorted(commit_dir.rglob("*.parquet")):
@@ -473,6 +484,7 @@ class TxnTable:
         txn: tuple[str, int] | None = None,
         n_files: int | None = None,
         merge_schema: bool = False,
+        zorder_by: Sequence[str] | None = None,
     ) -> int | None:
         """ACID append. Returns the committed version.
 
@@ -490,7 +502,7 @@ class TxnTable:
         read as NULL for them (schema-on-read), no rewrite."""
         if txn is not None and self._batch_seen(*txn):
             return None
-        add = self._write_data_files(df, cluster_by, n_files)
+        add = self._write_data_files(df, cluster_by, n_files, zorder_by)
         schema_json = json.dumps(df.schema.jsonValue())
         try:
             for _ in range(self.max_retries):
@@ -559,10 +571,14 @@ class TxnTable:
         return _sink
 
     def overwrite(
-        self, df: DataFrame, cluster_by: Sequence[str] | None = None
+        self,
+        df: DataFrame,
+        cluster_by: Sequence[str] | None = None,
+        n_files: int | None = None,
+        zorder_by: Sequence[str] | None = None,
     ) -> int:
         """ACID full replace (schema may evolve)."""
-        add = self._write_data_files(df, cluster_by)
+        add = self._write_data_files(df, cluster_by, n_files, zorder_by)
         schema_json = json.dumps(df.schema.jsonValue())
         for _ in range(self.max_retries):
             head = self.latest_version()
@@ -785,13 +801,16 @@ class TxnTable:
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         cluster_by: Sequence[str] | None = None,
+        zorder_by: Sequence[str] | None = None,
     ) -> dict:
         """Bin-pack small files into ~target-size files (compaction).
         Logically a no-op; physically collapses the small-file tail that
         incremental merges accumulate. At 100 TB this is the routine
         maintenance op that keeps scan task counts sane. ``cluster_by``
         additionally re-sorts the compacted rows by key so the rewrite
-        restores disjoint file key-ranges (re-clustering pass)."""
+        restores disjoint file key-ranges (re-clustering pass);
+        ``zorder_by`` Morton-clusters instead (OPTIMIZE ZORDER BY) so
+        skipping works on every listed column."""
         for _ in range(self.max_retries):
             head = self.latest_version()
             if head is None:
@@ -809,12 +828,10 @@ class TxnTable:
             df = self.spark.read.schema(snap.schema).parquet(
                 *[str(self.root / p) for p in small]
             )
-            if cluster_by:
-                cols = [F.col(c) for c in cluster_by]
-                df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(
-                    *cols
+            if zorder_by or cluster_by:
+                add = self._write_data_files(
+                    df, cluster_by, n_files=n_out, zorder_by=zorder_by
                 )
-                add = self._write_data_files(df)
             else:
                 add = self._write_data_files(df.coalesce(n_out))
             rec = {

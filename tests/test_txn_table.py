@@ -397,3 +397,55 @@ def test_merge_schema_subset_append_fills_null(spark, tmp_path):
     )
     t.append(_df(spark, [(2, "b")]), merge_schema=True)  # missing 'score'
     assert _content(t.read()) == [(1, "a", 0.5), (2, "b", None)]
+
+
+# ------------------------------------------------------------- z-order
+
+
+def test_zorder_skips_on_both_columns(spark, tmp_path):
+    """Linear clustering on x gives files whose y-range spans the whole
+    table (y-predicates prune nothing); z-order on (x, y) gives files
+    owning hyper-rectangles, so EITHER column's predicate prunes."""
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x int, y int, payload int")
+
+    lin = TxnTable(spark, tmp_path / "lin")
+    lin.append(df.repartition(8), cluster_by=["x"], n_files=16)
+    zt = TxnTable(spark, tmp_path / "z")
+    zt.append(df.repartition(8), zorder_by=["x", "y"], n_files=16)
+
+    n = 16
+    x_pred = [("x", "<", 8)]
+    y_pred = [("y", "<", 8)]
+    assert len(lin.snapshot().prune(x_pred)) <= n // 4  # linear: x prunes
+    assert len(lin.snapshot().prune(y_pred)) == n  # ... but y can't
+    z_x = len(zt.snapshot().prune(x_pred))
+    z_y = len(zt.snapshot().prune(y_pred))
+    assert z_x <= n // 2, f"z-order x-predicate pruned nothing ({z_x}/{n})"
+    assert z_y <= n // 2, f"z-order y-predicate pruned nothing ({z_y}/{n})"
+    # and the data itself is unchanged
+    assert zt.read().count() == 64 * 64
+    assert _content(zt.read(predicates=[("x", "=", 3), ("y", "=", 4)])) == [
+        (3, 4, 3 * 64 + 4)
+    ]
+
+
+def test_zorder_column_not_persisted(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 10, "p") for i in range(100)], "a int, b int, v string"
+    )
+    t.append(df, zorder_by=["a", "b"], n_files=4)
+    assert t.read().columns == ["a", "b", "v"]  # __zorder dropped
+
+
+def test_zorder_rejects_bad_input(spark, tmp_path):
+    from data_lakehouse_movilidad_publica_santiago_spark.lake.zorder import (
+        with_zvalue,
+    )
+
+    df = spark.createDataFrame([(1, "s")], "a int, s string")
+    with pytest.raises(ValueError):
+        with_zvalue(df, ["a"])  # one column: use cluster_by
+    with pytest.raises(TypeError):
+        with_zvalue(df, ["a", "s"])  # string column unsupported
