@@ -22,6 +22,7 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..lake import TxnTable
 from .store import GoldStore
@@ -47,12 +48,26 @@ class TxnGoldStore(GoldStore):
     def overwrite(self, df: DataFrame, table: str) -> None:
         self._t(table).overwrite(df)
 
+    @staticmethod
+    def _co_locate(
+        df: DataFrame, partition_cols: list[str] | None
+    ) -> DataFrame:
+        """Hive partition dirs become HASH co-location on the same
+        columns: every output file then holds one (or few) partition
+        value(s), so its footer min==max and stats-based file skipping
+        replaces partition pruning. Hash, not range: a range shuffle
+        runs a sampling job (the whole upstream plan executes twice —
+        expensive when upstream is the MERGE anti-join), and for the
+        typical single-cut batch range-ordering adds nothing anyway
+        (all rows share the partition value)."""
+        if partition_cols:
+            return df.repartition(*[F.col(c) for c in partition_cols])
+        return df
+
     def append(
         self, df: DataFrame, table: str, partition_cols: list[str] | None = None
     ) -> None:
-        # Hive partition dirs become range clustering on the same
-        # columns: footer-stat file skipping replaces partition pruning
-        self._t(table).append(df, cluster_by=partition_cols)
+        self._t(table).append(self._co_locate(df, partition_cols))
 
     def merge_insert(
         self,
@@ -81,7 +96,7 @@ class TxnGoldStore(GoldStore):
             existing = tab.read(predicates=preds).select(*grain)
             cond = [df[g].eqNullSafe(existing[g]) for g in grain]
             new_rows = df.join(existing, cond, "left_anti")
-        version = tab.append(new_rows, cluster_by=partition_cols)
+        version = tab.append(self._co_locate(new_rows, partition_cols))
         if version is None:
             return 0
         return sum(e["rows"] for e in tab.commit_info(version)["add"])

@@ -627,6 +627,44 @@ class TxnTable:
                 df = df.filter(_pred_to_column(c, op, v))
         return df
 
+    def read_appends(
+        self, since_version: int, until_version: int | None = None
+    ) -> DataFrame:
+        """Rows ADDED by commits in ``(since_version, until_version]``
+        — the incremental feed a downstream pipeline consumes instead
+        of rescanning the table (reads ONLY the new commits' files,
+        O(delta) not O(table)).
+
+        Only ``append`` commits contribute rows. ``optimize`` commits
+        in the range are ignored (logically no-ops). ``overwrite`` /
+        ``delete`` / ``merge`` commits raise — they change existing
+        rows, so an additive feed cannot represent them; consumers
+        must re-sync from a snapshot at that point."""
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("table has no commits yet")
+        until = head if until_version is None else until_version
+        schema = self.snapshot(version=until).schema
+        paths: list[str] = []
+        for v in self._versions():
+            if not (since_version < v <= until):
+                continue
+            rec = self.commit_info(v)
+            if rec["op"] == "append":
+                paths.extend(e["path"] for e in rec.get("add", []))
+            elif rec["op"] == "optimize":
+                continue
+            else:
+                raise ValueError(
+                    f"version {v} is a {rec['op']!r} commit: the range "
+                    "is not append-only; re-sync from a snapshot read"
+                )
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[str(self.root / p) for p in paths]
+        )
+
     # -- copy-on-write ops --------------------------------------------------
 
     def _affected_files_for_keys(

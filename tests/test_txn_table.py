@@ -449,3 +449,31 @@ def test_zorder_rejects_bad_input(spark, tmp_path):
         with_zvalue(df, ["a"])  # one column: use cluster_by
     with pytest.raises(TypeError):
         with_zvalue(df, ["a", "s"])  # string column unsupported
+
+
+# -------------------------------------------------------- change feed
+
+
+def test_read_appends_incremental_feed(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a")]))          # v0
+    t.append(_df(spark, [(2, "b")]))          # v1
+    t.append(_df(spark, [(3, "c")]))          # v2
+    # consumer synced at v0 pulls exactly v1..v2's rows
+    assert _content(t.read_appends(since_version=0)) == [(2, "b"), (3, "c")]
+    assert _content(t.read_appends(0, until_version=1)) == [(2, "b")]
+    # fully caught up → empty frame with the table schema
+    empty = t.read_appends(since_version=2)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_read_appends_ignores_optimize_rejects_rewrites(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a")]).coalesce(1))   # v0
+    t.append(_df(spark, [(2, "b")]).coalesce(1))   # v1
+    t.optimize(target_file_bytes=64 * 1024 * 1024)  # v2 (no-op logically)
+    t.append(_df(spark, [(3, "c")]))               # v3
+    assert _content(t.read_appends(since_version=1)) == [(3, "c")]
+    t.merge_upsert(_df(spark, [(1, "A")]), keys=["k"])  # v4 rewrites
+    with pytest.raises(ValueError, match="not append-only"):
+        t.read_appends(since_version=1)
