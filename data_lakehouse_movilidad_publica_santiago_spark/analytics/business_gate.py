@@ -14,9 +14,13 @@ fixture-asserted.
 
 Shape map (reference SQL → twin here):
 - Q1 `01_demanda_horaria.sql` day-type pivot + ratio → ``biz_q1``
+- Q3 `02_matriz_od.sql` OD-pair flow matrix + share → ``biz_q3``
+- Q4 `02_matriz_od.sql` leg-count histogram (1/2/3/4+) → ``biz_q4``
 - Q5 `04_calidad_servicio.sql` role-playing stop joins → ``biz_q5``
+- Q7 `05_usuarios.sql` captive-user share (COUNT DISTINCT=1) → ``biz_q7``
 - Q8 `03_infraestructura.sql` NTILE quartile labeling → ``biz_q8``
 - Q9 `05_usuarios.sql` per-trip agg → classify → share → ``biz_q9``
+- Q10 `04_calidad_servicio.sql` group-vs-global deviation → ``biz_q10``
 - Q12 `04_calidad_servicio.sql` median/p90 + conditional AVG → ``biz_q12``
 - Q14 `01_demanda_horaria.sql` LAG daily series → ``biz_q14``
 """
@@ -368,20 +372,216 @@ FROM monthly
 """
 
 
+def q_biz_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape (`02_matriz_od.sql`): origin→destination flow matrix —
+    pair-grouped leg counts (customer nation → supplier nation, like
+    board-comuna → alight-comuna) with each pair's percent share of
+    the total flow (SUM OVER ())."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    flows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nat.select(
+                F.col("n_nationkey").alias("on_key"),
+                F.col("n_name").alias("origin"),
+            )),
+            F.col("c_nationkey") == F.col("on_key"),
+        )
+        .join(
+            F.broadcast(nat.select(
+                F.col("n_nationkey").alias("dn_key"),
+                F.col("n_name").alias("destination"),
+            )),
+            F.col("s_nationkey") == F.col("dn_key"),
+        )
+        .groupBy("origin", "destination")
+        .agg(F.count("*").alias("n_flows"))
+    )
+    w = Window.partitionBy()
+    return flows.withColumn(
+        "pct_of_total",
+        F.round(100.0 * F.col("n_flows") / F.sum("n_flows").over(w), 4),
+    ).filter(F.col("n_flows") >= 20)
+
+
+ORACLE_BIZ_OD_MATRIX = """
+WITH flows AS (
+  SELECT no.n_name AS origin, ns.n_name AS destination, COUNT(*) AS n_flows
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation no  ON c.c_nationkey = no.n_nationkey
+  JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+  GROUP BY no.n_name, ns.n_name),
+ranked AS (
+  -- window BEFORE the floor filter (SQL WHERE runs before windows,
+  -- but the share must be of the TOTAL flow); CAST because DuckDB's
+  -- 100.0 literal is DECIMAL where Spark's is double
+  SELECT origin, destination, n_flows,
+         ROUND(CAST(100.0 AS DOUBLE) * n_flows / SUM(n_flows) OVER (), 4)
+           AS pct_of_total
+  FROM flows)
+SELECT origin, destination, n_flows, pct_of_total
+FROM ranked
+WHERE n_flows >= 20
+"""
+
+
+def q_biz_order_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (`02_matriz_od.sql` trip-complexity block): per-entity
+    leg count → CASE bucket → distribution with percent share (the
+    1/2/3/4+ etapas histogram)."""
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("n_legs"))
+    bucket = (
+        F.when(F.col("n_legs") >= 4, F.lit("4+"))
+        .otherwise(F.col("n_legs").cast("string"))
+        .alias("complexity")
+    )
+    dist = per_order.select(bucket).groupBy("complexity").agg(
+        F.count("*").alias("n_orders")
+    )
+    w = Window.partitionBy()
+    return dist.withColumn(
+        "pct",
+        F.round(100.0 * F.col("n_orders") / F.sum("n_orders").over(w), 4),
+    )
+
+
+ORACLE_BIZ_ORDER_COMPLEXITY = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_legs FROM lineitem GROUP BY l_orderkey),
+dist AS (
+  SELECT CASE WHEN n_legs >= 4 THEN '4+' ELSE CAST(n_legs AS VARCHAR) END
+           AS complexity,
+         COUNT(*) AS n_orders
+  FROM per_order GROUP BY 1)
+SELECT complexity, n_orders,
+       ROUND(CAST(100.0 AS DOUBLE) * n_orders / SUM(n_orders) OVER (), 4)
+         AS pct
+FROM dist
+"""
+
+
+def q_biz_captive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape (`05_usuarios.sql` captive-users block): per-user
+    distinct-category count, captivity flag (exactly one category),
+    then the captive share per segment — COUNT DISTINCT → boolean
+    classify → second-level aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    part = t(spark, sf_dir, "part")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("p_brand").alias("n_brands"))
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(
+                F.when(F.col("n_brands") == 1, 1).otherwise(0)
+            ).alias("n_captive"),
+        )
+        .withColumn(
+            "captive_pct",
+            F.round(100.0 * F.col("n_captive") / F.col("n_users"), 4),
+        )
+    )
+
+
+ORACLE_BIZ_CAPTIVE_USERS = """
+WITH per_cust AS (
+  SELECT o.o_custkey, COUNT(DISTINCT p.p_brand) AS n_brands
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p   ON l.l_partkey = p.p_partkey
+  GROUP BY o.o_custkey)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN n_brands = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_captive,
+       ROUND(CAST(100.0 AS DOUBLE)
+             * SUM(CASE WHEN n_brands = 1 THEN 1 ELSE 0 END)
+             / COUNT(*), 4) AS captive_pct
+FROM per_cust pc JOIN customer c ON pc.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_biz_deviation_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape (`04_calidad_servicio.sql` deviation block): group
+    average vs the global average as a deviation ratio — integer SUM /
+    COUNT per group against the same over the whole fact, so the
+    ratio is exact before the final round (no float-sum drift)."""
+    li = t(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("n_legs"),
+    )
+    w = Window.partitionBy()
+    return grouped.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_legs",
+        F.round(
+            (F.col("sum_qty") / F.col("n_legs"))
+            / (
+                F.sum("sum_qty").over(w) / F.sum("n_legs").over(w)
+            ),
+            4,
+        ).alias("deviation_factor"),
+    )
+
+
+ORACLE_BIZ_DEVIATION_FACTOR = """
+WITH grouped AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         COUNT(*) AS n_legs
+  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, n_legs,
+       ROUND((CAST(sum_qty AS DOUBLE) / n_legs)
+             / (CAST(SUM(sum_qty) OVER () AS DOUBLE)
+                / SUM(n_legs) OVER ()), 4)
+         AS deviation_factor
+FROM grouped
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "biz_q1_demand_pivot": q_biz_demand_pivot,
+    "biz_q3_od_matrix": q_biz_od_matrix,
+    "biz_q4_order_complexity": q_biz_order_complexity,
     "biz_q5_role_joins": q_biz_role_joins,
+    "biz_q7_captive_users": q_biz_captive_users,
     "biz_q8_coverage_quartiles": q_biz_coverage_quartiles,
     "biz_q9_intermodality": q_biz_intermodality,
+    "biz_q10_deviation_factor": q_biz_deviation_factor,
     "biz_q12_wait_percentiles": q_biz_wait_percentiles,
     "biz_q14_daily_lag": q_biz_daily_lag,
 }
 
 ORACLE: dict[str, str] = {
     "biz_q1_demand_pivot": ORACLE_BIZ_DEMAND_PIVOT,
+    "biz_q3_od_matrix": ORACLE_BIZ_OD_MATRIX,
+    "biz_q4_order_complexity": ORACLE_BIZ_ORDER_COMPLEXITY,
     "biz_q5_role_joins": ORACLE_BIZ_ROLE_JOINS,
+    "biz_q7_captive_users": ORACLE_BIZ_CAPTIVE_USERS,
     "biz_q8_coverage_quartiles": ORACLE_BIZ_COVERAGE_QUARTILES,
     "biz_q9_intermodality": ORACLE_BIZ_INTERMODALITY,
+    "biz_q10_deviation_factor": ORACLE_BIZ_DEVIATION_FACTOR,
     "biz_q12_wait_percentiles": ORACLE_BIZ_WAIT_PERCENTILES,
     "biz_q14_daily_lag": ORACLE_BIZ_DAILY_LAG,
 }
