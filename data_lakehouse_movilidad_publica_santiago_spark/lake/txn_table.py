@@ -174,6 +174,66 @@ def _file_may_match(entry: dict, col: str, op: str, value: Any) -> bool:
     return True
 
 
+# ---------------------------------------------------------------------------
+# bloom filter index (sidecar per data file, Delta-style)
+
+
+def _bloom_params(n_keys: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for n keys at the target false-positive
+    rate — the textbook formulas, m rounded up to whole bytes."""
+    import math
+
+    n = max(1, n_keys)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(value: str, m: int, k: int):
+    import hashlib
+
+    h = hashlib.md5(value.encode("utf-8")).digest()
+    # double hashing: two 64-bit halves generate k positions
+    h1 = int.from_bytes(h[:8], "big")
+    h2 = int.from_bytes(h[8:], "big") | 1
+    for i in range(k):
+        yield (h1 + i * h2) % m
+
+
+def _bloom_norm(v: Any) -> str:
+    """One canonical string per value for hashing — datetime/date via
+    isoformat so build-side (pyarrow) and probe-side (predicate)
+    representations agree."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def _bloom_build(values, fpp: float) -> dict:
+    uniq = {_bloom_norm(v) for v in values if v is not None}
+    m, k = _bloom_params(len(uniq), fpp)
+    bits = bytearray(m // 8)
+    for v in uniq:
+        for pos in _bloom_positions(v, m, k):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    import base64
+
+    return {"m": m, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_might_contain(bloom: dict, value: Any) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7))
+        for pos in _bloom_positions(_bloom_norm(value), bloom["m"], bloom["k"])
+    )
+
+
 def _pred_to_column(c: str, op: str, v: Any):
     """One ``(col, op, value)`` predicate as a Spark Column."""
     col = F.col(c)
@@ -237,13 +297,28 @@ class TxnTable:
         root: str | Path,
         checkpoint_interval: int = 10,
         max_retries: int = 10,
+        bloom_columns: Sequence[str] | None = None,
+        bloom_fpp: float = 0.05,
     ) -> None:
+        """``bloom_columns`` builds a per-file bloom filter for those
+        columns at write time (sidecar ``<file>.bloom.json``), so
+        point/``in`` predicates prune files even when the column is
+        UNclustered — min/max stats can't help a high-cardinality id
+        scattered across every file, a bloom can (Delta's bloom filter
+        index). Filters apply to commits written by THIS instance;
+        files written without them simply never bloom-prune."""
         self.spark = spark
         self.root = Path(root)
         self.checkpoint_interval = checkpoint_interval
         self.max_retries = max_retries
+        self.bloom_columns = list(bloom_columns or [])
+        self.bloom_fpp = bloom_fpp
         (self.root / _LOG_DIR).mkdir(parents=True, exist_ok=True)
         (self.root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
+
+    def _unlink_data(self, rel_path: str) -> None:
+        (self.root / rel_path).unlink(missing_ok=True)
+        (self.root / (rel_path + ".bloom.json")).unlink(missing_ok=True)
 
     # -- log plumbing -------------------------------------------------------
 
@@ -416,12 +491,21 @@ class TxnTable:
             if drop_after_sort:
                 df = df.drop(drop_after_sort)
         df.write.mode("overwrite").parquet(str(commit_dir))
+        bloom_cols = [c for c in self.bloom_columns if c in df.columns]
         entries = []
         for p in sorted(commit_dir.rglob("*.parquet")):
             stats = _collect_file_stats(p)
             if stats["rows"] == 0:
                 p.unlink()
                 continue
+            if bloom_cols:
+                tbl = pq.read_table(p, columns=bloom_cols)
+                blooms = {
+                    c: _bloom_build(tbl.column(c).to_pylist(), self.bloom_fpp)
+                    for c in bloom_cols
+                }
+                with open(f"{p}.bloom.json", "w") as bf:
+                    json.dump(blooms, bf)
             entries.append(
                 {
                     "path": str(p.relative_to(self.root)),
@@ -520,7 +604,7 @@ class TxnTable:
                         # a racing replay of the SAME batch won: drop
                         # our duplicate files, succeed as a no-op
                         for e in add:
-                            (self.root / e["path"]).unlink(missing_ok=True)
+                            self._unlink_data(e["path"])
                         return None
                 rec = {
                     "version": version,
@@ -541,7 +625,7 @@ class TxnTable:
                 # lost the race: appends commute — rebase = re-number
         except SchemaMismatchError:
             for e in add:  # our files will never be referenced
-                (self.root / e["path"]).unlink(missing_ok=True)
+                self._unlink_data(e["path"])
             raise
         raise ConcurrentCommitError(
             f"append lost {self.max_retries} commit races"
@@ -612,6 +696,8 @@ class TxnTable:
         paths = (
             snap.prune(predicates) if predicates else snap.file_paths()
         )
+        if predicates:
+            paths = self._bloom_prune(paths, predicates)
         schema = snap.schema
         if not paths:
             if schema is None:
@@ -626,6 +712,35 @@ class TxnTable:
             for c, op, v in predicates:
                 df = df.filter(_pred_to_column(c, op, v))
         return df
+
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` — as a NEW commit, so
+        history is preserved and nothing is deleted (the bad commits
+        stay inspectable; VACUUM reclaims their files later). The
+        standard bad-deploy recovery: readers flip to the restored
+        state atomically."""
+        target = self.snapshot(version=version)
+        for _ in range(self.max_retries):
+            head = self.latest_version()
+            if head is None:
+                raise ValueError("table has no commits yet")
+            if head == version:
+                return head  # already there
+            head_snap = self.snapshot(version=head)
+            rec = {
+                "version": head + 1,
+                "ts_ms": int(time.time() * 1000),
+                "op": "restore",
+                "add": [target.files[p] for p in sorted(target.files)],
+                "remove": sorted(set(head_snap.files) - set(target.files)),
+                "schema": target.schema_json,
+            }
+            if self._try_commit(rec):
+                self._maybe_checkpoint(head + 1)
+                return head + 1
+        raise ConcurrentCommitError(
+            f"restore lost {self.max_retries} commit races"
+        )
 
     def read_appends(
         self, since_version: int, until_version: int | None = None
@@ -664,6 +779,39 @@ class TxnTable:
         return self.spark.read.schema(schema).parquet(
             *[str(self.root / p) for p in paths]
         )
+
+    def _bloom_prune(
+        self, paths: list[str], predicates: Sequence[tuple[str, str, Any]]
+    ) -> list[str]:
+        """Drop files whose bloom sidecar PROVES a ``=``/``in``
+        predicate value is absent. Files without a sidecar (written
+        before blooms were configured) always survive."""
+        eq_preds = [
+            (c, op, v) for c, op, v in predicates if op in ("=", "in")
+        ]
+        if not eq_preds:
+            return paths
+        out = []
+        for p in paths:
+            side = self.root / (p + ".bloom.json")
+            if not side.exists():
+                out.append(p)
+                continue
+            with open(side) as f:
+                blooms = json.load(f)
+            keep = True
+            for c, op, v in eq_preds:
+                if c not in blooms:
+                    continue
+                vals = [v] if op == "=" else list(v)
+                if not any(
+                    _bloom_might_contain(blooms[c], x) for x in vals
+                ):
+                    keep = False
+                    break
+            if keep:
+                out.append(p)
+        return out
 
     # -- copy-on-write ops --------------------------------------------------
 
@@ -784,7 +932,7 @@ class TxnTable:
             # a commit landed mid-rewrite: our remove-set may be stale —
             # recompute the whole op from the new head
             for e in add:  # orphaned rewrite output: unreference eagerly
-                (self.root / e["path"]).unlink(missing_ok=True)
+                self._unlink_data(e["path"])
             last_err = ConcurrentCommitError("merge rebased")
         raise ConcurrentCommitError(
             f"merge_upsert lost {self.max_retries} commit races"
@@ -830,7 +978,7 @@ class TxnTable:
                     "deleted_rows": before - after,
                 }
             for e in add:
-                (self.root / e["path"]).unlink(missing_ok=True)
+                self._unlink_data(e["path"])
         raise ConcurrentCommitError(
             f"delete_where lost {self.max_retries} commit races"
         )
@@ -884,7 +1032,7 @@ class TxnTable:
                 self._maybe_checkpoint(head + 1)
                 return {"version": head + 1, "compacted_files": len(small)}
             for e in add:
-                (self.root / e["path"]).unlink(missing_ok=True)
+                self._unlink_data(e["path"])
         raise ConcurrentCommitError(
             f"optimize lost {self.max_retries} commit races"
         )
@@ -910,7 +1058,7 @@ class TxnTable:
         for p in sorted((self.root / _DATA_DIR).rglob("*.parquet")):
             rel = str(p.relative_to(self.root))
             if rel not in referenced and p.stat().st_mtime <= cutoff:
-                p.unlink()
+                self._unlink_data(rel)
                 deleted += 1
         for d in sorted(
             (self.root / _DATA_DIR).glob("commit-*"), reverse=True

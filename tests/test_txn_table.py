@@ -477,3 +477,67 @@ def test_read_appends_ignores_optimize_rejects_rewrites(spark, tmp_path):
     t.merge_upsert(_df(spark, [(1, "A")]), keys=["k"])  # v4 rewrites
     with pytest.raises(ValueError, match="not append-only"):
         t.read_appends(since_version=1)
+
+
+# ------------------------------------------------------ restore / bloom
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a")]))                   # v0
+    t.merge_upsert(_df(spark, [(1, "BAD")]), keys=["k"])  # v1: bad deploy
+    t.append(_df(spark, [(2, "also-bad")]))            # v2
+    v = t.restore(0)
+    assert v == 3  # a NEW commit, history preserved
+    assert _content(t.read()) == [(1, "a")]
+    assert _content(t.read(version=2)) == [(1, "BAD"), (2, "also-bad")]
+    assert t.history()[-1]["op"] == "restore"
+    # restoring to where we already are is a no-op
+    assert t.restore(3) == 3
+
+
+def test_bloom_prunes_unclustered_point_lookup(spark, tmp_path):
+    import random
+
+    rnd = random.Random(11)
+    ids = [f"doc-{i:05d}" for i in range(2000)]
+    rnd.shuffle(ids)  # high-cardinality id scattered across files
+    t = TxnTable(spark, tmp_path / "t", bloom_columns=["doc_id"])
+    rows = [(d, i % 7) for i, d in enumerate(ids)]
+    df = spark.createDataFrame(rows, "doc_id string, grp int")
+    # 4 separate commits -> 4+ files with fully overlapping id ranges
+    for c in range(4):
+        t.append(
+            spark.createDataFrame(rows[c::4], "doc_id string, grp int")
+            .coalesce(1)
+        )
+    n_files = len(t.snapshot().file_paths())
+    assert n_files == 4
+    target = rows[5][0]
+    # min/max stats can't prune (ranges overlap) ...
+    assert len(t.snapshot().prune([("doc_id", "=", target)])) == n_files
+    # ... the bloom can
+    pruned = t._bloom_prune(
+        t.snapshot().file_paths(), [("doc_id", "=", target)]
+    )
+    assert len(pruned) < n_files
+    got = t.read(predicates=[("doc_id", "=", target)])
+    files = {r[0] for r in got.select(F.input_file_name()).distinct().collect()}
+    assert len(files) <= len(pruned)
+    assert _content(got) == [(target, 5 % 7)]
+    # a value that exists is NEVER pruned away (no false negatives)
+    for probe in rows[::97]:
+        assert t.read(predicates=[("doc_id", "=", probe[0])]).count() == 1
+
+
+def test_bloom_sidecars_follow_vacuum(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t", bloom_columns=["v"])
+    t.append(_df(spark, [(1, "a")]).coalesce(1))
+    t.overwrite(_df(spark, [(2, "b")]).coalesce(1))
+    assert list((t.root / "data").rglob("*.bloom.json"))
+    t.vacuum(retain_last=1, min_age_s=0)
+    # every surviving sidecar belongs to a live data file
+    import os as _os
+
+    for side in (t.root / "data").rglob("*.bloom.json"):
+        assert _os.path.exists(str(side)[: -len(".bloom.json")])
