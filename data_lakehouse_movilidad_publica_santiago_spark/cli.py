@@ -43,6 +43,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--fail-fast", action="store_true")
 
     gp = sub.add_parser("gold", help="silver partitions → DW constellation")
+    gp.add_argument(
+        "--store",
+        choices=["parquet", "txn"],
+        default="parquet",
+        help="gold backend: plain parquet dirs, or the transactional "
+        "table format (lake.TxnTable: ACID commits, time travel, "
+        "stats-pruned MERGE)",
+    )
+    gp.add_argument(
+        "--gold-dir",
+        type=Path,
+        default=None,
+        help="override the gold root (default <lake>/gold)",
+    )
     _add_common(gp)
     gp.add_argument("--force", action="store_true", help="ignore run-log OK skip")
 
@@ -82,7 +96,15 @@ def main(argv: list[str] | None = None) -> int:
         if not parts:
             print("no matching partitions", file=sys.stderr)
             return 1
-        loader = GoldLoader(spark, args.lake / "gold")
+        gold_root = args.gold_dir or (args.lake / "gold")
+        if args.store == "txn":
+            from .gold.txn_store import TxnGoldStore
+
+            loader = GoldLoader(
+                spark, gold_root, store=TxnGoldStore(spark, gold_root)
+            )
+        else:
+            loader = GoldLoader(spark, gold_root)
         for p in parts:
             try:
                 res = loader.run(p, args.lake, force=args.force)
