@@ -56,6 +56,7 @@ def stream_gold(
     dataset: str = "viajes",
     available_now: bool = True,
     force: bool = False,
+    store=None,
 ):
     """Start the bronze→silver→gold stream for one dataset.
 
@@ -64,6 +65,9 @@ def stream_gold(
     the batch CLI's drain semantics; pass ``available_now=False`` for
     a resident continuous loader).  ``force=True`` forwards to
     ``GoldLoader.run`` to bypass the run-log skip (reprocessing).
+    ``store`` forwards to ``GoldLoader`` — pass a ``TxnGoldStore`` to
+    stream into the transactional table format (checkpoint replays are
+    then absorbed twice over: the run-log skip AND the commit log).
     """
     lake_root, gold_root = Path(lake_root), Path(gold_root)
     schema = all_varchar_schema(_DATASET_COLUMNS[dataset])
@@ -79,7 +83,7 @@ def stream_gold(
         .csv(src_glob)
         .select(F.input_file_name().alias("_src"))
     )
-    loader = GoldLoader(spark, gold_root)
+    loader = GoldLoader(spark, gold_root, store=store)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # the batch's information content is WHICH cuts arrived — a

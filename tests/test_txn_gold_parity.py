@@ -107,3 +107,47 @@ def test_txn_gold_history_ops(both):
     _, txn, *_ = both
     ops = {h["op"] for h in TxnTable(txn.spark, txn.store.path("dim_stop")).history()}
     assert "overwrite" in ops or "append" in ops
+
+
+def test_stream_gold_into_txn_store(spark, tmp_path_factory):
+    """The streaming loader on the transactional backend: streamed gold
+    equals batch gold table-by-table, and a fresh-checkpoint re-stream
+    (re-delivering every cut) adds neither run-log rows nor commits."""
+    from data_lakehouse_movilidad_publica_santiago_spark.streaming.gold_stream import (
+        stream_gold,
+    )
+
+    root = tmp_path_factory.mktemp("txn_stream_lake")
+    fx.build_lake(root)
+    work = tmp_path_factory.mktemp("txn_stream_work")
+    gold_s, gold_b = work / "gold_s", work / "gold_b"
+
+    q = stream_gold(
+        spark, root, gold_s, work / "ckpt",
+        store=TxnGoldStore(spark, gold_s),
+    )
+    q.awaitTermination(300)
+
+    batch = GoldLoader(spark, gold_b, store=TxnGoldStore(spark, gold_b))
+    for p in discover_partitions(root, dataset="viajes"):
+        run_silver(spark, p, root)
+        batch.run(p, root)
+
+    s_store, b_store = TxnGoldStore(spark, gold_s), TxnGoldStore(spark, gold_b)
+    for table in ("dim_stop", "fct_trip", "fct_trip_leg", "dim_date"):
+        a, b = s_store.read(table), b_store.read(table)
+        assert sorted(a.columns) == sorted(b.columns), table
+        assert _rows(a) == _rows(b), f"{table} stream != batch"
+
+    fct = TxnTable(spark, gold_s / "fct_trip")
+    v = fct.latest_version()
+    n_log = s_store.read("etl_run_log").count()
+    # re-stream from a FRESH checkpoint: every cut re-delivered, every
+    # cut skipped by the run log -> zero new commits anywhere
+    q2 = stream_gold(
+        spark, root, gold_s, work / "ckpt2",
+        store=TxnGoldStore(spark, gold_s),
+    )
+    q2.awaitTermination(300)
+    assert TxnTable(spark, gold_s / "fct_trip").latest_version() == v
+    assert s_store.read("etl_run_log").count() == n_log
