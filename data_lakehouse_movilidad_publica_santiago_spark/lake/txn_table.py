@@ -879,39 +879,118 @@ class TxnTable:
         keys: Sequence[str],
         cluster_by: Sequence[str] | None = None,
     ) -> dict:
-        """MERGE: WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *.
+        """MERGE: WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *
+        — the common upsert; see ``merge`` for the full clause surface."""
+        return self.merge(
+            source,
+            keys,
+            when_matched="update",
+            when_not_matched="insert",
+            cluster_by=cluster_by,
+        )
 
-        Copy-on-write: only files whose key range can intersect the
-        source are rewritten; every other file is carried over
-        untouched. Beyond the reference's insert-only MERGE
-        (ddl_gold.sql:637) — this is the full upsert its RDBMS tier
-        provides. ``source`` must be unique on ``keys``.
+    def merge(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        when_matched: str | None = "update",
+        when_not_matched: str | None = "insert",
+        cluster_by: Sequence[str] | None = None,
+    ) -> dict:
+        """Full MERGE clause surface over copy-on-write rewrites:
+
+        - ``when_matched``: ``"update"`` (replace the target row with
+          the source row), ``"delete"`` (drop the matched target row),
+          or None (leave matched target rows untouched);
+        - ``when_not_matched``: ``"insert"`` (add source rows with no
+          target match) or None (drop them).
+
+        Only files whose key range can intersect the source are
+        rewritten; every other file carries over by reference. Beyond
+        the reference's insert-only MERGE (ddl_gold.sql:637) — this is
+        the surface its RDBMS tier gets from T-SQL MERGE. ``source``
+        must be unique on ``keys``.
 
         ``cluster_by`` (typically ``keys``) range-clusters the rewrite
         output so repeated merges keep file key-ranges disjoint — the
         prune set stays small instead of widening merge over merge.
         """
+        if when_matched not in ("update", "delete", None):
+            raise ValueError(f"when_matched={when_matched!r}")
+        if when_not_matched not in ("insert", None):
+            raise ValueError(f"when_not_matched={when_not_matched!r}")
+        if when_matched is None and when_not_matched is None:
+            raise ValueError("at least one MERGE clause is required")
         last_err: Exception | None = None
         for _ in range(self.max_retries):
             head = self.latest_version()
             if head is None:
-                v = self.append(source, cluster_by)
-                return {"version": v, "rewritten_files": 0, "kept_files": 0}
+                if when_not_matched == "insert":
+                    v = self.append(source, cluster_by)
+                    return {
+                        "version": v, "rewritten_files": 0, "kept_files": 0,
+                    }
+                raise ValueError("table has no commits yet")
             snap = self.snapshot(version=head)
             self._check_schema(source, snap)
             affected = self._affected_files_for_keys(snap, source, keys)
             cols = [f.name for f in snap.schema.fields]
+            src_keys = source.select(*keys).distinct()
+            if when_matched is None:
+                # insert-only MERGE: no target row changes, so nothing
+                # is rewritten — the anti-join'd new rows just APPEND
+                # (the reference's own MERGE semantics, zero-copy here)
+                if affected:
+                    existing = self.spark.read.schema(snap.schema).parquet(
+                        *[str(self.root / p) for p in affected]
+                    ).select(*keys)
+                    new_rows = source.join(existing, list(keys), "left_anti")
+                else:
+                    new_rows = source
+                v = self.append(new_rows.select(*cols), cluster_by)
+                return {
+                    "version": v,
+                    "rewritten_files": 0,
+                    "kept_files": len(snap.files),
+                }
             if affected:
                 target = self.spark.read.schema(snap.schema).parquet(
                     *[str(self.root / p) for p in affected]
                 )
-                keep_old = target.join(
-                    source.select(*keys).distinct(), list(keys), "left_anti"
-                )
-                merged = keep_old.select(*cols).unionByName(
-                    source.select(*cols)
-                )
+                # target rows with no source match always survive
+                pieces = [
+                    target.join(src_keys, list(keys), "left_anti")
+                    .select(*cols)
+                ]
+                if when_matched == "update":
+                    # the matched keys' new image is the source row
+                    pieces.append(
+                        source.join(
+                            target.select(*keys).distinct(),
+                            list(keys),
+                            "left_semi",
+                        ).select(*cols)
+                    )
+                # when_matched == "delete": matched target rows vanish —
+                # nothing to add for them
+                if when_not_matched == "insert":
+                    pieces.append(
+                        source.join(
+                            target.select(*keys).distinct(),
+                            list(keys),
+                            "left_anti",
+                        ).select(*cols)
+                    )
+                merged = pieces[0]
+                for piece in pieces[1:]:
+                    merged = merged.unionByName(piece)
             else:
+                if when_not_matched != "insert":
+                    return {  # no file can match and inserts are off
+                        "version": head,
+                        "rewritten_files": 0,
+                        "kept_files": len(snap.files),
+                    }
                 merged = source.select(*cols)
             add = self._write_data_files(merged, cluster_by)
             rec = {
@@ -935,7 +1014,7 @@ class TxnTable:
                 self._unlink_data(e["path"])
             last_err = ConcurrentCommitError("merge rebased")
         raise ConcurrentCommitError(
-            f"merge_upsert lost {self.max_retries} commit races"
+            f"merge lost {self.max_retries} commit races"
         ) from last_err
 
     def delete_where(

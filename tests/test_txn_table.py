@@ -541,3 +541,59 @@ def test_bloom_sidecars_follow_vacuum(spark, tmp_path):
 
     for side in (t.root / "data").rglob("*.bloom.json"):
         assert _os.path.exists(str(side)[: -len(".bloom.json")])
+
+
+# ---------------------------------------------------------- MERGE clauses
+
+
+def test_merge_matched_delete_not_matched_insert(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    # matched keys are DELETED, unmatched source rows INSERTED
+    t.merge(
+        _df(spark, [(2, "x"), (9, "new")]), keys=["k"],
+        when_matched="delete", when_not_matched="insert",
+    )
+    assert _content(t.read()) == [(1, "a"), (3, "c"), (9, "new")]
+
+
+def test_merge_matched_delete_only(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge(
+        _df(spark, [(2, "x"), (9, "zz")]), keys=["k"],
+        when_matched="delete", when_not_matched=None,
+    )
+    assert _content(t.read()) == [(1, "a"), (3, "c")]  # 9 NOT inserted
+
+
+def test_merge_update_only_skips_unmatched_source(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.merge(
+        _df(spark, [(2, "B!"), (9, "never")]), keys=["k"],
+        when_matched="update", when_not_matched=None,
+    )
+    assert _content(t.read()) == [(1, "a"), (2, "B!")]
+
+
+def test_merge_insert_only_appends_without_rewrites(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    before = set(t.snapshot().file_paths())
+    out = t.merge(
+        _df(spark, [(2, "dup"), (3, "c")]), keys=["k"],
+        when_matched=None, when_not_matched="insert",
+    )
+    assert out["rewritten_files"] == 0
+    assert before <= set(t.snapshot().file_paths())  # nothing removed
+    assert _content(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert t.history()[-1]["op"] == "append"  # zero-copy insert-only path
+
+
+def test_merge_requires_a_clause(spark, tmp_path):
+    t = TxnTable(spark, tmp_path / "t")
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError):
+        t.merge(_df(spark, [(1, "x")]), keys=["k"],
+                when_matched=None, when_not_matched=None)
