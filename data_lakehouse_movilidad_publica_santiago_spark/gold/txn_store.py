@@ -50,19 +50,30 @@ class TxnGoldStore(GoldStore):
 
     @staticmethod
     def _co_locate(
-        df: DataFrame, partition_cols: list[str] | None
+        df: DataFrame,
+        partition_cols: list[str] | None,
+        prune: dict[str, list] | None = None,
     ) -> DataFrame:
         """Hive partition dirs become HASH co-location on the same
         columns: every output file then holds one (or few) partition
         value(s), so its footer min==max and stats-based file skipping
         replaces partition pruning. Hash, not range: a range shuffle
         runs a sampling job (the whole upstream plan executes twice —
-        expensive when upstream is the MERGE anti-join), and for the
-        typical single-cut batch range-ordering adds nothing anyway
-        (all rows share the partition value)."""
-        if partition_cols:
-            return df.repartition(*[F.col(c) for c in partition_cols])
-        return df
+        expensive when upstream is the MERGE anti-join).
+
+        CRITICAL skip: when the batch holds a SINGLE partition value
+        (the normal per-cut load — ``prune`` says so without a scan),
+        hashing on it would funnel every row into ONE task (hot
+        partition; fatal at scale) and buy nothing — any layout
+        already gives min==max stats for a constant column. So only
+        multi-value batches repartition."""
+        if not partition_cols:
+            return df
+        if prune is not None and all(
+            len(prune.get(c, [0, 1])) <= 1 for c in partition_cols
+        ):
+            return df
+        return df.repartition(*[F.col(c) for c in partition_cols])
 
     def append(
         self, df: DataFrame, table: str, partition_cols: list[str] | None = None
@@ -96,7 +107,7 @@ class TxnGoldStore(GoldStore):
             existing = tab.read(predicates=preds).select(*grain)
             cond = [df[g].eqNullSafe(existing[g]) for g in grain]
             new_rows = df.join(existing, cond, "left_anti")
-        version = tab.append(self._co_locate(new_rows, partition_cols))
+        version = tab.append(self._co_locate(new_rows, partition_cols, prune))
         if version is None:
             return 0
         return sum(e["rows"] for e in tab.commit_info(version)["add"])
