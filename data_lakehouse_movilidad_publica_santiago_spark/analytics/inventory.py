@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.datetime_fns import date_sk, time_30m_sk
-from ..functions.hashing import row_hash
 from ..operators.asof import asof_join, snapshots_to_scd2
 from ..operators.dedup import dedup_keep_latest
 from ..operators.quality import QualityRule, split_by_quality, tag_quality

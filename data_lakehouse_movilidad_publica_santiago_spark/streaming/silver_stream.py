@@ -17,8 +17,6 @@ Mapping from the reference's batch semantics (SURVEY §2.10):
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
