@@ -60,6 +60,22 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(gp)
     gp.add_argument("--force", action="store_true", help="ignore run-log OK skip")
 
+    mp_ = sub.add_parser(
+        "maintain",
+        help="transactional-gold maintenance: OPTIMIZE small files + "
+        "VACUUM unreferenced data past the retention window",
+    )
+    mp_.add_argument("--gold-dir", required=True, type=Path)
+    mp_.add_argument("--target-file-mb", type=int, default=128)
+    mp_.add_argument("--retain-versions", type=int, default=5)
+    mp_.add_argument(
+        "--vacuum-min-age-hours",
+        type=float,
+        default=1.0,
+        help="never reclaim files younger than this (in-flight writer "
+        "protection)",
+    )
+
     rp = sub.add_parser("report", help="gold load diagnostics report")
     rp.add_argument("--lake", required=True, type=Path)
 
@@ -116,6 +132,28 @@ def main(argv: list[str] | None = None) -> int:
             except Exception as exc:
                 failed += 1
                 print(f"FAIL {p.dataset}/{p.cut}: {exc}", file=sys.stderr)
+
+    elif args.cmd == "maintain":
+        from .lake import TxnTable
+
+        out = {}
+        for tdir in sorted(args.gold_dir.iterdir()):
+            if not (tdir / "_txn_log").is_dir():
+                continue
+            tab = TxnTable(spark, tdir)
+            opt = tab.optimize(
+                target_file_bytes=args.target_file_mb * 1024 * 1024
+            )
+            vac = tab.vacuum(
+                retain_last=args.retain_versions,
+                min_age_s=args.vacuum_min_age_hours * 3600.0,
+            )
+            out[tdir.name] = {
+                "compacted_files": opt.get("compacted_files", 0),
+                "vacuumed_files": vac.get("deleted_files", 0),
+                "version": tab.latest_version(),
+            }
+        print(json.dumps(out))
 
     elif args.cmd == "report":
         loader = GoldLoader(spark, args.lake / "gold")

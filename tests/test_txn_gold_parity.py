@@ -151,3 +151,37 @@ def test_stream_gold_into_txn_store(spark, tmp_path_factory):
     q2.awaitTermination(300)
     assert TxnTable(spark, gold_s / "fct_trip").latest_version() == v
     assert s_store.read("etl_run_log").count() == n_log
+
+
+def test_cli_maintain_compacts_and_vacuums(spark, tmp_path):
+    """`maintain --gold-dir` OPTIMIZEs the small-file tail and VACUUMs
+    history on every txn table under the gold root."""
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+
+    gold = tmp_path / "gold"
+    t = TxnTable(spark, gold / "fct_demo")
+    for i in range(5):
+        t.append(
+            spark.createDataFrame([(i, f"r{i}")], "k int, v string")
+            .coalesce(1)
+        )
+    t.overwrite(spark.createDataFrame([(9, "z")], "k int, v string"))
+    (gold / "not_a_table").mkdir()  # ignored: no _txn_log
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(
+            ["maintain", "--gold-dir", str(gold),
+             "--retain-versions", "1", "--vacuum-min-age-hours", "0"]
+        )
+    assert rc == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert "fct_demo" in out and "not_a_table" not in out
+    assert out["fct_demo"]["vacuumed_files"] >= 1  # pre-overwrite files
+    final = TxnTable(spark, gold / "fct_demo").read().collect()
+    assert [(r["k"], r["v"]) for r in final] == [(9, "z")]
