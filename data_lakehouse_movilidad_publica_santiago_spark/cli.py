@@ -141,6 +141,8 @@ def main(argv: list[str] | None = None) -> int:
             if not (tdir / "_txn_log").is_dir():
                 continue
             tab = TxnTable(spark, tdir)
+            if tab.latest_version() is None:
+                continue  # bare exists() probe left an empty log dir
             opt = tab.optimize(
                 target_file_bytes=args.target_file_mb * 1024 * 1024
             )
