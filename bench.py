@@ -72,6 +72,10 @@ HEADLINE = [
     # commit sequence (append + COW merge + COW delete); timed passes
     # measure the stats-pruned snapshot read
     "txn_delete_skipping",
+    # training-data ops: char-16-gram leakage scan (id+hash-only
+    # shuffles) and the two-pass distributed token packer
+    "decontamination",
+    "pack_shards",
 ]
 
 

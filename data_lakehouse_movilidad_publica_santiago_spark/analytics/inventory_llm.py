@@ -34,6 +34,7 @@ from ..operators.clustering import (
     connected_components_oracle_sql,
 )
 from ..operators.dedup_text import (
+    _md5_hex8_bigint_sql,
     exact_dup_groups,
     jaccard_pairs_exact,
     minhash_lsh_pairs,
@@ -647,7 +648,115 @@ GROUP BY 1, 2
 """
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage scan: docs with ``doc_id % 10 == 0`` act as
+    the held-out eval set; every other doc is training. Reports the
+    training docs sharing ≥1 verbatim char-16-gram with any eval doc
+    and how many distinct shingles leak."""
+    from ..operators.data_mix import contamination_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return contamination_pairs(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        k=16,
+    )
+
+
+ORACLE_DECONTAMINATION = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_NORM} AS nrm FROM documents),
+sh AS (
+  SELECT doc_id,
+         md5(substr(nrm, CAST(pos AS INTEGER), 16)) AS shingle
+  FROM d, LATERAL (
+    SELECT unnest(range(1, greatest(length(nrm) - 15, 1) + 1)) AS pos)),
+trs AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+evs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+SELECT trs.doc_id, COUNT(*) AS n_shared
+FROM trs JOIN evs USING (shingle)
+GROUP BY trs.doc_id
+"""
+
+
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic weighted sampling (domain rebalancing):
+    keep 50% of en, 25% of es, 10% of everything else — decisions are
+    a pure hash of (seed, doc_id), so the oracle replays them exactly
+    and any cluster layout reproduces the same sample."""
+    from ..operators.data_mix import sample_mix
+
+    docs = t(spark, sf_dir, "documents")
+    kept = sample_mix(
+        docs,
+        {"en": 0.5, "es": 0.25},
+        category_col="lang",
+        seed="mix-v1",
+        default_fraction=0.1,
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+ORACLE_SAMPLE_MIX = f"""
+WITH hashed AS (
+  SELECT lang, n_chars,
+         md5('mix-v1:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+decided AS (
+  SELECT lang, n_chars,
+         CAST(({_md5_hex8_bigint_sql()}) AS DOUBLE) / 4294967296.0 AS u
+  FROM hashed)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM decided
+WHERE u < (CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+           ELSE 0.1 END)
+GROUP BY lang
+"""
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing summary: shard id by exclusive
+    running token count in doc_id order (two-pass DISTRIBUTED prefix
+    sum — no single-partition window; the oracle's global window is
+    the semantic twin, not the physical plan)."""
+    from ..operators.data_mix import pack_shards
+
+    docs = t(spark, sf_dir, "documents")
+    shards = pack_shards(docs, budget_tokens=2000)
+    return shards.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_PACK_SHARDS = """
+WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+cum AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM tok)
+SELECT CAST(FLOOR(prior / 2000) AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM cum
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "decontamination": q_decontamination,
+    "sample_mix": q_sample_mix,
+    "pack_shards": q_pack_shards,
     "doc_fingerprints": q_doc_fingerprints,
     "exact_dedup_summary": q_exact_dedup_summary,
     "token_jaccard_near_dup": q_token_jaccard_near_dup,
@@ -671,6 +780,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "decontamination": ORACLE_DECONTAMINATION,
+    "sample_mix": ORACLE_SAMPLE_MIX,
+    "pack_shards": ORACLE_PACK_SHARDS,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "exact_dedup_summary": ORACLE_EXACT_DEDUP_SUMMARY,
     "token_jaccard_near_dup": ORACLE_TOKEN_JACCARD,

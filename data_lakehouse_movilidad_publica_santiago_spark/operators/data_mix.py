@@ -1,0 +1,191 @@
+"""Training-data pipeline ops: decontamination, deterministic weighted
+sampling, token-budget shard packing.
+
+Three operations every large-scale training-data build needs beyond
+dedup (all Column-expression / JVM-side — no Python in the hot path):
+
+- ``contamination_pairs``: which training documents share verbatim
+  char-k-gram shingles with an evaluation set (train/test leakage
+  scan). Shingles are md5-hashed so only (id, hash) rows cross the
+  shuffle; the eval shingle set is DISTINCT-ed before the join.
+- ``sample_mix``: seeded deterministic weighted sampling per category
+  (domain/language rebalancing). The keep decision is a pure hash of
+  (seed, doc id) — re-running anywhere, any partitioning, any cluster
+  size reproduces the same sample; no RNG state, no ``rand()``
+  nondeterminism under task retries.
+- ``pack_shards``: assign documents to fixed token-budget shards by
+  exclusive running token count — the deterministic streaming-packing
+  layout step before sequence packing. Implemented as a two-pass
+  distributed prefix sum (per-partition window + bounded driver-side
+  partition offsets), NOT a global single-partition window, so it
+  scales to any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Spark regexp_replace replaces ALL matches (its 4th arg is a position,
+# not flags); the DuckDB oracle needs an explicit 'g' flag instead
+_NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' '))"
+
+
+def _shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc_id, shingle md5) rows: one per char-k-gram position of the
+    normalized text — the same normalization/gram recipe as the
+    winnowing fingerprints (dedup_text.py), minus the window-min."""
+    norm = F.expr(_NORM.format(c=text_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), norm.alias("__nrm"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length("__nrm") - F.lit(k - 1), F.lit(1)
+                    ),
+                )
+            ).alias("__pos"),
+            "__nrm",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.expr(f"substr(__nrm, __pos, {k})")).alias("shingle"),
+        )
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+) -> DataFrame:
+    """Per contaminated train doc: how many DISTINCT eval shingles it
+    contains (``n_shared`` ≥ 1). Docs with zero overlap are absent —
+    the survivors of the decontamination filter are the anti-join.
+
+    Scale: shuffles carry (doc_id, 32-hex) rows only; the eval shingle
+    set is distinct-ed (and typically broadcastable — eval suites are
+    small next to training corpora)."""
+    train_sh = _shingle_hashes(train, id_col, text_col, k).distinct()
+    eval_sh = (
+        _shingle_hashes(eval_set, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def _uniform_hash(id_col: Column, seed: str) -> Column:
+    """Deterministic uniform [0, 1) from (seed, id): first 8 hex chars
+    of md5 over 16^8 — bit-identical in Spark and DuckDB."""
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(
+        float(16**8)
+    )
+
+
+def sample_mix(
+    df: DataFrame,
+    fractions: dict[str, float],
+    category_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Seeded deterministic weighted sample: keep a row iff
+    ``uniform_hash(seed, id) < fractions[category]``. Reproducible
+    across runs/cluster layouts (unlike ``rand()``), and the oracle
+    can replay the exact decision in SQL."""
+    frac = None
+    for cat, f in sorted(fractions.items()):
+        cond = F.col(category_col) == F.lit(cat)
+        frac = (
+            F.when(cond, F.lit(float(f)))
+            if frac is None
+            else frac.when(cond, F.lit(float(f)))
+        )
+    frac = (
+        frac.otherwise(F.lit(float(default_fraction)))
+        if frac is not None
+        else F.lit(float(default_fraction))
+    )
+    return df.filter(_uniform_hash(F.col(id_col), seed) < frac)
+
+
+def pack_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Assign each doc a ``shard_id`` = floor(exclusive running token
+    count / budget) in ``id_col`` order — the deterministic layout step
+    that packs a corpus into fixed token-budget shards.
+
+    Scale: a naive ``SUM() OVER (ORDER BY id)`` is a single-partition
+    window (the whole corpus through one task). This is the standard
+    two-pass distributed prefix sum instead: range-partition by id,
+    per-partition window cumsum, then add bounded driver-side
+    partition offsets (#partitions values — metadata-sized)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tok"),
+    )
+    # persist: the range shuffle's sampled bounds are not guaranteed
+    # identical across re-executions, and pass 2 + the final join must
+    # see the SAME partitioning as pass 1 (MEMORY_AND_DISK: eviction
+    # spills rather than drops, so the pinning survives pressure).
+    # Long-lived multi-corpus sessions can clearCache() between runs.
+    parts = (
+        toks.repartitionByRange(n_parts, "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn(
+        "__local_prior", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    # pass 2: per-partition totals → exclusive offsets (bounded: one
+    # row per partition, safe to collect; RangePartitioning assigns
+    # ascending key ranges to ascending partition ids)
+    totals = {
+        r["__pid"]: r["t"]
+        for r in parts.groupBy("__pid")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_df = local.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        "__pid int, __offset bigint",
+    )
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.floor(
+                (F.col("__offset") + F.col("__local_prior"))
+                / F.lit(budget_tokens)
+            ).alias("shard_id"),
+        )
+    )

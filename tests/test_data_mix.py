@@ -1,0 +1,79 @@
+"""Training-data ops (operators/data_mix.py): decontamination scan,
+seeded deterministic sampling, distributed token-budget packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_movilidad_publica_santiago_spark.operators.data_mix import (
+    contamination_pairs,
+    pack_shards,
+    sample_mix,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_contamination_finds_verbatim_overlap_only(spark):
+    train = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog tonight", "en"),
+        (2, "completely different words with no overlap here at all", "en"),
+    ])
+    ev = _docs(spark, [
+        (100, "we saw the quick brown fox jumps over a fence", "en"),
+    ])
+    got = {r["doc_id"]: r["n_shared"] for r in
+           contamination_pairs(train, ev, k=16).collect()}
+    assert 1 in got and got[1] >= 1  # shares "the quick brown fox…"
+    assert 2 not in got              # zero 16-gram overlap
+
+
+def test_sample_mix_deterministic_and_weighted(spark):
+    docs = _docs(
+        spark,
+        [(i, f"doc {i}", "en" if i % 2 == 0 else "es") for i in range(2000)],
+    )
+    kept1 = sample_mix(docs, {"en": 0.5, "es": 0.1}, seed="s1")
+    kept2 = sample_mix(docs, {"en": 0.5, "es": 0.1}, seed="s1")
+    ids1 = {r["doc_id"] for r in kept1.collect()}
+    ids2 = {r["doc_id"] for r in kept2.collect()}
+    assert ids1 == ids2  # same seed → bit-identical sample
+    ids3 = {r["doc_id"] for r in
+            sample_mix(docs, {"en": 0.5, "es": 0.1}, seed="s2").collect()}
+    assert ids1 != ids3  # different seed → different sample
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert 400 < by_lang["en"] < 600     # ~50% of 1000
+    assert 50 < by_lang["es"] < 160      # ~10% of 1000
+
+
+def test_pack_shards_budget_and_coverage(spark):
+    docs = _docs(
+        spark,
+        [(i, " ".join(["w"] * (10 + i % 17)), "en") for i in range(500)],
+    )
+    shards = pack_shards(docs, budget_tokens=300).collect()
+    assert len(shards) == 500  # every doc assigned exactly once
+    per_shard: dict[int, int] = {}
+    max_doc_tokens = 10 + 16
+    for r in shards:
+        per_shard[r["shard_id"]] = per_shard.get(r["shard_id"], 0) + r["n_tok"]
+    # exclusive-prefix packing: a shard overflows by at most one doc
+    for sid, total in per_shard.items():
+        assert total <= 300 + max_doc_tokens, (sid, total)
+    # shards are contiguous doc_id ranges (streaming layout)
+    by_doc = sorted((r["doc_id"], r["shard_id"]) for r in shards)
+    sids = [s for _, s in by_doc]
+    assert sids == sorted(sids)
+
+
+def test_pack_shards_plan_has_no_global_window(spark):
+    docs = _docs(spark, [(i, "a b c", "en") for i in range(100)])
+    plan = pack_shards(docs, budget_tokens=10)._jdf.queryExecution().toString()
+    # the window must be partitioned by the range-partition id, never a
+    # single global partition (that is the whole point of the 2-pass)
+    assert "windowspecdefinition(__pid" in plan
