@@ -15,9 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_lakehouse_movilidad_publica_santiago_spark.analytics import (
     business_gate,
+    corpus_gate,
     inventory,
     inventory_llm,
     lake_gate,
+    sql_surface_gate,
 )
 
 
@@ -35,6 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **inventory.QUERIES,
         **inventory_llm.QUERIES,
         **business_gate.QUERIES,
+        **corpus_gate.QUERIES,
+        **sql_surface_gate.QUERIES,
         **lake_gate.QUERIES,
     }
 
@@ -49,5 +53,7 @@ def oracle_sql() -> dict[str, str]:
         **inventory.ORACLE,
         **inventory_llm.ORACLE,
         **business_gate.ORACLE,
+        **corpus_gate.ORACLE,
+        **sql_surface_gate.ORACLE,
         **lake_gate.ORACLE,
     }

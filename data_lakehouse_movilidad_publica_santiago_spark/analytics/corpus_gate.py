@@ -1,0 +1,319 @@
+"""Corpus-preparation gate queries: PII scrubbing, repetition
+analysis, n-gram statistics, RAG chunking, deterministic global
+shuffle, and session windows — the cleaning/layout passes of a
+training-data pipeline, each with a DuckDB differential oracle.
+
+The public ``documents`` word-soup corpus contains no real PII, so
+the PII gates append synthetic identifiers derived deterministically
+from ``doc_id`` (same trick as the multimodal gates' synthesized
+payloads): BOTH the Spark query and the oracle compute the identical
+augmented text from the shared `_PII_AUG` template, then the
+scan/redact operators under test run only on the Spark side against
+the oracle's independent regex engine (Java vs RE2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import dup_ngram_fraction, word_ngrams_raw
+from ..operators.chunking import chunk_documents, global_shuffle
+from ..operators.pii import PII_PATTERNS, pii_count, redact_pii
+from ..operators.windows import sessionize
+from .inventory import t
+
+# Deterministic PII augmentation: ~1/3 of docs get an email, 3/4 an
+# IPv4, 2/5 a phone — plus every selected doc's values vary with its
+# id, so redaction is not a constant-string rewrite. The template is
+# dialect-shared except the string type name ({str}: STRING / VARCHAR).
+_PII_AUG = (
+    "concat({t}"
+    ", CASE WHEN {id} % 3 = 0 THEN concat(' contact user', CAST({id} AS {str}), '@example.com') ELSE '' END"
+    ", CASE WHEN {id} % 4 <> 1 THEN concat(' from 10.', CAST({id} % 4 AS {str}), '.', CAST({id} % 256 AS {str}), '.', CAST(({id} * 7) % 256 AS {str})) ELSE '' END"
+    ", CASE WHEN {id} % 5 < 2 THEN concat(' call 555-', lpad(CAST(({id} * 13) % 1000 AS {str}), 3, '0'), '-', lpad(CAST(({id} * 31) % 10000 AS {str}), 4, '0')) ELSE '' END"
+    ")"
+)
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "ptext",
+        F.expr(_PII_AUG.format(id="doc_id", t="text", str="STRING")),
+    )
+
+
+_AUG_SQL = (
+    "SELECT doc_id, source, "
+    + _PII_AUG.format(id="doc_id", t="text", str="VARCHAR")
+    + " AS ptext FROM documents"
+)
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII inventory per source: how many docs carry each identifier
+    class and the total match counts — the audit report that runs
+    before redaction. Pure regexp_count columns, one groupBy."""
+    aug = _aug_docs(spark, sf_dir)
+    counted = aug.select(
+        "source",
+        pii_count(F.col("ptext"), "email").alias("n_email"),
+        pii_count(F.col("ptext"), "ipv4").alias("n_ipv4"),
+        pii_count(F.col("ptext"), "phone").alias("n_phone"),
+    )
+    return counted.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (
+                (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
+            ).cast("bigint")
+        ).alias("docs_with_pii"),
+        F.sum("n_email").alias("total_email"),
+        F.sum("n_ipv4").alias("total_ipv4"),
+        F.sum("n_phone").alias("total_phone"),
+    )
+
+
+ORACLE_PII_SCAN = f"""
+WITH aug AS ({_AUG_SQL}),
+c AS (
+  SELECT source,
+         len(regexp_extract_all(ptext, '{PII_PATTERNS["email"]}')) AS n_email,
+         len(regexp_extract_all(ptext, '{PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+         len(regexp_extract_all(ptext, '{PII_PATTERNS["phone"]}')) AS n_phone
+  FROM aug)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(n_email) AS BIGINT) AS total_email,
+       CAST(SUM(n_ipv4) AS BIGINT) AS total_ipv4,
+       CAST(SUM(n_phone) AS BIGINT) AS total_phone
+FROM c GROUP BY source
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass: every match replaced by its class token, in
+    the canonical email → ipv4 → phone order. The gate compares the
+    md5 of each redacted document against an independent regex
+    engine's rewrite, so a single mis-redacted byte anywhere in the
+    corpus fails the hash."""
+    aug = _aug_docs(spark, sf_dir)
+    return aug.select(
+        "doc_id",
+        (
+            pii_count(F.col("ptext"), "email")
+            + pii_count(F.col("ptext"), "ipv4")
+            + pii_count(F.col("ptext"), "phone")
+        ).alias("n_pii"),
+        F.md5(redact_pii(F.col("ptext"))).alias("redacted_md5"),
+    )
+
+
+ORACLE_PII_REDACT = f"""
+WITH aug AS ({_AUG_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(ptext, '{PII_PATTERNS["email"]}'))
+          + len(regexp_extract_all(ptext, '{PII_PATTERNS["ipv4"]}'))
+          + len(regexp_extract_all(ptext, '{PII_PATTERNS["phone"]}')) AS BIGINT) AS n_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+             '{PII_PATTERNS["email"]}', '[EMAIL]', 'g'),
+             '{PII_PATTERNS["ipv4"]}', '[IP]', 'g'),
+             '{PII_PATTERNS["phone"]}', '[PHONE]', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: the duplicate word
+    2-gram fraction per document, aggregated per source. All array
+    expressions — no explode, no shuffle beyond the final groupBy."""
+    docs = t(spark, sf_dir, "documents")
+    frac = docs.select(
+        "source",
+        F.round(dup_ngram_fraction(F.col("text"), 2), 6).alias("dup2"),
+    )
+    return frac.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dup2"), 4).alias("avg_dup2"),
+        F.round(F.min("dup2"), 4).alias("min_dup2"),
+        F.round(F.max("dup2"), 4).alias("max_dup2"),
+    )
+
+
+ORACLE_REPETITION_STATS = """
+WITH g AS (
+  SELECT source,
+         list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> string_split(text, ' ')[i] || ' ' || COALESCE(string_split(text, ' ')[i + 1], '')
+         ) AS grams
+  FROM documents),
+f AS (
+  -- a 1-token doc yields one gram on both engines (differing only by
+  -- a trailing space the ratio cannot see: 1 - 1/1 = 0 either way)
+  SELECT source,
+         ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+           / len(grams), 6) AS dup2
+  FROM g)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(dup2), 4) AS avg_dup2,
+       ROUND(MIN(dup2), 4) AS min_dup2,
+       ROUND(MAX(dup2), 4) AS max_dup2
+FROM f GROUP BY source
+"""
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word trigrams (occurrence-counted) — the
+    n-gram frequency table used for contamination screens and boilerplate
+    detection. Explode → partial-agg count → TakeOrdered 20."""
+    docs = t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(word_ngrams_raw(F.col("text"), 3)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+ORACLE_NGRAM_TOPK = """
+WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+g AS (
+  SELECT unnest(list_transform(
+    generate_series(1, greatest(len(l) - 2, 1)),
+    i -> CASE WHEN len(l) >= 3
+              THEN l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]
+              ELSE array_to_string(l, ' ') END)) AS gram
+  FROM toks)
+SELECT gram, COUNT(*) AS n FROM g
+GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20
+"""
+
+
+def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 64-token windows advancing 48 tokens (overlap
+    16); output carries offsets + md5 per chunk so verification never
+    moves text. Map-only (one posexplode), no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+ORACLE_RAG_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+starts AS (
+  SELECT doc_id, l, n,
+         unnest(generate_series(
+           1,
+           greatest(1, CAST(ceil(CAST(n - 64 AS DOUBLE) / 48) AS BIGINT) * 48 + 1),
+           48)) AS start_tok
+  FROM toks)
+SELECT doc_id,
+       CAST((start_tok - 1) / 48 AS INTEGER) AS chunk_idx,
+       CAST(start_tok AS INTEGER) AS start_tok,
+       CAST(len(list_slice(l, start_tok, least(start_tok + 63, n))) AS INTEGER) AS n_tok,
+       md5(array_to_string(list_slice(l, start_tok, least(start_tok + 63, n)), ' ')) AS chunk_md5
+FROM starts
+"""
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global permutation with a stable 1-based
+    global position — two-pass distributed rank, never a
+    single-partition ORDER BY window."""
+    docs = t(spark, sf_dir, "documents")
+    return global_shuffle(docs, seed="epoch-0")
+
+
+ORACLE_GLOBAL_SHUFFLE = """
+SELECT doc_id,
+       md5('epoch-0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('epoch-0:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS pos
+FROM documents
+"""
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user over the event stream —
+    the stateful sessionization shape, computed with the native
+    ``session_window`` aggregation. Timestamps surface as unix
+    microseconds so both engines hash identical integers."""
+    ev = t(spark, sf_dir, "events")
+    sessions = sessionize(
+        ev,
+        gap="30 minutes",
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    # events.ts scans as TIMESTAMP_NTZ; the session runs in UTC
+    # (session.py pins spark.sql.session.timeZone), so the NTZ→TZ cast
+    # is value-preserving and unix_micros matches DuckDB's epoch_us
+    return sessions.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "start_us"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias(
+            "end_us"
+        ),
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLE_SESSION_WINDOWS = """
+WITH d AS (
+  -- break on diff STRICTLY greater than the gap: an event at exactly
+  -- last+gap has an adjacent [ts, ts+gap) range and Spark unions
+  -- adjacent ranges into one session (pinned by
+  -- tests/test_corpus_ops.py::test_sessionize_gap_boundary)
+  SELECT user_id, ts, value,
+         CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+g AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM d)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS start_us,
+       epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS end_us,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM g GROUP BY user_id, grp
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pii_scan": q_pii_scan,
+    "pii_redact": q_pii_redact,
+    "repetition_stats": q_repetition_stats,
+    "ngram_topk": q_ngram_topk,
+    "rag_chunks": q_rag_chunks,
+    "global_shuffle": q_global_shuffle,
+    "session_windows": q_session_windows,
+}
+
+ORACLE: dict[str, str] = {
+    "pii_scan": ORACLE_PII_SCAN,
+    "pii_redact": ORACLE_PII_REDACT,
+    "repetition_stats": ORACLE_REPETITION_STATS,
+    "ngram_topk": ORACLE_NGRAM_TOPK,
+    "rag_chunks": ORACLE_RAG_CHUNKS,
+    "global_shuffle": ORACLE_GLOBAL_SHUFFLE,
+    "session_windows": ORACLE_SESSION_WINDOWS,
+}

@@ -35,8 +35,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanoseconds and is converted here to a proper timestamp (truncated
     to micros, matching DuckDB's ns→us read). The conf is set here as
     well so the queries also work on a caller-provided vanilla
-    session (e.g. the driver's)."""
+    session (e.g. the driver's). The session timezone is pinned UTC
+    for the same reason: the corpus/sql-surface gates reinterpret
+    TIMESTAMP_NTZ scans as instants (unix_micros), which must agree
+    with DuckDB's UTC epoch on a driver session whose JVM default
+    timezone could be anything."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

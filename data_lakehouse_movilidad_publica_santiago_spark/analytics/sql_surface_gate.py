@@ -1,0 +1,198 @@
+"""Multi-dimensional SQL-surface gates: ROLLUP / CUBE / GROUPING
+SETS, native pivot, and time-series resample+forward-fill — the
+OLAP-report shapes a warehouse user reaches for right after plain
+GROUP BY, each with a DuckDB differential oracle.
+
+The reference's report queries aggregate one grouping set at a time
+(docs/queries/*.sql run per-dimension); these gates prove the engine
+covers the multi-level forms natively (Catalyst's Expand operator
+computes all grouping sets in ONE scan — at 100 TB that's the
+difference between one pass and one pass per level).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.resample import resample_ffill
+from .inventory import t
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (returnflag, linestatus): per-pair, per-flag subtotal,
+    and grand total in one Expand pass. ``gid`` disambiguates a NULL
+    grouping key from a rolled-up level (first listed column = MSB,
+    matching DuckDB's multi-arg GROUPING())."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+ORACLE_ROLLUP_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (status, priority): all four grouping sets in one pass."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+ORACLE_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_grouping_sets_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((region, nation), (region), ()) over
+    the geo dims — the hand-picked-levels form (SQL surface; the
+    DataFrame API covers rollup/cube above)."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("__gs_nation")
+    t(spark, sf_dir, "region").createOrReplaceTempView("__gs_region")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("__gs_customer")
+    return spark.sql(
+        """
+        SELECT r.r_name, n.n_name,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               COUNT(*) AS n_cust,
+               ROUND(SUM(c.c_acctbal), 2) AS acctbal
+        FROM __gs_customer c
+        JOIN __gs_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN __gs_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r.r_name, n.n_name), (r.r_name), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS_GEO = """
+SELECT r.r_name, n.n_name,
+       CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS gid,
+       COUNT(*) AS n_cust,
+       ROUND(SUM(c.c_acctbal), 2) AS acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY GROUPING SETS ((r.r_name, n.n_name), (r.r_name), ())
+"""
+
+
+def q_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot: order counts per priority × status, statuses as
+    columns (values pinned so the plan needs no discovery pass — at
+    scale an unpinned pivot runs an extra distinct job)."""
+    o = t(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+ORACLE_PIVOT_STATUS_MATRIX = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly grid per user with last-observation carry
+    forward — the time-series resample/locf shape over the event
+    stream. Buckets surface as unix micros for engine-stable hashing.
+    The gate keeps every 10th user (filter pushed to the scan) so the
+    differential compare moves ~10k grid rows, not the full grid."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    res = resample_ffill(ev, step="1 hour")
+    return res.select(
+        "user_id",
+        F.unix_micros(F.col("bucket").cast("timestamp")).alias("bucket_us"),
+        "n_events",
+        F.round("value_ffill", 2).alias("value_ffill"),
+    )
+
+
+ORACLE_RESAMPLE_FFILL = """
+WITH ranked AS (
+  SELECT user_id,
+         to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS bucket,
+         value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, FLOOR(epoch(ts) / 3600)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id % 10 = 0),
+hourly AS (
+  SELECT user_id, bucket, COUNT(*) AS n_events,
+         MAX(CASE WHEN rn = 1 THEN value END) AS last_value
+  FROM ranked GROUP BY user_id, bucket),
+bounds AS (
+  SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+  FROM hourly GROUP BY user_id),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds),
+filled AS (
+  SELECT g.user_id, g.bucket,
+         COALESCE(h.n_events, 0) AS n_events,
+         last_value(h.last_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket
+           ROWS UNBOUNDED PRECEDING) AS value_ffill
+  FROM grid g
+  LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket)
+SELECT user_id, epoch_us(bucket) AS bucket_us, n_events,
+       ROUND(value_ffill, 2) AS value_ffill
+FROM filled
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rollup_revenue": q_rollup_revenue,
+    "cube_orders": q_cube_orders,
+    "grouping_sets_geo": q_grouping_sets_geo,
+    "pivot_status_matrix": q_pivot_status_matrix,
+    "resample_ffill_hourly": q_resample_ffill_hourly,
+}
+
+ORACLE: dict[str, str] = {
+    "rollup_revenue": ORACLE_ROLLUP_REVENUE,
+    "cube_orders": ORACLE_CUBE_ORDERS,
+    "grouping_sets_geo": ORACLE_GROUPING_SETS_GEO,
+    "pivot_status_matrix": ORACLE_PIVOT_STATUS_MATRIX,
+    "resample_ffill_hourly": ORACLE_RESAMPLE_FFILL,
+}

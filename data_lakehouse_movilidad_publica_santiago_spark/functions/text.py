@@ -210,3 +210,28 @@ def predict_lang(col: Column) -> Column:
             expr
         )
     return expr
+
+
+def word_ngrams_raw(col: Column, n: int = 2) -> Column:
+    """ALL word n-grams of the raw space-split text, duplicates
+    included (array<string>) — the repetition-analysis counterpart of
+    ``word_shingles`` (which normalizes and dedups). Documents shorter
+    than ``n`` words yield one short gram, so the array is never
+    empty and ratio denominators are safe."""
+    toks = F.split(col, " ")
+    cnt = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def dup_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of word n-gram
+    OCCURRENCES that are repeats of an earlier occurrence
+    (``1 - distinct/total``). 0.0 = no repetition; → 1.0 as the text
+    degenerates into a loop."""
+    grams = word_ngrams_raw(col, n)
+    return F.lit(1.0) - F.size(F.array_distinct(grams)).cast(
+        "double"
+    ) / F.size(grams)

@@ -108,3 +108,37 @@ def pct_of_total(
     w = Window.partitionBy(*(partition_by or []))
     out = F.lit(100.0) * metric / F.sum(metric).over(w)
     return F.round(out, ndigits) if ndigits is not None else out
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Session windows over an event stream, computed in batch with
+    the same ``session_window`` primitive Structured Streaming uses
+    (SURVEY §2.10's stateful-session shape): events for one key merge
+    into a session while each is within ``gap`` of the session's
+    current end; ``session_end`` = last event + gap. Per-event ranges
+    ``[ts, ts+gap)`` union when they overlap OR touch, so an event at
+    exactly the previous end still EXTENDS the session (a new session
+    needs a strictly greater-than-gap silence).
+
+    One shuffle on the key, merged by the native session-window
+    aggregation (dynamic gap would also plan the same way). Scales per
+    key-partition; no per-key state on the driver. The differential
+    oracle is the classic gaps-and-islands SQL (lag → break flag →
+    running island id) — see analytics/corpus_gate.py."""
+    aggs = aggs or [F.count("*").alias("n_events")]
+    agged = df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("w"), key_col
+    ).agg(*aggs)
+    metric_cols = [c for c in agged.columns if c not in ("w", key_col)]
+    return agged.select(
+        key_col,
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *metric_cols,
+    )

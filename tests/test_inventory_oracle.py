@@ -10,9 +10,11 @@ import pytest
 
 from data_lakehouse_movilidad_publica_santiago_spark.analytics import (
     business_gate,
+    corpus_gate,
     inventory,
     inventory_llm,
     lake_gate,
+    sql_surface_gate,
 )
 
 from conftest import SF_CORRECTNESS
@@ -21,12 +23,16 @@ ALL_QUERIES = {
     **inventory.QUERIES,
     **inventory_llm.QUERIES,
     **business_gate.QUERIES,
+    **corpus_gate.QUERIES,
+    **sql_surface_gate.QUERIES,
     **lake_gate.QUERIES,
 }
 ALL_ORACLE = {
     **inventory.ORACLE,
     **inventory_llm.ORACLE,
     **business_gate.ORACLE,
+    **corpus_gate.ORACLE,
+    **sql_surface_gate.ORACLE,
     **lake_gate.ORACLE,
 }
 
