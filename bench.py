@@ -23,13 +23,21 @@ import re
 import time
 
 from data_lakehouse_movilidad_publica_santiago_spark.analytics import (
+    corpus_gate,
     inventory,
     inventory_llm,
     lake_gate,
+    sql_surface_gate,
 )
 from data_lakehouse_movilidad_publica_santiago_spark.session import get_spark
 
-ALL_QUERIES = {**inventory.QUERIES, **inventory_llm.QUERIES, **lake_gate.QUERIES}
+ALL_QUERIES = {
+    **inventory.QUERIES,
+    **inventory_llm.QUERIES,
+    **lake_gate.QUERIES,
+    **corpus_gate.QUERIES,
+    **sql_surface_gate.QUERIES,
+}
 
 HEADLINE = [
     "pricing_summary",
@@ -76,6 +84,15 @@ HEADLINE = [
     # shuffles) and the two-pass distributed token packer
     "decontamination",
     "pack_shards",
+    # corpus-prep ops (round 4): full-corpus regex redaction (map-only
+    # JVM stage), corpus trigram top-k (explode + partial agg), seeded
+    # two-pass global rank, native session-window aggregation, and the
+    # one-Expand-pass ROLLUP
+    "pii_redact",
+    "ngram_topk",
+    "global_shuffle",
+    "session_windows",
+    "rollup_revenue",
 ]
 
 

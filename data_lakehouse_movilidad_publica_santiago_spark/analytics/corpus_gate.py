@@ -317,3 +317,109 @@ ORACLE: dict[str, str] = {
     "global_shuffle": ORACLE_GLOBAL_SHUFFLE,
     "session_windows": ORACLE_SESSION_WINDOWS,
 }
+
+
+# ── end-to-end corpus build ─────────────────────────────────────────
+#
+# The whole training-data preparation pipeline as ONE declarative
+# plan: quality filter → exact dedup (keep lowest id per fingerprint)
+# → PII redaction accounting → chunk/token layout — reported per
+# source. Every stage is an operator that is ALSO individually
+# oracle-gated above; this gate proves they compose.
+
+
+def q_corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import doc_fingerprint, quality_score
+    from .inventory_llm import QUALITY_STOPWORDS
+
+    docs = t(spark, sf_dir, "documents")
+    score = F.round(quality_score(F.col("text"), QUALITY_STOPWORDS), 2)
+    passed = docs.filter(score >= 0.75).select("doc_id", "source", "text")
+    keyed = passed.withColumn("__fp", doc_fingerprint(F.col("text")))
+    w = Window.partitionBy("__fp")
+    kept = keyed.withColumn("__keeper", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("__keeper")
+    )
+    aug = kept.withColumn(
+        "ptext",
+        F.expr(_PII_AUG.format(id="doc_id", t="text", str="STRING")),
+    )
+    from ..operators.pii import pii_count
+
+    n_tok = F.size(F.split(F.col("text"), " "))
+    n_chunks = F.when(n_tok <= 64, F.lit(1)).otherwise(
+        F.ceil((n_tok - F.lit(64)).cast("double") / 48) + F.lit(1)
+    )
+    per_doc = aug.select(
+        "source",
+        (
+            pii_count(F.col("ptext"), "email")
+            + pii_count(F.col("ptext"), "ipv4")
+            + pii_count(F.col("ptext"), "phone")
+        ).alias("__n_pii"),
+        n_chunks.cast("bigint").alias("__n_chunks"),
+        n_tok.cast("bigint").alias("__n_tok"),
+    )
+    kept_agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("__n_pii").alias("total_redactions"),
+        F.sum("__n_chunks").alias("total_chunks"),
+        F.sum("__n_tok").alias("total_tokens"),
+    )
+    raw = docs.groupBy("source").agg(F.count("*").alias("n_docs_raw"))
+    return raw.join(kept_agg, "source", "left").select(
+        "source",
+        "n_docs_raw",
+        F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+        F.coalesce("total_redactions", F.lit(0)).alias("total_redactions"),
+        F.coalesce("total_chunks", F.lit(0)).alias("total_chunks"),
+        F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
+    )
+
+
+def _oracle_corpus_build() -> str:
+    from .inventory_llm import _SQL_DOC_SCORE, _SQL_NORM
+
+    aug_expr = _PII_AUG.format(id="doc_id", t="text", str="VARCHAR")
+    return f"""
+WITH score AS ({_SQL_DOC_SCORE}),
+passed AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN score s ON d.doc_id = s.doc_id
+  WHERE s.score >= 0.75),
+keyed AS (
+  SELECT doc_id, source, text, md5({_SQL_NORM}) AS fp
+  FROM passed),
+kept AS (
+  SELECT doc_id, source, text
+  FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM keyed)
+  WHERE doc_id = keeper),
+per_doc AS (
+  SELECT source,
+         len(regexp_extract_all({aug_expr}, '{PII_PATTERNS["email"]}'))
+       + len(regexp_extract_all({aug_expr}, '{PII_PATTERNS["ipv4"]}'))
+       + len(regexp_extract_all({aug_expr}, '{PII_PATTERNS["phone"]}')) AS n_pii,
+         len(string_split(text, ' ')) AS n_tok
+  FROM kept),
+kept_agg AS (
+  SELECT source, COUNT(*) AS n_docs_kept,
+         CAST(SUM(n_pii) AS BIGINT) AS total_redactions,
+         CAST(SUM(CASE WHEN n_tok <= 64 THEN 1
+                  ELSE CAST(ceil((n_tok - 64) / 48.0) AS BIGINT) + 1 END)
+              AS BIGINT) AS total_chunks,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+  FROM per_doc GROUP BY source),
+raw AS (SELECT source, COUNT(*) AS n_docs_raw FROM documents GROUP BY source)
+SELECT r.source, r.n_docs_raw,
+       COALESCE(k.n_docs_kept, 0) AS n_docs_kept,
+       COALESCE(k.total_redactions, 0) AS total_redactions,
+       COALESCE(k.total_chunks, 0) AS total_chunks,
+       COALESCE(k.total_tokens, 0) AS total_tokens
+FROM raw r LEFT JOIN kept_agg k ON r.source = k.source
+"""
+
+
+QUERIES["corpus_build_summary"] = q_corpus_build_summary
+ORACLE["corpus_build_summary"] = _oracle_corpus_build()

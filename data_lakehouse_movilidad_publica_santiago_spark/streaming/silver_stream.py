@@ -111,6 +111,35 @@ def streaming_boardings_30m(
     )
 
 
+def streaming_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked session windows over a stream — the streaming twin
+    of ``operators.windows.sessionize`` (same native ``session_window``
+    primitive, so batch and stream agree row-for-row on closed
+    sessions). Append mode emits a session only once the watermark
+    passes its end: the state store holds exactly the OPEN sessions
+    per key, bounded by key cardinality, and a session's row is final
+    the moment it is emitted (no retractions downstream)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), key_col
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 _CHAIN_STATE_SCHEMA = "n_legs long, last_ts timestamp"
 _CHAIN_OUT_SCHEMA = (
     "id_tarjeta string, chain_legs long, first_leg boolean, emitted_at timestamp"

@@ -1,0 +1,101 @@
+"""Physical-plan assertions for the corpus-prep and SQL-surface
+operators: the shapes that matter at 100 TB — map-only where a
+shuffle isn't needed, one Expand pass for multi-level aggregates,
+filter pushdown through the resample pipeline."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_movilidad_publica_santiago_spark.analytics import (
+    corpus_gate,
+    sql_surface_gate,
+)
+from data_lakehouse_movilidad_publica_santiago_spark.operators.chunking import (
+    chunk_documents,
+)
+from data_lakehouse_movilidad_publica_santiago_spark.operators.pii import (
+    redact_pii,
+)
+from data_lakehouse_movilidad_publica_santiago_spark.plans.checks import (
+    explain_str,
+    pushed_filters,
+)
+
+from conftest import SF_CORRECTNESS
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
+
+
+def test_chunking_and_redaction_are_map_only(spark):
+    """Chunking and redaction are narrow stages: no Exchange in the
+    plan — at 100 TB they stream through executors with zero shuffle."""
+    plan_chunks = explain_str(chunk_documents(_docs(spark)))
+    assert "Exchange" not in plan_chunks
+    plan_redact = explain_str(
+        _docs(spark).select("doc_id", redact_pii(F.col("text")))
+    )
+    assert "Exchange" not in plan_redact
+    # and no Python stage: pure JVM regex/array expressions
+    for plan in (plan_chunks, plan_redact):
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_rollup_cube_single_expand_single_scan(spark):
+    """ROLLUP/CUBE compute every grouping set from ONE scan via ONE
+    Expand operator — never one pass per level."""
+    for q in (
+        sql_surface_gate.q_rollup_revenue,
+        sql_surface_gate.q_cube_orders,
+    ):
+        plan = explain_str(q(spark, SF_CORRECTNESS))
+        # formatted mode lists each node once in the tree and once in
+        # the details — count the numbered detail entries
+        assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_session_window_is_single_key_shuffle(spark):
+    """Sessionization shuffles once on the key; no global (empty
+    partition spec) window drags the stream to one task."""
+    plan = explain_str(
+        corpus_gate.q_session_windows(spark, SF_CORRECTNESS)
+    )
+    assert "Window" not in plan or "PartitionBy" not in plan  # no raw window at all
+    # session_window plans as (partial) aggregate + exchange on key
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_resample_pushes_key_filter_to_scan(spark):
+    """The gate's user subset filter must reach the parquet scan —
+    at scale the resample reads 1/10th of the events, not all of
+    them."""
+    df = corpus_gate  # noqa: F841  (import anchor)
+    q = sql_surface_gate.q_resample_ffill_hourly(spark, SF_CORRECTNESS)
+    plan = explain_str(q)
+    # the events scan appears with a pushed predicate on user_id
+    assert any("user_id" in f for f in pushed_filters(q)) or (
+        "PushedFilters: [IsNotNull(user_id)" in plan
+    )
+
+
+def test_global_shuffle_no_single_partition_window(spark):
+    """The rank window must be partitioned (by __pid) — a bare
+    row_number() over a global ORDER BY would single-thread the
+    corpus."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.chunking import (
+        global_shuffle,
+    )
+
+    out = global_shuffle(_docs(spark), seed="plan-probe", n_parts=4)
+    plan = explain_str(out)
+    assert "windowspartitionspec" not in plan.lower()
+    # every Window operator carries a partition spec
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
+        assert m.group(2).strip(), "unpartitioned window in global_shuffle"
+    out.sparkSession.catalog.clearCache()

@@ -127,3 +127,66 @@ def test_stateful_trip_chains(spark, tmp_path_factory):
     assert rows[("C1", "2025-04-21 08:20:00")]["chain_legs"] == 2
     assert rows[("C1", "2025-04-21 10:30:00")]["chain_legs"] == 1  # gap reset
     assert rows[("C2", "2025-04-21 09:00:00")]["first_leg"] is True
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path_factory):
+    """Session windows through a real stream: closed sessions (end <
+    final watermark) emit in append mode and agree row-for-row with
+    the batch sessionize; the newest session correctly stays open in
+    state."""
+    import datetime
+
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.windows import (
+        sessionize,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.streaming.silver_stream import (
+        streaming_sessions,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # users 1/2: early sessions; user 9's 06:00 event drives the final
+    # watermark to 05:00 so the early sessions close; its own stays open
+    rows = [
+        (1, ts(0)),
+        (1, ts(10)),
+        (2, ts(5)),
+        (1, ts(90)),  # second session for user 1 (gap > 30)
+        (9, ts(360)),
+    ]
+    src = tmp_path_factory.mktemp("sess_src")
+    spark.createDataFrame(rows, "user_id bigint, ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    batch_df = spark.read.parquet(str(src))
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(src))
+    out = tmp_path_factory.mktemp("sess_out")
+    q = (
+        streaming_sessions(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("sess_ckpt")))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # batch truth, restricted to sessions the final watermark closed
+    final_wm = ts(360) - datetime.timedelta(hours=1)
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(batch_df, gap="30 minutes").collect()
+        if r["session_end"] < final_wm
+    }
+    assert emitted == batch
+    assert {u for (u, *_rest) in emitted} == {1, 2}
+    assert len(emitted) == 3  # two sessions for user 1, one for user 2
