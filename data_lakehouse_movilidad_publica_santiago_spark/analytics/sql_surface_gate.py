@@ -196,3 +196,104 @@ ORACLE: dict[str, str] = {
     "pivot_status_matrix": ORACLE_PIVOT_STATUS_MATRIX,
     "resample_ffill_hourly": ORACLE_RESAMPLE_FFILL,
 }
+
+
+# ── skew-hardened join + profiler ───────────────────────────────────
+
+
+def q_salted_join_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join, differentially proven IDENTICAL to the
+    plain join: lineitem⋈orders with the 5 highest-volume order keys
+    salted 8 ways (hot keys pinned deterministically as the top-5 by
+    line count, ties to the lower key). The oracle is the PLAIN join —
+    what makes the gate meaningful is that the salted rewrite may not
+    change a single row."""
+    from ..operators.salted_join import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    hot = [
+        r["l_orderkey"]
+        for r in li.groupBy("l_orderkey")
+        .count()
+        .orderBy(F.desc("count"), F.asc("l_orderkey"))
+        .limit(5)
+        .collect()
+    ]
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "okey"),
+        o.withColumnRenamed("o_orderkey", "okey"),
+        on="okey",
+        hot_keys=hot,
+        n_salts=8,
+        salt_source="l_linenumber",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count_distinct("okey").alias("n_orders"),
+    )
+
+
+ORACLE_SALTED_JOIN_DEMAND = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l.l_extendedprice), 2) AS revenue,
+       COUNT(DISTINCT l.l_orderkey) AS n_orders
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the orders table (row/null/distinct
+    counts + min/max) — exact multi-distinct via one Expand, one scan."""
+    from ..operators.profile import profile_columns
+
+    o = t(spark, sf_dir, "orders")
+    return profile_columns(
+        o,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+
+
+ORACLE_PROFILE_ORDERS = """
+SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate),
+       CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+"""
+
+
+QUERIES["salted_join_demand"] = q_salted_join_demand
+ORACLE["salted_join_demand"] = ORACLE_SALTED_JOIN_DEMAND
+QUERIES["profile_orders"] = q_profile_orders
+ORACLE["profile_orders"] = ORACLE_PROFILE_ORDERS
