@@ -169,8 +169,12 @@ FROM f GROUP BY source
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word trigrams (occurrence-counted) — the
     n-gram frequency table used for contamination screens and boilerplate
-    detection. Explode → partial-agg count → TakeOrdered 20."""
-    docs = t(spark, sf_dir, "documents")
+    detection. Explode → partial-agg count → TakeOrdered 20. The
+    explode+concat stage is compute-heavy per input row, so the input
+    is spread first (no-op at cluster scale — see operators/spread.py)."""
+    from ..operators.spread import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     grams = docs.select(
         F.explode(word_ngrams_raw(F.col("text"), 3)).alias("gram")
     )

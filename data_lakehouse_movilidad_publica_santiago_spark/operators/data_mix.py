@@ -73,9 +73,13 @@ def contamination_pairs(
     Scale: shuffles carry (doc_id, 32-hex) rows only; the eval shingle
     set is distinct-ed (and typically broadcastable — eval suites are
     small next to training corpora)."""
-    train_sh = _shingle_hashes(train, id_col, text_col, k).distinct()
+    from .spread import ensure_parallelism
+
+    train_sh = _shingle_hashes(
+        ensure_parallelism(train), id_col, text_col, k
+    ).distinct()
     eval_sh = (
-        _shingle_hashes(eval_set, id_col, text_col, k)
+        _shingle_hashes(ensure_parallelism(eval_set), id_col, text_col, k)
         .select("shingle")
         .distinct()
     )

@@ -100,34 +100,12 @@ def _norm(a: Column, dim: int | None = None) -> Column:
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ONLY if the plan is small enough to
-    scan as fewer partitions than the session's default parallelism.
-    A small parquet table scans as one partition, which turns the
-    all-pairs BNLJ (and banding explode) into a single task —
-    measured 65s → 8.6s at sf0.1 just by spreading it. At cluster
-    scale the scan already has ≥ parallelism partitions and this is a
-    no-op (no shuffle added).
+    """Shared input-parallelism guard — see operators/spread.py
+    (repartition only when the scan would under-parallelize; no-op at
+    cluster scale)."""
+    from .spread import ensure_parallelism
 
-    The smallness check reads Catalyst's size estimate off the
-    optimized plan — pure driver-side metadata.  (The earlier
-    ``df.rdd.getNumPartitions()`` forced a plan→RDD conversion per
-    call; same answer, more driver work.)"""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        max_pb = int(
-            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-                spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
-            )
-        )
-    except Exception:  # pragma: no cover - stats unavailable → be safe
-        return df.repartition(target)
-    if size // max_pb < target:
-        return df.repartition(target)
-    return df
+    return ensure_parallelism(df)
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
