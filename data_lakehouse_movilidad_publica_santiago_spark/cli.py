@@ -76,6 +76,20 @@ def main(argv: list[str] | None = None) -> int:
         "protection)",
     )
 
+    cp = sub.add_parser(
+        "corpus",
+        help="training-data corpus build: quality filter → exact dedup "
+        "→ PII redaction → chunk → seeded shuffle → packed layout",
+    )
+    cp.add_argument("--input", required=True, type=Path,
+                    help="parquet with (doc_id, text, ...) columns")
+    cp.add_argument("--output", required=True, type=Path)
+    cp.add_argument("--quality-min", type=float, default=0.75)
+    cp.add_argument("--chunk-tokens", type=int, default=64)
+    cp.add_argument("--overlap", type=int, default=16)
+    cp.add_argument("--seed", default="epoch-0")
+    cp.add_argument("--no-redact", action="store_true")
+
     rp = sub.add_parser("report", help="gold load diagnostics report")
     rp.add_argument("--lake", required=True, type=Path)
 
@@ -156,6 +170,21 @@ def main(argv: list[str] | None = None) -> int:
                 "version": tab.latest_version(),
             }
         print(json.dumps(out))
+
+    elif args.cmd == "corpus":
+        from .pipeline import build_corpus
+
+        summary = build_corpus(
+            spark,
+            str(args.input),
+            str(args.output),
+            quality_min=args.quality_min,
+            chunk_tokens=args.chunk_tokens,
+            overlap=args.overlap,
+            seed=args.seed,
+            redact=not args.no_redact,
+        )
+        print(json.dumps(summary))
 
     elif args.cmd == "report":
         loader = GoldLoader(spark, args.lake / "gold")

@@ -76,6 +76,7 @@ def global_shuffle(
     seed: str,
     id_col: str = "doc_id",
     n_parts: int = 32,
+    pins: list | None = None,
 ) -> DataFrame:
     """Seeded deterministic permutation: every row gets ``shuffle_key``
     (md5 of ``seed || ':' || id``) and ``pos`` — its 1-based global rank
@@ -87,7 +88,13 @@ def global_shuffle(
     in ascending partition ids; pass 1 ranks within each partition, pass
     2 collects one row-count per partition (metadata-sized) and adds
     exclusive offsets. Writers can then lay the corpus out in shuffle
-    order with ``repartitionByRange(pos)`` + sortWithinPartitions."""
+    order with ``repartitionByRange(pos)`` + sortWithinPartitions.
+
+    The range-shuffled input must stay persisted until the RESULT is
+    consumed (re-executed range bounds may differ — see pack_shards).
+    Pass ``pins`` (a list) to receive the persisted handle and
+    ``unpersist()`` it after your final action, instead of leaving the
+    pin to die with the session."""
     keyed = df.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))).alias(
@@ -102,6 +109,8 @@ def global_shuffle(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
+    if pins is not None:
+        pins.append(parts)
     w = Window.partitionBy("__pid").orderBy("shuffle_key", "doc_id")
     local = parts.withColumn("__local_rank", F.row_number().over(w))
     counts = {

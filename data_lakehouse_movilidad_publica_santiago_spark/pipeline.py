@@ -1,0 +1,123 @@
+"""End-to-end training-data corpus build.
+
+Composes the individually-gated operators into the standard
+preparation pipeline (each stage is differentially verified on its
+own in analytics/corpus_gate.py; the composition itself is gated by
+``corpus_build_summary``):
+
+    quality filter → exact dedup (keep lowest id per fingerprint)
+    → PII redaction → chunk into token windows → seeded global
+    shuffle → shuffle-ordered parquet layout
+
+Everything before the final write is one declarative plan; the only
+driver-side state is the bounded per-partition offset map inside
+``global_shuffle``. Output layout: chunks parquet range-partitioned
+by shuffle position (so a sequential reader streams the corpus in
+shuffle order), plus a ``summary.json`` sidecar with per-stage
+counts — the observability contract the silver/gold pipelines use
+(``quality.json`` / load reports).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import doc_fingerprint, quality_score
+from .operators.chunking import chunk_documents, global_shuffle
+from .operators.pii import redact_pii
+from .operators.spread import ensure_parallelism
+
+# the stopword list the quality gate pins (analytics/inventory_llm.py)
+_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "with"]
+
+
+def build_corpus(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    quality_min: float = 0.75,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    seed: str = "epoch-0",
+    redact: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Run the corpus build; returns the summary dict (also written
+    to ``<output_dir>/summary.json``)."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    docs = ensure_parallelism(spark.read.parquet(input_path))
+    n_raw = docs.count()
+
+    passed = docs.filter(
+        F.round(quality_score(F.col(text_col), _STOPWORDS), 2)
+        >= quality_min
+    ).select(id_col, text_col)
+    keyed = passed.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+    w = Window.partitionBy("__fp")
+    kept = (
+        keyed.withColumn("__keeper", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__keeper"))
+        .select(id_col, text_col)
+    )
+    if redact:
+        kept = kept.withColumn(text_col, redact_pii(F.col(text_col)))
+    # persist: kept feeds the count, the chunker AND the shuffle-rank
+    # passes; recomputing the dedup window per consumer would triple
+    # the heaviest shuffle
+    kept = kept.persist()
+    n_kept = kept.count()
+
+    chunks = chunk_documents(
+        kept,
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    pins: list = []
+    order = global_shuffle(kept, seed=seed, id_col=id_col, pins=pins)
+    laid_out = (
+        chunks.join(order.select("doc_id", "pos"), "doc_id")
+        .withColumn(
+            "sample_id",
+            F.col("pos") * F.lit(1_000_000) + F.col("chunk_idx"),
+        )
+    )
+    chunks_path = str(out / "chunks.parquet")
+    (
+        laid_out.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 1), "sample_id"
+        )
+        .sortWithinPartitions("sample_id")
+        .write.mode("overwrite")
+        .parquet(chunks_path)
+    )
+    written = spark.read.parquet(chunks_path)
+    n_chunks = written.count()
+    n_tokens = written.agg(F.sum("n_tok")).collect()[0][0]
+    kept.unpersist()
+    for p in pins:  # release the shuffle-rank pin (ours alone — a
+        p.unpersist()  # shared session's other caches stay intact)
+
+    summary = {
+        "input": str(input_path),
+        "n_docs_raw": n_raw,
+        "n_docs_kept": n_kept,
+        "n_chunks": int(n_chunks),
+        "n_tokens": int(n_tokens or 0),
+        "quality_min": quality_min,
+        "chunk_tokens": chunk_tokens,
+        "overlap": overlap,
+        "seed": seed,
+        "redacted": redact,
+        "chunks_path": chunks_path,
+    }
+    (out / "summary.json").write_text(json.dumps(summary, indent=2))
+    return summary

@@ -1,0 +1,107 @@
+"""End-to-end corpus build via the library entry and the CLI."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_movilidad_publica_santiago_spark.pipeline import (
+    build_corpus,
+)
+
+
+def _write_corpus(spark, path):
+    base = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "in the park with a friend that it is good to see "
+    )
+    rows = []
+    for i in range(40):
+        # 35 distinct docs; ids 35..39 duplicate ids 0..4's text exactly
+        j = i % 35
+        rows.append((i, base * 3 + f"variant {j} contact u{j}@example.com"))
+    # two junk docs that fail the quality gate (no stopwords, shouty)
+    rows += [(100, "#### $$$$ %%%% !!!!"), (101, "x")]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(path))
+
+
+def test_build_corpus_end_to_end(spark, tmp_path):
+    src = tmp_path / "docs.parquet"
+    out = tmp_path / "out"
+    _write_corpus(spark, src)
+
+    summary = build_corpus(spark, str(src), str(out), seed="s1")
+    assert summary["n_docs_raw"] == 42
+    # 35 unique texts survive quality+dedup; junk docs filtered
+    assert summary["n_docs_kept"] == 35
+    assert summary["n_chunks"] >= summary["n_docs_kept"]
+    assert (out / "summary.json").exists()
+    assert json.loads((out / "summary.json").read_text()) == summary
+
+    chunks = spark.read.parquet(summary["chunks_path"])
+    # PII is gone from every chunk's id... chunks carry hashes only;
+    # verify redaction via the doc count and re-reading text is not
+    # possible (chunks store md5) — instead check schema + ordering
+    assert {"doc_id", "chunk_idx", "start_tok", "n_tok", "chunk_md5",
+            "pos", "sample_id"} <= set(chunks.columns)
+    # sample_id is globally unique and the files are range-ordered
+    n = chunks.count()
+    assert chunks.select("sample_id").distinct().count() == n
+
+    # determinism: same seed → same layout; different seed → different
+    s2 = build_corpus(spark, str(src), str(out / "b"), seed="s1")
+    assert s2["n_chunks"] == summary["n_chunks"]
+    a = spark.read.parquet(summary["chunks_path"]).select(
+        "doc_id", "pos"
+    ).distinct()
+    b = spark.read.parquet(s2["chunks_path"]).select(
+        "doc_id", "pos"
+    ).distinct()
+    assert a.exceptAll(b).count() == 0
+
+
+def test_corpus_cli(spark, tmp_path, monkeypatch, capsys):
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+
+    src = tmp_path / "docs.parquet"
+    out = tmp_path / "cli_out"
+    _write_corpus(spark, src)
+    # the CLI builds its own session via get_spark() — same JVM reuse
+    rc = cli.main(
+        [
+            "corpus",
+            "--input", str(src),
+            "--output", str(out),
+            "--seed", "cli-1",
+        ]
+    )
+    assert rc == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["n_docs_kept"] == 35
+    assert (out / "chunks.parquet").exists()
+
+
+def test_build_corpus_redaction_applied(spark, tmp_path):
+    src = tmp_path / "docs2.parquet"
+    _write_corpus(spark, src)
+    a = build_corpus(spark, str(src), str(tmp_path / "r1"), redact=True)
+    b = build_corpus(spark, str(src), str(tmp_path / "r0"), redact=False)
+    ca = spark.read.parquet(a["chunks_path"])
+    cb = spark.read.parquet(b["chunks_path"])
+    # same layout, different chunk content where the email lived
+    assert a["n_chunks"] == b["n_chunks"]
+    diff = (
+        ca.select("doc_id", "chunk_idx", "chunk_md5")
+        .join(
+            cb.select(
+                "doc_id", "chunk_idx", F.col("chunk_md5").alias("md5_b")
+            ),
+            ["doc_id", "chunk_idx"],
+        )
+        .filter(F.col("chunk_md5") != F.col("md5_b"))
+        .count()
+    )
+    assert diff > 0
