@@ -12,17 +12,22 @@ multi-join, NTILE labeling, two-level aggregation, grouped
 percentiles, LAG series) is differentially verified, not just
 fixture-asserted.
 
-Shape map (reference SQL → twin here):
+Shape map (reference SQL → twin here) — ALL 15 published queries:
 - Q1 `01_demanda_horaria.sql` day-type pivot + ratio → ``biz_q1``
+- Q2 `03_infraestructura.sql` top-20 star join + ×365 projection → ``biz_q2``
 - Q3 `02_matriz_od.sql` OD-pair flow matrix + share → ``biz_q3``
 - Q4 `02_matriz_od.sql` leg-count histogram (1/2/3/4+) → ``biz_q4``
 - Q5 `04_calidad_servicio.sql` role-playing stop joins → ``biz_q5``
+- Q6 `01_demanda_horaria.sql` CTE agg + pct-of-peak MAX OVER () → ``biz_q6``
 - Q7 `05_usuarios.sql` captive-user share (COUNT DISTINCT=1) → ``biz_q7``
 - Q8 `03_infraestructura.sql` NTILE quartile labeling → ``biz_q8``
 - Q9 `05_usuarios.sql` per-trip agg → classify → share → ``biz_q9``
 - Q10 `04_calidad_servicio.sql` group-vs-global deviation → ``biz_q10``
+- Q11 `04_calidad_servicio.sql` per-entity pre-agg + CASE share → ``biz_q11``
 - Q12 `04_calidad_servicio.sql` median/p90 + conditional AVG → ``biz_q12``
+- Q13 `04_calidad_servicio.sql` LEFT-JOIN coverage audit → ``biz_q13``
 - Q14 `01_demanda_horaria.sql` LAG daily series → ``biz_q14``
+- Q15 `02_analisis_od.sql` multi-metric + NULLIF ratio profile → ``biz_q15``
 """
 
 from __future__ import annotations
@@ -585,3 +590,219 @@ ORACLE: dict[str, str] = {
     "biz_q12_wait_percentiles": ORACLE_BIZ_WAIT_PERCENTILES,
     "biz_q14_daily_lag": ORACLE_BIZ_DAILY_LAG,
 }
+
+
+# ── round-4 session 2: the remaining five shapes (Q2/Q6/Q11/Q13/Q15) ─
+#
+# With these, all 15 published business queries have driver-gated
+# shape twins: the corpus is fully differentially verified.
+
+
+def q_biz_critical_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (`03_infraestructura.sql` top-20 critical stops):
+    filtered star join, multi-attribute grouping carrying dimension
+    columns through, a derived projection column (daily × 365), ORDER
+    BY metric DESC LIMIT 20 with a deterministic tiebreak."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.filter(F.col("l_returnflag") == "N")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_brand", "p_type")
+        .agg(
+            F.round(F.sum("l_quantity"), 0).alias("qty_daily"),
+            F.round(F.sum("l_quantity") * 365, 0).alias("qty_annualized"),
+        )
+        .orderBy(F.desc("qty_daily"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+ORACLE_BIZ_CRITICAL_PARTS = """
+SELECT p.p_partkey, p.p_brand, p.p_type,
+       ROUND(SUM(l.l_quantity), 0) AS qty_daily,
+       ROUND(SUM(l.l_quantity) * 365, 0) AS qty_annualized
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_returnflag = 'N'
+GROUP BY p.p_partkey, p.p_brand, p.p_type
+ORDER BY qty_daily DESC, p.p_partkey ASC
+LIMIT 20
+"""
+
+
+def q_biz_pct_of_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape (`01_demanda_horaria.sql` passengers in transit):
+    CTE aggregate, then percent-of-peak via MAX() OVER () — the
+    share-of-global-max window over a pre-aggregated series."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month("o_orderdate").cast("long").alias("order_month")
+    ).agg(F.round(F.sum("o_totalprice"), 0).alias("demand"))
+    w = Window.partitionBy()
+    return monthly.select(
+        "order_month",
+        "demand",
+        F.round(
+            F.lit(100.0) * F.col("demand") / F.max("demand").over(w), 1
+        ).alias("pct_of_peak"),
+    )
+
+
+ORACLE_BIZ_PCT_OF_PEAK = """
+WITH monthly AS (
+  SELECT CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+         ROUND(SUM(o_totalprice), 0) AS demand
+  FROM orders GROUP BY 1)
+SELECT order_month, demand,
+       ROUND(100.0 * demand / MAX(demand) OVER (), 1) AS pct_of_peak
+FROM monthly
+"""
+
+
+def q_biz_transfer_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (`04_calidad_servicio.sql` transfer propensity):
+    per-entity pre-aggregate (legs per trip ↔ lines per order), then
+    per-category averages + a CASE-share column, ordered by the
+    share."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines")
+    )
+    joined = o.join(
+        per_order, F.col("o_orderkey") == F.col("l_orderkey"), "inner"
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("orders"),
+            F.round(F.avg(F.col("n_lines").cast("double")), 3).alias(
+                "lines_avg"
+            ),
+            F.round(F.avg("o_totalprice"), 1).alias("price_avg"),
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("n_lines") > 1, 1).otherwise(0))
+                / F.count("*"),
+                2,
+            ).alias("pct_multi_line"),
+        )
+    )
+
+
+ORACLE_BIZ_TRANSFER_PROPENSITY = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey)
+SELECT o.o_orderpriority,
+       COUNT(*) AS orders,
+       ROUND(AVG(CAST(p.n_lines AS DOUBLE)), 3) AS lines_avg,
+       ROUND(AVG(o.o_totalprice), 1) AS price_avg,
+       ROUND(100.0 * SUM(CASE WHEN p.n_lines > 1 THEN 1 ELSE 0 END)
+             / COUNT(*), 2) AS pct_multi_line
+FROM orders o JOIN per_order p ON o.o_orderkey = p.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_biz_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (`04_calidad_servicio.sql` alight-coverage audit):
+    LEFT JOIN to a dimension that genuinely misses (customers with
+    non-positive balance excluded), boolean coverage counts, coverage
+    percent, and a conditional AVG over only the covered rows."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    covered = F.col("c_custkey").isNotNull()
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("total_orders"),
+        F.sum(covered.cast("bigint")).alias("with_dim"),
+        (F.count("*") - F.sum(covered.cast("bigint"))).alias("without_dim"),
+        F.round(
+            F.lit(100.0) * F.sum(covered.cast("bigint")) / F.count("*"), 2
+        ).alias("pct_covered"),
+        F.round(
+            F.avg(F.when(covered, F.col("o_totalprice") / 100.0)), 1
+        ).alias("covered_price_h"),
+    )
+
+
+ORACLE_BIZ_COVERAGE_AUDIT = """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0)
+SELECT o.o_orderpriority,
+       COUNT(*) AS total_orders,
+       CAST(SUM(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_dim,
+       CAST(COUNT(*) - SUM(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS without_dim,
+       ROUND(100.0 * SUM(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+             / COUNT(*), 2) AS pct_covered,
+       ROUND(AVG(CASE WHEN d.c_custkey IS NOT NULL
+                 THEN o.o_totalprice / 100.0 END), 1) AS covered_price_h
+FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_biz_efficiency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape (`02_analisis_od.sql` efficiency by purpose):
+    multi-metric profile per category — counts, rounded demand sum,
+    averages, a NULLIF-guarded ratio of two averages (speed ↔ price
+    per unit), and two complementary CASE-percent columns."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    joined = li.join(
+        o.select("o_orderkey", "o_orderpriority", "o_orderstatus"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("lines"),
+        F.round(F.sum("l_extendedprice"), 0).alias("demand"),
+        F.round(F.avg("l_quantity"), 3).alias("qty_avg"),
+        F.round(
+            F.avg("l_extendedprice")
+            / F.nullif(F.avg("l_quantity"), F.lit(0.0)),
+            1,
+        ).alias("price_per_unit"),
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            / F.count("*"),
+            1,
+        ).alias("pct_f"),
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+            / F.count("*"),
+            1,
+        ).alias("pct_o"),
+    )
+
+
+ORACLE_BIZ_EFFICIENCY_PROFILE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS lines,
+       ROUND(SUM(l.l_extendedprice), 0) AS demand,
+       ROUND(AVG(l.l_quantity), 3) AS qty_avg,
+       ROUND(AVG(l.l_extendedprice) / NULLIF(AVG(l.l_quantity), 0), 1) AS price_per_unit,
+       ROUND(100.0 * SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             / COUNT(*), 1) AS pct_f,
+       ROUND(100.0 * SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END)
+             / COUNT(*), 1) AS pct_o
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+QUERIES["biz_q2_critical_parts"] = q_biz_critical_parts
+ORACLE["biz_q2_critical_parts"] = ORACLE_BIZ_CRITICAL_PARTS
+QUERIES["biz_q6_pct_of_peak"] = q_biz_pct_of_peak
+ORACLE["biz_q6_pct_of_peak"] = ORACLE_BIZ_PCT_OF_PEAK
+QUERIES["biz_q11_transfer_propensity"] = q_biz_transfer_propensity
+ORACLE["biz_q11_transfer_propensity"] = ORACLE_BIZ_TRANSFER_PROPENSITY
+QUERIES["biz_q13_coverage_audit"] = q_biz_coverage_audit
+ORACLE["biz_q13_coverage_audit"] = ORACLE_BIZ_COVERAGE_AUDIT
+QUERIES["biz_q15_efficiency_profile"] = q_biz_efficiency_profile
+ORACLE["biz_q15_efficiency_profile"] = ORACLE_BIZ_EFFICIENCY_PROFILE
