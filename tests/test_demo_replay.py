@@ -1,0 +1,242 @@
+"""End-to-end replay of the REFERENCE'S OWN demo data.
+
+The reference ships a seeded demo fixture (`scripts/create_demo_sample.py`,
+`data/demo/manifest.json`: 450 viajes/day x 7 days, 3,500 etapas,
+300 subidas per day type) drawn from its production raw lake. This
+suite feeds those exact CSVs — read-only, symlinked into a temp lake,
+nothing copied into the repo — through the real CLI (silver -> gold)
+and the serving API, and asserts:
+
+  * per-partition read counts match `manifest.json` exactly,
+  * the count invariant read == valid + invalid holds (the reference's
+    `count_assertion`, transforms.py:606-629),
+  * quarantine reason codes come from the same rule vocabulary the
+    reference's published production quality.json files exercise
+    (lake/processed/_quality/**: NEG_DISTANCE / BAD_RANGE_N_ETAPAS /
+    BAD_UTM_X shapes),
+  * the quality.json document carries the same audit keys,
+  * gold facts conserve valid silver rows, and
+  * all five serving query types answer on the demo lake.
+
+This is the one parity proof that runs the engine on the reference's
+actual data rather than synthetic fixtures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pytest
+
+from data_lakehouse_movilidad_publica_santiago_spark import cli
+from data_lakehouse_movilidad_publica_santiago_spark.serving.query_service import (
+    QueryFilters,
+    SilverLake,
+    ensure_data_ready,
+    query_demand_by_day_type,
+    query_demand_by_mode,
+    query_map_points,
+    query_overview,
+    query_top_boardings,
+)
+from data_lakehouse_movilidad_publica_santiago_spark.sources.catalog import (
+    discover_partitions,
+    write_meta,
+)
+
+DEMO = Path("/root/reference/data/demo")
+
+pytestmark = pytest.mark.skipif(
+    not DEMO.is_dir(), reason="reference demo fixture not present"
+)
+
+# every reason code any silver rule set can emit (silver/{viajes,
+# etapas,subidas}.py) — superset of the codes the reference's
+# production quality.json files publish
+REASON_VOCAB = {
+    "MISSING_ID",
+    "MISSING_TIMESTAMP",
+    "NEG_DISTANCE",
+    "BAD_RANGE_N_ETAPAS",
+    "BAD_TIME_SLOT",
+    "BAD_UTM_X",
+    "BAD_UTM_Y",
+    "BAD_BOOLEAN",
+}
+
+
+def _stage_partition(
+    lake: Path, dataset: str, cut: str, year: int, month: int, csvs: list[Path]
+) -> None:
+    pdir = (
+        lake
+        / "raw"
+        / "dtpm"
+        / f"dataset={dataset}"
+        / f"year={year}"
+        / f"month={month:02d}"
+        / f"cut={cut}"
+    )
+    pdir.mkdir(parents=True)
+    columns: list[str] | None = None
+    rows = 0
+    for src in csvs:
+        os.symlink(src, pdir / src.name)  # read-only source, never copied
+        with open(src, encoding="utf-8") as fh:
+            header = fh.readline().rstrip("\n").split("|")
+            rows += sum(1 for _ in fh)
+        if columns is None:
+            columns = header
+        else:
+            assert columns == header, f"header drift across {dataset} files"
+    assert columns is not None
+    write_meta(pdir, dataset, cut, year, month, columns, rows)
+
+
+@pytest.fixture(scope="module")
+def demo_lake(spark, tmp_path_factory):
+    """Stage data/demo as a raw lake and run the real CLI end-to-end."""
+    lake = tmp_path_factory.mktemp("demo_lake")
+    for f in sorted((DEMO / "viajes").glob("*.csv")):
+        cut = f.name.split(".")[0]  # 2025-04-21.viajes.csv
+        _stage_partition(lake, "viajes", cut, int(cut[:4]), int(cut[5:7]), [f])
+    for f in sorted((DEMO / "etapas").glob("*.csv")):
+        cut = f.name.split(".")[0]  # 2025-04-21_2025-04-27
+        _stage_partition(lake, "etapas", cut, int(cut[:4]), int(cut[5:7]), [f])
+    subidas = sorted((DEMO / "subidas_30m").glob("*.csv"))
+    _stage_partition(lake, "subidas_30m", "2025-04", 2025, 4, subidas)
+
+    silver_rc = cli.main(["silver", "--lake", str(lake)])
+    gold_rc = cli.main(["gold", "--lake", str(lake)])
+    return lake, silver_rc, gold_rc
+
+
+def _manifest() -> dict:
+    return json.loads((DEMO / "manifest.json").read_text(encoding="utf-8"))
+
+
+def _quality_docs(lake: Path) -> dict[tuple[str, str], dict]:
+    docs = {}
+    for p in sorted(lake.glob("processed/_quality/dataset=*/year=*/month=*/cut=*/quality.json")):
+        doc = json.loads(p.read_text(encoding="utf-8"))
+        docs[(doc["dataset"], doc["cut"])] = doc
+    return docs
+
+
+def test_cli_exit_codes(demo_lake):
+    _, silver_rc, gold_rc = demo_lake
+    assert silver_rc == 0  # exit code == failed partitions
+    assert gold_rc == 0
+
+
+def test_read_counts_match_reference_manifest(demo_lake):
+    lake, _, _ = demo_lake
+    man = _manifest()["outputs"]
+    docs = _quality_docs(lake)
+    # 7 viajes days + 1 etapas week + 1 subidas month = 9 partitions
+    assert len(docs) == 9
+    for cut, expected in man["viajes"].items():
+        assert docs[("viajes", cut)]["read_row_count"] == expected
+    for cut, expected in man["etapas"].items():
+        assert docs[("etapas", cut)]["read_row_count"] == expected
+    # one monthly CSV carries all three day types
+    assert docs[("subidas_30m", "2025-04")]["read_row_count"] == sum(
+        man["subidas_30m"].values()
+    )
+
+
+def test_count_assertion_and_reason_vocabulary(demo_lake):
+    lake, _, _ = demo_lake
+    for (_dataset, _cut), doc in _quality_docs(lake).items():
+        assert doc["count_assertion"] == "PASS"
+        assert (
+            doc["read_row_count"]
+            == doc["valid_row_count"] + doc["invalid_row_count"]
+        )
+        reasons = {
+            r["_reason_code"] for r in doc["quarantine_reason_distribution"]
+        }
+        assert reasons <= REASON_VOCAB, f"unknown reason codes: {reasons}"
+
+
+def test_quality_doc_shape_matches_reference(demo_lake):
+    """Our quality.json carries every audit key the reference's
+    published production documents carry (engine-identity fields
+    differ by design: engine/spark_version vs duckdb_version)."""
+    lake, _, _ = demo_lake
+    ref_keys = {
+        "generated_at",
+        "dataset",
+        "cut",
+        "year",
+        "month",
+        "meta_row_count",
+        "read_row_count",
+        "valid_row_count",
+        "invalid_row_count",
+        "count_assertion",
+        "quarantine_rate_pct",
+        "quarantine_reason_distribution",
+        "output_files",
+    }
+    for doc in _quality_docs(lake).values():
+        assert ref_keys <= set(doc.keys())
+        # meta sidecar staged from the manifest => audit ties back to it
+        assert doc["meta_row_count"] == doc["read_row_count"]
+
+
+def test_gold_conserves_valid_rows(spark, demo_lake):
+    from data_lakehouse_movilidad_publica_santiago_spark.gold import GoldLoader
+
+    lake, _, _ = demo_lake
+    docs = _quality_docs(lake)
+    loader = GoldLoader(spark, lake / "gold")
+
+    valid_viajes = sum(
+        d["valid_row_count"] for (ds, _), d in docs.items() if ds == "viajes"
+    )
+    assert loader.store.read("fct_trip").count() == valid_viajes
+    assert (
+        loader.store.read("fct_validation").count()
+        == docs[("etapas", "2025-04-21_2025-04-27")]["valid_row_count"]
+    )
+    assert (
+        loader.store.read("fct_boardings_30m").count()
+        == docs[("subidas_30m", "2025-04")]["valid_row_count"]
+    )
+    # trip legs: one row per non-null leg, bounded by 4x trips
+    legs = loader.store.read("fct_trip_leg").count()
+    assert 0 < legs <= 4 * valid_viajes
+
+
+def test_partition_discovery_order(demo_lake):
+    """Canonical order: viajes days first (dim harvest), then etapas,
+    then subidas (TRANSFORM_REGISTRY parity)."""
+    lake, _, _ = demo_lake
+    parts = discover_partitions(lake)
+    datasets = [p.dataset for p in parts]
+    assert datasets == ["viajes"] * 7 + ["etapas", "subidas_30m"]
+
+
+def test_serving_queries_answer_on_demo_lake(spark, demo_lake):
+    lake, _, _ = demo_lake
+    sl = SilverLake(spark, lake)
+    assert ensure_data_ready(sl)
+
+    overview = query_overview(sl, QueryFilters())
+    assert overview and overview[0]["viajes_observados"] > 0
+    assert overview[0]["etapas_observadas"] > 0
+
+    by_day = query_demand_by_day_type(sl, QueryFilters())
+    assert by_day and all(r["etapas_observadas"] > 0 for r in by_day)
+
+    by_mode = query_demand_by_mode(sl, QueryFilters())
+    assert by_mode
+
+    top = query_top_boardings(sl, QueryFilters(), limit=5)
+    assert 0 < len(top) <= 5
+
+    pts = query_map_points(sl, QueryFilters(), limit=50)
+    assert pts
