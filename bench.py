@@ -23,6 +23,7 @@ import re
 import time
 
 from data_lakehouse_movilidad_publica_santiago_spark.analytics import (
+    business_gate,
     corpus_gate,
     inventory,
     inventory_llm,
@@ -37,6 +38,7 @@ ALL_QUERIES = {
     **lake_gate.QUERIES,
     **corpus_gate.QUERIES,
     **sql_surface_gate.QUERIES,
+    **business_gate.QUERIES,
 }
 
 HEADLINE = [
@@ -93,6 +95,11 @@ HEADLINE = [
     "global_shuffle",
     "session_windows",
     "rollup_revenue",
+    # the reference's own published workload (docs/queries/*.sql
+    # re-expressed): OD-pair flow matrix with share-of-total window,
+    # and the 5-way role-playing stop join
+    "biz_q3_od_matrix",
+    "biz_q5_role_joins",
 ]
 
 

@@ -233,8 +233,14 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic global permutation with a stable 1-based
     global position — two-pass distributed rank, never a
     single-partition ORDER BY window."""
+    from ..operators.spread import release_pins
+
     docs = t(spark, sf_dir, "documents")
-    return global_shuffle(docs, seed="epoch-0")
+    pins: list = []
+    out = global_shuffle(docs, seed="epoch-0", pins=pins)
+    # the harness collects later; snapshot the (narrow) result so the
+    # internal range-partition pin doesn't outlive this call
+    return release_pins(out, pins)
 
 
 ORACLE_GLOBAL_SHUFFLE = """

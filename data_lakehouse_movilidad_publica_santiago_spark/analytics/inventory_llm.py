@@ -62,7 +62,7 @@ from .inventory import t
 _SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _SQL_TOKENS = f"list_distinct(string_split_regex({_SQL_NORM}, ' '))"
 
-QUALITY_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "with"]
+from ..functions.text import QUALITY_STOPWORDS  # noqa: E402 — shared list
 
 _STOP_LIST_SQL = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
 
@@ -724,9 +724,13 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum — no single-partition window; the oracle's global window is
     the semantic twin, not the physical plan)."""
     from ..operators.data_mix import pack_shards
+    from ..operators.spread import release_pins
 
     docs = t(spark, sf_dir, "documents")
-    shards = pack_shards(docs, budget_tokens=2000)
+    pins: list = []
+    shards = release_pins(
+        pack_shards(docs, budget_tokens=2000, pins=pins), pins
+    )
     return shards.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("sum_tokens"),

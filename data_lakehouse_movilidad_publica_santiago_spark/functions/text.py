@@ -86,6 +86,14 @@ def mean_word_length(col: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+# the canonical English stopword list the quality gate and the corpus
+# build share — single definition so the `corpus_build_summary` gate's
+# filter can never silently diverge from `pipeline.build_corpus`
+QUALITY_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "that", "it", "with",
+]  # fmt: skip
+
+
 def quality_score(col: Column, stopwords: list[str]) -> Column:
     """Heuristic document-quality score in [0,1]: rewards reasonable
     length (50..2000 chars), low punctuation noise, healthy stopword

@@ -75,7 +75,7 @@ def global_shuffle(
     df: DataFrame,
     seed: str,
     id_col: str = "doc_id",
-    n_parts: int = 32,
+    n_parts: int | None = None,
     pins: list | None = None,
 ) -> DataFrame:
     """Seeded deterministic permutation: every row gets ``shuffle_key``
@@ -93,8 +93,15 @@ def global_shuffle(
     The range-shuffled input must stay persisted until the RESULT is
     consumed (re-executed range bounds may differ — see pack_shards).
     Pass ``pins`` (a list) to receive the persisted handle and
-    ``unpersist()`` it after your final action, instead of leaving the
-    pin to die with the session."""
+    ``unpersist()`` it after your final action — or wrap with
+    ``spread.release_pins`` when the final action is out of your hands
+    (gate/bench harnesses) — instead of leaving the pin to die with
+    the session. ``n_parts`` defaults to max(32, defaultParallelism)
+    so big clusters spread the rank without a kwarg."""
+    from .spread import default_range_parts
+
+    if n_parts is None:
+        n_parts = default_range_parts(df)
     keyed = df.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))).alias(

@@ -132,7 +132,8 @@ def pack_shards(
     budget_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_parts: int = 32,
+    n_parts: int | None = None,
+    pins: list | None = None,
 ) -> DataFrame:
     """Assign each doc a ``shard_id`` = floor(exclusive running token
     count / budget) in ``id_col`` order — the deterministic layout step
@@ -142,7 +143,18 @@ def pack_shards(
     window (the whole corpus through one task). This is the standard
     two-pass distributed prefix sum instead: range-partition by id,
     per-partition window cumsum, then add bounded driver-side
-    partition offsets (#partitions values — metadata-sized)."""
+    partition offsets (#partitions values — metadata-sized).
+
+    ``n_parts`` defaults to max(32, defaultParallelism) so a big
+    cluster spreads the corpus without the caller remembering a
+    kwarg. ``pins``: see ``global_shuffle`` — the range-partitioned
+    intermediate stays persisted until the result is consumed; pass a
+    list to receive the handle and unpersist it after your final
+    action (or route through ``spread.release_pins``)."""
+    from .spread import default_range_parts
+
+    if n_parts is None:
+        n_parts = default_range_parts(df)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).alias("n_tok"),
@@ -157,6 +169,8 @@ def pack_shards(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
+    if pins is not None:
+        pins.append(parts)
     w = (
         Window.partitionBy("__pid")
         .orderBy("doc_id")

@@ -35,7 +35,11 @@ def detect_hot_keys(
         .limit(top_k)
         .collect()
     )
-    return [r[key] for r in rows]
+    # NULL can be the heaviest "key" (groupBy counts the NULL group)
+    # but is excluded here: NULL never equi-matches, and a None inside
+    # an isin() list poisons the cold-path filter with three-valued
+    # NULLs, silently dropping every non-hot row.
+    return [r[key] for r in rows if r[key] is not None]
 
 
 def salted_join(
@@ -55,6 +59,9 @@ def salted_join(
     deterministic salt assignment; defaults to round-robin by row."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left (got {how!r})")
+    # NULL keys always take the cold path (isNull() branch below); a
+    # None in the list would make `~isin` NULL for every non-hot key
+    hot_keys = [k for k in hot_keys if k is not None]
     if not hot_keys:
         return big.join(small, on, how)
     key = F.col(on)

@@ -35,3 +35,33 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     if size // max_pb < target:
         return df.repartition(target)
     return df
+
+
+def default_range_parts(df: DataFrame) -> int:
+    """Default partition count for the two-pass prefix-sum operators
+    (``pack_shards``/``global_shuffle``): never below 32, and never
+    below the session's default parallelism — a fixed 32 would mean
+    ~3 TB per range partition on a 100 TB corpus regardless of cluster
+    size. Callers can still override explicitly."""
+    return max(32, df.sparkSession.sparkContext.defaultParallelism)
+
+
+def release_pins(result: DataFrame, pins: list[DataFrame]) -> DataFrame:
+    """Materialize ``result`` into GC-managed block storage and
+    unpersist the operator's internal cache pins immediately.
+
+    For gate/bench call sites that hand a DataFrame to a harness which
+    collects it LATER: the pinned intermediate (see
+    ``pack_shards``/``global_shuffle``) must stay persisted until the
+    result is consumed, but the call site never sees the final action —
+    without this, every invocation leaves one CacheManager entry alive
+    for the session's lifetime. ``localCheckpoint`` snapshots the
+    (narrow, id+key-sized) result so the pins can be released at once;
+    its blocks are freed by the ContextCleaner as soon as every derived
+    plan is garbage-collected, with no manual bookkeeping. Production
+    pipelines (``pipeline.build_corpus``) instead hold pins until their
+    final write and unpersist explicitly — no extra materialization."""
+    out = result.localCheckpoint(eager=True)
+    for p in pins:
+        p.unpersist()
+    return out

@@ -26,13 +26,15 @@ from pathlib import Path
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.text import doc_fingerprint, quality_score
+from .functions.text import QUALITY_STOPWORDS, doc_fingerprint, quality_score
 from .operators.chunking import chunk_documents, global_shuffle
 from .operators.pii import redact_pii
 from .operators.spread import ensure_parallelism
 
-# the stopword list the quality gate pins (analytics/inventory_llm.py)
-_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "with"]
+# one doc can carry at most 2^31 chunks before the packed sample_id
+# would collide (~100B tokens/doc at the defaults — a guard, not a
+# real limit); pos * 2^31 stays inside bigint up to ~4.3B documents
+_CHUNK_IDX_LIMIT = 1 << 31
 
 
 def build_corpus(
@@ -56,7 +58,7 @@ def build_corpus(
     n_raw = docs.count()
 
     passed = docs.filter(
-        F.round(quality_score(F.col(text_col), _STOPWORDS), 2)
+        F.round(quality_score(F.col(text_col), QUALITY_STOPWORDS), 2)
         >= quality_min
     ).select(id_col, text_col)
     keyed = passed.withColumn("__fp", doc_fingerprint(F.col(text_col)))
@@ -87,7 +89,19 @@ def build_corpus(
         chunks.join(order.select("doc_id", "pos"), "doc_id")
         .withColumn(
             "sample_id",
-            F.col("pos") * F.lit(1_000_000) + F.col("chunk_idx"),
+            # fail loudly instead of colliding if a document ever
+            # packs more chunks than the key has bits for
+            F.when(
+                F.col("chunk_idx") >= F.lit(_CHUNK_IDX_LIMIT),
+                F.raise_error(
+                    F.concat(
+                        F.lit("chunk_idx overflows sample_id packing: "),
+                        F.col("chunk_idx").cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(
+                F.col("pos") * F.lit(_CHUNK_IDX_LIMIT) + F.col("chunk_idx")
+            ),
         )
     )
     chunks_path = str(out / "chunks.parquet")

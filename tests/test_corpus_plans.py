@@ -66,7 +66,10 @@ def test_session_window_is_single_key_shuffle(spark):
     plan = explain_str(
         corpus_gate.q_session_windows(spark, SF_CORRECTNESS)
     )
-    assert "Window" not in plan or "PartitionBy" not in plan  # no raw window at all
+    # no unpartitioned Window node (empty partition-spec group) may
+    # appear — session_window should plan as aggregate, not window
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
+        assert m.group(2).strip(), "unpartitioned window in session_windows"
     # session_window plans as (partial) aggregate + exchange on key
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
 

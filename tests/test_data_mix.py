@@ -77,3 +77,43 @@ def test_pack_shards_plan_has_no_global_window(spark):
     # the window must be partitioned by the range-partition id, never a
     # single global partition (that is the whole point of the 2-pass)
     assert "windowspecdefinition(__pid" in plan
+
+
+def test_pack_shards_scale_derived_parts(spark, monkeypatch):
+    """n_parts defaults from the session, not a constant 32: a big
+    cluster's defaultParallelism must widen the range partitioning
+    without the caller passing a kwarg."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators import (
+        spread,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 5) for i in range(200)], "doc_id bigint, text string"
+    )
+    # on this 4-core test session the floor of 32 wins
+    assert spread.default_range_parts(docs) == max(
+        32, spark.sparkContext.defaultParallelism
+    )
+    # a session reporting more parallelism propagates through the
+    # n_parts=None default path into the actual range partitioning
+    monkeypatch.setattr(spread, "default_range_parts", lambda df: 48)
+    pins: list = []
+    out = pack_shards(docs, budget_tokens=50, pins=pins)
+    assert pins and pins[0].rdd.getNumPartitions() == 48
+    assert out.count() == 200
+    for p in pins:
+        p.unpersist()
+
+
+def test_pack_shards_pins_released(spark):
+    """The gate wrapper must not leave a CacheManager entry behind."""
+    from data_lakehouse_movilidad_publica_santiago_spark.analytics.inventory_llm import (
+        q_pack_shards,
+    )
+
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    before = jcache.isEmpty()
+    out = q_pack_shards(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    # whatever was cached before the call, q_pack_shards added nothing
+    assert jcache.isEmpty() == before

@@ -108,3 +108,56 @@ def test_profile_single_scan(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Range", plan)) == 1
+
+
+def _skewed_with_nulls(spark):
+    """NULL is the heaviest group (60%), key 7 hot (30%), 1..5 cold."""
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 6, F.lit(None).cast("bigint"))
+        .when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise((F.col("id") % 5 + 1))
+        .alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(1, 9)], "k bigint, label string"
+    )
+    return big, small
+
+
+def test_detect_hot_keys_excludes_null_group(spark):
+    big, _ = _skewed_with_nulls(spark)
+    # NULL has 1200 rows — the heaviest group — but must not be returned
+    assert detect_hot_keys(big, "k", min_rows=300) == [7]
+
+
+def test_salted_join_with_null_keys_inner(spark):
+    """A None in hot_keys must not poison the cold-path isin filter
+    (three-valued logic would silently drop every non-hot cold row)."""
+    big, small = _skewed_with_nulls(spark)
+    plain = big.join(small, "k").groupBy("k", "label").count()
+    for hot in ([7], [None, 7]):  # caller passing None must be safe too
+        salted = (
+            salted_join(big, small, "k", hot_keys=hot, n_salts=4)
+            .groupBy("k", "label")
+            .count()
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+
+def test_salted_join_with_null_keys_left(spark):
+    big, small = _skewed_with_nulls(spark)
+    plain = big.join(small, "k", "left")
+    out = salted_join(big, small, "k", hot_keys=[None, 7], how="left", n_salts=4)
+    assert out.count() == plain.count() == 2000
+    # every NULL-key row survives unmatched via the cold path
+    assert out.filter(F.col("k").isNull()).count() == 1200
+
+
+def test_salted_join_all_hot_keys_null_degrades_to_plain(spark):
+    big, small = _skewed_with_nulls(spark)
+    out = salted_join(big, small, "k", hot_keys=[None], n_salts=4)
+    plain = big.join(small, "k")
+    assert out.count() == plain.count()
