@@ -24,6 +24,8 @@ through a stats-pruned predicate read).
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -34,6 +36,16 @@ from ..lake import TxnTable
 from .inventory import t
 
 _TXN_CACHE: dict[str, str] = {}
+
+
+@atexit.register
+def _cleanup_txn_cache() -> None:
+    """Remove the per-process gate-table temp dirs on interpreter
+    exit (they are rebuilt lazily per process; nothing references
+    them across runs)."""
+    for root in _TXN_CACHE.values():
+        shutil.rmtree(root, ignore_errors=True)
+    _TXN_CACHE.clear()
 
 
 def _table_for(spark: SparkSession, sf_dir: str) -> TxnTable:

@@ -297,3 +297,78 @@ QUERIES["salted_join_demand"] = q_salted_join_demand
 ORACLE["salted_join_demand"] = ORACLE_SALTED_JOIN_DEMAND
 QUERIES["profile_orders"] = q_profile_orders
 ORACLE["profile_orders"] = ORACLE_PROFILE_ORDERS
+
+
+# ── mergeable HLL distinct sketches (ANALYZE layer) ─────────────────
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the sketch layer (operators/sketches.py): per
+    (year, month) HLL sketches of distinct customers, merged up to
+    year. The oracle can't replay a DataSketches estimate (and HLL
+    union state is NOT path-independent once sketches leave exact
+    coupon mode — measured: one-level vs two-level merges of the
+    same monthly sketches differ by a few counts), so the gate
+    exports the RELATIONAL invariants of the fixed rollup path, all
+    deterministic for fixed data:
+
+    - ``exact_distinct`` — DuckDB recomputes it exactly;
+    - ``rel_err_ok`` — merged estimate within ±5 % of exact
+      (lg_k=12 → ±1.6 % std error, 5 % ≈ 3σ);
+    - ``union_bounds_ok`` — merged estimate ≥ the largest monthly
+      estimate and ≤ the sum of monthly estimates (the superset /
+      subadditivity laws any correct distinct-union must satisfy;
+      exact counts break the upper one only if the union
+      double-counts, the lower one only if the union loses keys).
+
+    ``fact_cardinalities`` (gold/diagnostics.py) ships the same
+    sketches in the product's load report."""
+    from ..operators.sketches import distinct_sketches, rollup_distinct
+
+    base = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        "o_custkey",
+    )
+    monthly = distinct_sketches(base, ["o_year", "o_month"], "o_custkey")
+    monthly_est = monthly.select(
+        "o_year", F.hll_sketch_estimate("hll").alias("__m_est")
+    ).groupBy("o_year").agg(
+        F.max("__m_est").alias("__max_m"),
+        F.sum("__m_est").alias("__sum_m"),
+    )  # fmt: skip
+    merged = rollup_distinct(monthly, ["o_year"])
+    exact = base.groupBy("o_year").agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        merged.join(monthly_est, "o_year")
+        .join(exact, "o_year")
+        .select(
+            "o_year",
+            "exact_distinct",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                < F.lit(0.05)
+            ).alias("rel_err_ok"),
+            (
+                (F.col("n_distinct_est") >= F.col("__max_m"))
+                & (F.col("n_distinct_est") <= F.col("__sum_m"))
+            ).alias("union_bounds_ok"),
+        )
+    )
+
+
+ORACLE_HLL_ROLLUP = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       COUNT(DISTINCT o_custkey) AS exact_distinct,
+       TRUE AS rel_err_ok,
+       TRUE AS union_bounds_ok
+FROM orders
+GROUP BY 1
+"""
+
+
+QUERIES["hll_rollup"] = q_hll_rollup
+ORACLE["hll_rollup"] = ORACLE_HLL_ROLLUP

@@ -15,6 +15,8 @@ from typing import Any
 
 from pyspark.sql import functions as F
 
+from ..operators.profile import profile_columns
+from ..operators.sketches import distinct_sketches, rollup_distinct
 from .store import GoldStore
 
 FACT_GRAINS: dict[str, list[str]] = {
@@ -116,6 +118,48 @@ def quarantine_top_reasons(
     }
 
 
+# representative high-cardinality column per fact for the ANALYZE
+# layer: per-cut HLL sketches (the persistable pre-aggregate) merged
+# to a whole-table estimate — at 100 TB the merge replaces a rescan
+FACT_DISTINCT_COLS: dict[str, str] = {
+    "fct_trip": "id_tarjeta",
+    "fct_trip_leg": "id_tarjeta",
+    "fct_validation": "id_etapa",
+    "fct_boardings_30m": "stop_sk",
+}
+
+
+def fact_cardinalities(store: GoldStore, fact: str) -> dict[str, Any]:
+    """Distinct-cardinality estimate of the fact's representative
+    column via mergeable HLL sketches: one sketch per cut_sk, unioned
+    up to the table total. Incremental loads can merge yesterday's
+    stored sketches instead of rescanning history."""
+    col = FACT_DISTINCT_COLS[fact]
+    per_cut = distinct_sketches(store.read(fact), ["cut_sk"], col)
+    rows = rollup_distinct(per_cut, []).collect()
+    est = int(rows[0]["n_distinct_est"]) if rows else 0
+    return {"fact": fact, "column": col, "distinct_est": est}
+
+
+def dim_profiles(
+    store: GoldStore, dims: dict[str, list[str]] | None = None
+) -> dict[str, Any]:
+    """One-pass column profiles (nulls / distincts / min / max) over
+    the small dims — the exact-profile half of the ANALYZE layer."""
+    dims = dims or {
+        "dim_stop": ["stop_code", "comuna"],
+        "dim_service": ["service_code"],
+    }
+    out: dict[str, Any] = {}
+    for dim, cols in dims.items():
+        if not store.exists(dim):
+            continue
+        out[dim] = [
+            r.asDict() for r in profile_columns(store.read(dim), cols).collect()
+        ]
+    return out
+
+
 def build_load_report(
     store: GoldStore, lake_root: Path
 ) -> dict[str, Any]:
@@ -126,7 +170,9 @@ def build_load_report(
             report["facts"][fact] = {
                 "grain_duplicates": grain_duplicates(store, fact),
                 "sk_miss_rates": sk_miss_rates(store, fact),
+                "cardinality": fact_cardinalities(store, fact),
             }
+    report["dim_profiles"] = dim_profiles(store)
     for dataset in ("viajes", "etapas", "subidas_30m"):
         report["quarantine"][dataset] = quarantine_top_reasons(
             store.spark, lake_root, dataset
@@ -158,8 +204,26 @@ def write_load_report(report: dict[str, Any], out_dir: Path) -> tuple[Path, Path
             f"{dups['duplicate_keys']}",
             "- SK miss rates (%): "
             + ", ".join(f"{c}={v}" for c, v in miss["miss_rates_pct"].items()),
-            "",
         ]
+        card = checks.get("cardinality")
+        if card:
+            lines += [
+                f"- distinct {card['column']} (HLL est): "
+                f"{card['distinct_est']}"
+            ]
+        lines += [""]
+    for dim, profs in report.get("dim_profiles", {}).items():
+        if profs:
+            lines += [
+                f"## profile — {dim}",
+                *[
+                    f"- {p['col_name']}: distinct={p['n_distinct']} "
+                    f"nulls={p['n_nulls']} range=[{p['min_val']}, "
+                    f"{p['max_val']}]"
+                    for p in profs
+                ],
+                "",
+            ]
     for ds, q in report.get("quarantine", {}).items():
         if q["reasons"]:
             lines += [

@@ -5,9 +5,14 @@ Exact COUNT(DISTINCT) cannot be pre-aggregated: a daily exact count
 is useless for a weekly rollup (distincts don't add). DataSketches
 HLL sketches CAN: keep one small binary sketch per (grain, day),
 merge sketches for any coarser grain, estimate at read time. The
-merge is associative/commutative and the estimator is deterministic,
-so rollup(merge(daily)) == sketch(whole) EXACTLY — pinned by
-tests/test_sketches.py, alongside the estimate-vs-exact error bound.
+estimator is deterministic for fixed data and a fixed merge path;
+while sketches remain in exact coupon (SET) mode the union is
+path-independent too — rollup(merge(daily)) == sketch(whole)
+EXACTLY, pinned by tests/test_sketches.py. Past the HLL-mode
+promotion threshold, different merge paths may differ by a few
+counts (estimator-mode differences), and the guarantee is the
+published error envelope plus the union superset/subadditivity
+bounds — both driver-gated (`hll_rollup`, sql_surface_gate.py).
 
 Built on Spark's native DataSketches bindings (hll_sketch_agg /
 hll_union_agg / hll_sketch_estimate) — JVM-side, codegen-friendly,

@@ -147,6 +147,22 @@ def test_load_report(spark, tmp_path_factory):
     assert q["NEG_DISTANCE"] == 3
     assert report["runs"]["ok"] == 3
 
+    # ANALYZE layer: HLL cardinality per fact (exact at this tiny
+    # size — SET-mode sketches) + exact dim profiles
+    card = report["facts"]["fct_trip"]["cardinality"]
+    assert card["column"] == "id_tarjeta"
+    exact = (
+        loader.store.read("fct_trip").select("id_tarjeta").distinct().count()
+    )
+    assert card["distinct_est"] == exact
+    stop_prof = {
+        p["col_name"]: p for p in report["dim_profiles"]["dim_stop"]
+    }
+    assert stop_prof["stop_code"]["n_nulls"] == 0
+    assert stop_prof["stop_code"]["n_distinct"] > 0
+
     jp, mp = write_load_report(report, root / "diagnostics")
     assert jp.exists() and mp.exists()
-    assert "fct_trip" in mp.read_text()
+    md = mp.read_text()
+    assert "fct_trip" in md
+    assert "HLL est" in md and "profile — dim_stop" in md
