@@ -45,6 +45,7 @@ def connected_components(
     out_id: str = "doc_id",
     out_cluster: str = "cluster_id",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of the undirected pair graph.
 
@@ -58,6 +59,11 @@ def connected_components(
     point is not reached (cannot happen for a finite graph within the
     bound; the guard exists so a future regression fails loudly
     instead of returning half-propagated labels).
+
+    ``stats``: pass a dict to receive ``{"rounds": n}`` — the number
+    of label-exchange rounds actually run (the convergence-detecting
+    final round included). The skew stress tests pin the O(log
+    diameter) bound with it.
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -71,7 +77,9 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # 1. neighbor-min: one equality shuffle join + map-side-combined min
         nbr = (
             edges.join(labels, edges["u"] == labels["node"])
@@ -113,6 +121,8 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("node").alias(out_id), F.col("label").alias(out_cluster)
     )
