@@ -372,3 +372,70 @@ GROUP BY 1
 
 QUERIES["hll_rollup"] = q_hll_rollup
 ORACLE["hll_rollup"] = ORACLE_HLL_ROLLUP
+
+
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the Count-Min frequency layer: per-month CMS
+    sketches of customer order counts, merged to a whole-corpus
+    estimate for the top-5 customers. CMS merge is counter ADDITION
+    with seed-fixed hashes, so `merged_eq_whole` pins EXACT
+    mergeability (unlike HLL), and `overcount_ok` pins the one-sided
+    error contract (estimate ≥ exact, ≤ exact + eps·N) — both
+    deterministic for fixed data/seed. Top-5 selection tie-breaks on
+    key so both engines pick identical rows. The driver-side merge is
+    bounded: one sketch row per month."""
+    from ..operators.sketches import (
+        frequency_sketches,
+        merged_frequency_estimates,
+    )
+
+    base = t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyyMM").alias("o_month"), "o_custkey"
+    )
+    top = (
+        base.groupBy("o_custkey")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "o_custkey")
+        .limit(5)
+        .collect()
+    )
+    items = [int(r["o_custkey"]) for r in top]
+    exact = {int(r["o_custkey"]): int(r["exact_cnt"]) for r in top}
+    n_total = base.count()
+
+    est_m = merged_frequency_estimates(
+        frequency_sketches(base, ["o_month"], "o_custkey"), items
+    )
+    est_w = merged_frequency_estimates(
+        frequency_sketches(base, [], "o_custkey"), items
+    )
+    rows = [
+        (
+            k,
+            exact[k],
+            est_m[k] == est_w[k],
+            exact[k] <= est_m[k] <= exact[k] + 0.001 * n_total,
+        )
+        for k in items
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_custkey bigint, exact_cnt bigint, "
+        "merged_eq_whole boolean, overcount_ok boolean",
+    )
+
+
+ORACLE_CMS_FREQUENCY = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+       TRUE AS merged_eq_whole,
+       TRUE AS overcount_ok
+FROM orders
+GROUP BY o_custkey
+ORDER BY exact_cnt DESC, o_custkey
+LIMIT 5
+"""
+
+
+QUERIES["cms_frequency"] = q_cms_frequency
+ORACLE["cms_frequency"] = ORACLE_CMS_FREQUENCY

@@ -79,3 +79,60 @@ def approx_quantiles(
             F.col(col), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
         ).alias("quantiles")
     )
+
+
+def frequency_sketches(
+    df: DataFrame,
+    grain: list[str],
+    col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+    sketch_col: str = "cms",
+) -> DataFrame:
+    """One Count-Min sketch of ``col`` per ``grain`` row — the
+    frequency twin of ``distinct_sketches``. Store next to the fact
+    rollup; any later "how often did item X appear across cuts
+    A..B" answers by MERGING the stored sketches (pure counter
+    addition — exact, unlike HLL union) instead of rescanning.
+
+    Error contract: estimate ≥ true count always, and ≤ true +
+    eps·N with probability ``confidence``; deterministic for a fixed
+    ``seed`` (the seed fixes the hash functions, so merged and
+    whole-data sketches are IDENTICAL arrays)."""
+    return df.groupBy(*grain).agg(
+        F.count_min_sketch(
+            F.col(col), F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias(sketch_col)
+    )
+
+
+def merged_frequency_estimates(
+    sketches: DataFrame,
+    items: list,
+    sketch_col: str = "cms",
+) -> dict:
+    """Merge ALL sketch rows (bounded: one per grain row — the same
+    driver-sized footprint as collecting the rollup itself) and
+    estimate each item's total count. Uses the JVM CountMinSketch
+    (`org.apache.spark.util.sketch`) the SQL aggregate serializes."""
+    jvm = sketches.sparkSession._jvm
+    cls = jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = None
+    for row in sketches.select(sketch_col).collect():
+        sk = cls.readFrom(bytes(row[sketch_col]))
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    if merged is None:
+        return {item: 0 for item in items}
+    out = {}
+    for item in items:
+        # CountMinSketch.estimateCount dispatches on the BOXED Java
+        # type; py4j would pass a small Python int as Integer, which
+        # hashes differently than the Long a bigint column produced —
+        # box integral items explicitly
+        jitem = jvm.java.lang.Long(item) if isinstance(item, int) else item
+        out[item] = int(merged.estimateCount(jitem))
+    return out

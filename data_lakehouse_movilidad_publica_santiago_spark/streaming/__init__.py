@@ -12,11 +12,13 @@ trip-chain counter as the custom-stateful-operator example.
 from .silver_stream import (
     stream_silver_viajes,
     streaming_boardings_30m,
+    streaming_dedup,
     stream_trip_chains,
 )
 
 __all__ = [
     "stream_silver_viajes",
     "streaming_boardings_30m",
+    "streaming_dedup",
     "stream_trip_chains",
 ]

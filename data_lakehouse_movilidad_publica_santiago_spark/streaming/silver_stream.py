@@ -193,3 +193,32 @@ def stream_trip_chains(validations: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark-bounded exact dedup — the streaming twin of the batch
+    exact-dedup operators (``operators/dedup.keep_latest`` and the
+    ``exact_dedup_summary`` fingerprint groupBy).
+
+    ``dropDuplicatesWithinWatermark`` keeps ONE row per key seen
+    within the watermark horizon and, critically for 100 TB streams,
+    bounds the state store by (keys alive inside the horizon) instead
+    of growing forever the way a plain streaming ``dropDuplicates``
+    on keys would. Semantics: the first-arriving row of each key is
+    emitted; any duplicate arriving while the key is still inside the
+    watermark window is dropped; a duplicate arriving later than the
+    horizon is treated as new (at-least-once upstream should size the
+    watermark to its redelivery bound).
+
+    The batch twin for differential testing is
+    ``df.dropDuplicates(keys)`` when all duplicates fall inside one
+    horizon (pinned by tests/test_streaming.py).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

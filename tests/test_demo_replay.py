@@ -240,3 +240,30 @@ def test_serving_queries_answer_on_demo_lake(spark, demo_lake):
 
     pts = query_map_points(sl, QueryFilters(), limit=50)
     assert pts
+
+
+def test_txn_gold_matches_parquet_gold_on_demo_data(spark, demo_lake):
+    """The ACID backend reproduces the plain-parquet gold constellation
+    row-for-row on the reference's own data (synthetic-fixture parity
+    is pinned by tests/test_txn_gold_parity.py; this is the real-data
+    replay)."""
+    from data_lakehouse_movilidad_publica_santiago_spark.gold import GoldLoader
+    from data_lakehouse_movilidad_publica_santiago_spark.gold.txn_store import (
+        TxnGoldStore,
+    )
+
+    lake, _, _ = demo_lake
+    rc = cli.main(
+        ["gold", "--lake", str(lake), "--store", "txn",
+         "--gold-dir", str(lake / "gold_txn")]
+    )  # fmt: skip
+    assert rc == 0
+    parquet_store = GoldLoader(spark, lake / "gold").store
+    txn_store = TxnGoldStore(spark, lake / "gold_txn")
+    for fact in (
+        "fct_trip", "fct_trip_leg", "fct_validation", "fct_boardings_30m",
+        "dim_stop", "dim_service",
+    ):  # fmt: skip
+        a, b = parquet_store.read(fact), txn_store.read(fact)
+        assert a.count() == b.count(), fact
+        assert a.exceptAll(b.select(a.columns)).count() == 0, fact

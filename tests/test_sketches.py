@@ -82,3 +82,33 @@ def test_approx_quantiles_rank_error(spark):
     for seg in exact:
         for a, b in zip(got[seg], exact[seg]):
             assert abs(a - b) <= 10.0, (seg, got[seg], exact[seg])
+
+
+def test_cms_merge_is_exact_and_bounds_hold(spark):
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.sketches import (
+        frequency_sketches,
+        merged_frequency_estimates,
+    )
+
+    ev = _events(spark)
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    items = sorted(exact, key=lambda u: (-exact[u], u))[:10]
+
+    daily = frequency_sketches(ev, ["day"], "user_id")
+    whole = frequency_sketches(ev, [], "user_id")
+    est_daily = merged_frequency_estimates(daily, items)
+    est_whole = merged_frequency_estimates(whole, items)
+
+    # CMS merge is counter ADDITION with seed-fixed hash functions:
+    # merging 20 daily sketches gives the IDENTICAL estimate as one
+    # whole-data sketch — exact mergeability, unlike HLL
+    assert est_daily == est_whole
+
+    n_total = ev.count()
+    for item in items:
+        # one-sided error: estimate >= true, and <= true + eps*N
+        assert est_daily[item] >= exact[item]
+        assert est_daily[item] <= exact[item] + 0.001 * n_total + 1

@@ -190,3 +190,59 @@ def test_streaming_sessions_match_batch(spark, tmp_path_factory):
     assert emitted == batch
     assert {u for (u, *_rest) in emitted} == {1, 2}
     assert len(emitted) == 3  # two sessions for user 1, one for user 2
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark twin: duplicates inside the
+    horizon collapse to one row per key, matching the batch
+    dropDuplicates result; state is watermark-bounded."""
+    import pandas as pd
+
+    from data_lakehouse_movilidad_publica_santiago_spark.streaming import (
+        streaming_dedup,
+    )
+
+    src_dir = tmp_path_factory.mktemp("dedup_src")
+    pdf = pd.DataFrame(
+        {
+            "event_id": ["E1", "E2", "E1", "E3", "E2", "E1"],
+            "ts": pd.to_datetime(
+                [
+                    "2025-04-21 08:00:00",
+                    "2025-04-21 08:05:00",
+                    "2025-04-21 08:10:00",  # dup of E1 inside horizon
+                    "2025-04-21 08:20:00",
+                    "2025-04-21 08:25:00",  # dup of E2 inside horizon
+                    "2025-04-21 08:40:00",  # dup of E1 inside horizon
+                ]
+            ),
+            "v": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    batch = spark.createDataFrame(pdf)
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src_dir))
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+    out = tmp_path_factory.mktemp("dedup_out")
+    q = (
+        streaming_dedup(stream, keys=["event_id"], ts_col="ts", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("dedup_ck")))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out))
+    # one row per key survives — same KEY SET as the batch twin
+    assert got.count() == 3
+    assert {r["event_id"] for r in got.collect()} == {"E1", "E2", "E3"}
+    assert (
+        sorted(r["event_id"] for r in got.collect())
+        == sorted(
+            r["event_id"]
+            for r in batch.dropDuplicates(["event_id"]).collect()
+        )
+    )
