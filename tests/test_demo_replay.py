@@ -242,7 +242,18 @@ def test_serving_queries_answer_on_demo_lake(spark, demo_lake):
     assert pts
 
 
-def test_txn_gold_matches_parquet_gold_on_demo_data(spark, demo_lake):
+@pytest.fixture(scope="module")
+def demo_txn_gold(demo_lake):
+    """Run the txn-backend gold CLI once over the demo lake."""
+    lake, _, _ = demo_lake
+    rc = cli.main(
+        ["gold", "--lake", str(lake), "--store", "txn",
+         "--gold-dir", str(lake / "gold_txn")]
+    )  # fmt: skip
+    return lake, rc
+
+
+def test_txn_gold_matches_parquet_gold_on_demo_data(spark, demo_txn_gold):
     """The ACID backend reproduces the plain-parquet gold constellation
     row-for-row on the reference's own data (synthetic-fixture parity
     is pinned by tests/test_txn_gold_parity.py; this is the real-data
@@ -252,11 +263,7 @@ def test_txn_gold_matches_parquet_gold_on_demo_data(spark, demo_lake):
         TxnGoldStore,
     )
 
-    lake, _, _ = demo_lake
-    rc = cli.main(
-        ["gold", "--lake", str(lake), "--store", "txn",
-         "--gold-dir", str(lake / "gold_txn")]
-    )  # fmt: skip
+    lake, rc = demo_txn_gold
     assert rc == 0
     parquet_store = GoldLoader(spark, lake / "gold").store
     txn_store = TxnGoldStore(spark, lake / "gold_txn")
@@ -267,3 +274,36 @@ def test_txn_gold_matches_parquet_gold_on_demo_data(spark, demo_lake):
         a, b = parquet_store.read(fact), txn_store.read(fact)
         assert a.count() == b.count(), fact
         assert a.exceptAll(b.select(a.columns)).count() == 0, fact
+
+
+def test_maintain_cli_on_demo_txn_gold(spark, demo_txn_gold):
+    """OPTIMIZE + retention VACUUM over the real-data txn gold: exits
+    clean, reports every txn table, and table contents are untouched
+    (compaction is a logical no-op)."""
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark.gold.txn_store import (
+        TxnGoldStore,
+    )
+
+    lake, rc = demo_txn_gold
+    assert rc == 0
+    store = TxnGoldStore(spark, lake / "gold_txn")
+    before = store.read("fct_trip").count()
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mrc = cli.main(
+            ["maintain", "--gold-dir", str(lake / "gold_txn"),
+             "--target-file-mb", "1", "--retain-versions", "1",
+             "--vacuum-min-age-hours", "0"]
+        )  # fmt: skip
+    assert mrc == 0
+    report = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert "fct_trip" in report
+    # fresh store: one file per table at this size → nothing to compact,
+    # and reads are unchanged afterwards
+    assert store.read("fct_trip").count() == before
