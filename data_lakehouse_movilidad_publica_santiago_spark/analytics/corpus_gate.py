@@ -247,7 +247,9 @@ ORACLE_GLOBAL_SHUFFLE = """
 SELECT doc_id,
        md5('epoch-0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
        CAST(ROW_NUMBER() OVER (
-         ORDER BY md5('epoch-0:' || CAST(doc_id AS VARCHAR)), doc_id
+         ORDER BY ('0x' || substr(
+           md5('epoch-0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+         doc_id
        ) AS BIGINT) AS pos
 FROM documents
 """
