@@ -35,8 +35,10 @@ from ..operators.clustering import (
 )
 from ..operators.dedup_text import (
     _md5_hex8_bigint_sql,
+    build_minhash_index,
     exact_dup_groups,
     jaccard_pairs_exact,
+    minhash_dedup_incremental,
     minhash_lsh_pairs,
     simhash_md5_oracle_sql,
     simhash_pairs,
@@ -395,6 +397,69 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dir); every later call is a pure pruned-scan query — exactly the
 # at-rest/online split a production index has
 _IVF_INDEX_CACHE: dict[str, str] = {}
+_MINHASH_INDEX_CACHE: dict[str, str] = {}
+
+
+def _cleanup_index_caches() -> None:
+    """Remove the per-process persisted-index temp dirs on exit
+    (rebuilt lazily per process; never shared across runs)."""
+    import shutil as _shutil
+
+    for cache in (_IVF_INDEX_CACHE, _MINHASH_INDEX_CACHE):
+        for d in cache.values():
+            _shutil.rmtree(d, ignore_errors=True)
+        cache.clear()
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_index_caches)
+
+
+def _minhash_index_for(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _MINHASH_INDEX_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="dlmps_mh_idx_")
+        corpus = t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        build_minhash_index(corpus, d, k=3, num_perm=64, bands=16)
+        _MINHASH_INDEX_CACHE[sf_dir] = d
+    return _MINHASH_INDEX_CACHE[sf_dir]
+
+
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the 10 % of documents with doc_id % 10 == 0
+    arrive as a NEW batch and are near-dup-checked against a PERSISTED
+    MinHash-LSH index of the other 90 % (banded signatures + shingle
+    sets built once — the daily-batch shape where re-running
+    full-corpus dedup per batch would be quadratic over the corpus
+    lifetime). Same banding recipe as `minhash_lsh_near_dup`
+    (signatures depend only on each doc's own shingles, so banding
+    matches are identical to the full-corpus run's and the measured
+    recall-1.0 argument carries over); candidates exact-verified, so
+    the exact cross-subset Jaccard SQL is the oracle."""
+    batch = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return minhash_dedup_incremental(
+        batch, _minhash_index_for(spark, sf_dir), threshold=0.5
+    )
+
+
+ORACLE_MINHASH_INCREMENTAL = f"""
+WITH d0 AS (SELECT doc_id, {_SQL_TOKS_RAW} AS toks FROM documents),
+d AS (SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(toks)-2, 1)+1),
+          i -> array_to_string(toks[i:least(i+2, len(toks))], ' '))) AS sh
+      FROM d0),
+pairs AS (
+  SELECT a.doc_id AS doc_new, b.doc_id AS doc_corpus,
+         ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+               / len(list_distinct(a.sh || b.sh)), 6) AS jac
+  FROM d a JOIN d b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+SELECT doc_new, doc_corpus, jac FROM pairs WHERE jac >= 0.5
+"""
 
 
 def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -765,6 +830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_summary": q_exact_dedup_summary,
     "token_jaccard_near_dup": q_token_jaccard_near_dup,
     "minhash_lsh_near_dup": q_minhash_lsh_near_dup,
+    "minhash_incremental": q_minhash_incremental,
     "simhash_near_dup": q_simhash_near_dup,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "dedup_clusters": q_dedup_clusters,
@@ -791,6 +857,7 @@ ORACLE: dict[str, str] = {
     "exact_dedup_summary": ORACLE_EXACT_DEDUP_SUMMARY,
     "token_jaccard_near_dup": ORACLE_TOKEN_JACCARD,
     "minhash_lsh_near_dup": ORACLE_MINHASH_LSH,
+    "minhash_incremental": ORACLE_MINHASH_INCREMENTAL,
     "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
     "winnowing_fingerprints": ORACLE_WINNOWING,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,

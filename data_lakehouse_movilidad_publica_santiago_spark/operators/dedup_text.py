@@ -95,6 +95,42 @@ def minhash_signature(sh: Column, num_perm: int = 64) -> Column:
     )
 
 
+def _minhash_banded(shingled: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) LSH rows from a ``_shingled`` frame.
+
+    Signature via explode + codegen'd MIN aggregates (map-side
+    combine; whole-stage codegen) instead of nested array lambdas —
+    the lambda form is interpreted per shingle×perm and ~50× slower.
+    Bucket rows carry ONLY (doc_id, band, bucket) — the shingle
+    arrays never enter any downstream join shuffle. A document's
+    signature depends only on its own shingles, so banding is stable
+    across corpus subsets — the property the incremental index
+    (``build_minhash_index``) rests on."""
+    rows_per_band = num_perm // bands
+    exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{i}")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -116,40 +152,13 @@ def minhash_lsh_pairs(
     an equality shuffle join on (band, hash) — no quadratic work
     outside genuinely colliding buckets.
     """
-    rows_per_band = num_perm // bands
     # spread docs across cores before the CPU-heavy shingling (a small
     # parquet arrives as one partition), and cache: the shingle sets
     # feed the signature pass AND both sides of the verify join
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     shingled = _shingled(df.repartition(n_part), id_col, text_col, k).cache()
-    # signature via explode + codegen'd MIN aggregates (map-side
-    # combine; whole-stage codegen) instead of nested array lambdas —
-    # the lambda form is interpreted per shingle×perm and ~50× slower
-    exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
-    sig = exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
-    )
-    # bucket rows carry ONLY (doc_id, band, bucket) — the shingle
-    # arrays never enter the wide self-join shuffle
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"h{i}")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _minhash_banded(shingled, num_perm, bands)
 
     cand = (
         banded.alias("a")
@@ -529,3 +538,106 @@ def simhash_pairs(
         )
     )
     return cross.unionByName(same)
+
+
+def build_minhash_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> dict:
+    """Persist the corpus side of MinHash-LSH dedup so NEW batches can
+    be deduped against the corpus without recomputing it — the daily
+    incremental shape of a 100 TB training-data pipeline (a full-corpus
+    re-run per arriving batch is quadratic in total over a corpus's
+    lifetime; the index makes each batch O(batch + matches)).
+
+    Writes to ``index_dir``:
+      - ``banded.parquet`` — (doc_id, band, bucket) LSH rows,
+      - ``shingles.parquet`` — (doc_id, sh, sh_n) for exact verify of
+        candidates only,
+      - ``meta.json`` — the (k, num_perm, bands) recipe; queries must
+        hash with the SAME recipe or buckets never match.
+
+    Returns the meta dict. Like ``build_ivf_index``, this is the
+    ANALYZE-once/query-many trade: signatures are computed once per
+    corpus revision."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    shingled = _shingled(df.repartition(n_part), id_col, text_col, k).cache()
+    out = _Path(index_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    _minhash_banded(shingled, num_perm, bands).write.mode("overwrite").parquet(
+        str(out / "banded.parquet")
+    )
+    shingled.write.mode("overwrite").parquet(str(out / "shingles.parquet"))
+    n_docs = spark.read.parquet(str(out / "shingles.parquet")).count()
+    shingled.unpersist()
+    meta = {"k": k, "num_perm": num_perm, "bands": bands, "n_docs": n_docs}
+    (out / "meta.json").write_text(_json.dumps(meta), encoding="utf-8")
+    return meta
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    index_dir: str,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the indexed corpus:
+    (doc_new, doc_corpus, jac) with exact Jaccard ≥ ``threshold``.
+
+    The batch is shingled/banded with the index's recipe (signatures
+    depend only on a doc's own shingles, so banding matches are
+    IDENTICAL to what a full-corpus run would produce — the measured
+    recall of the full-corpus banding carries over exactly); the
+    bucket join touches only (id, band, bucket) rows; exact
+    verification joins shingle sets for CANDIDATES only. Batch-
+    internal duplicates are the existing ``minhash_lsh_pairs`` job."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    spark = new_docs.sparkSession
+    meta = _json.loads(
+        (_Path(index_dir) / "meta.json").read_text(encoding="utf-8")
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    new_sh = _shingled(
+        new_docs.repartition(n_part), id_col, text_col, meta["k"]
+    ).cache()
+    new_banded = _minhash_banded(new_sh, meta["num_perm"], meta["bands"])
+    corpus_banded = spark.read.parquet(str(_Path(index_dir) / "banded.parquet"))
+    cand = (
+        new_banded.alias("a")
+        .join(
+            corpus_banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_corpus"),
+        )
+        .dropDuplicates(["doc_new", "doc_corpus"])
+    )
+    corpus_sh = spark.read.parquet(str(_Path(index_dir) / "shingles.parquet"))
+    verified = cand.join(
+        new_sh.select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_a")),
+        "doc_new",
+    ).join(
+        corpus_sh.select(
+            F.col("doc_id").alias("doc_corpus"), F.col("sh").alias("sh_b")
+        ),
+        "doc_corpus",
+    )
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return verified.select(
+        "doc_new", "doc_corpus", F.round(jac, 6).alias("jac")
+    ).filter(F.col("jac") >= threshold)

@@ -90,3 +90,55 @@ def test_winnowing_fingerprints_edges(spark):
         assert by_doc[3] == by_doc[4]
         # distinct docs -> distinct sets
         assert by_doc[1] != by_doc[3]
+
+
+def test_minhash_incremental_matches_full_run(spark, tmp_path):
+    """Batch-vs-index dedup returns exactly the cross-subset slice of
+    a full-corpus run (signatures depend only on each doc's own
+    shingles, so banding is split-invariant), and the index is built
+    once then reused."""
+    import random
+
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.dedup_text import (
+        build_minhash_index,
+        minhash_dedup_incremental,
+        minhash_lsh_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    corpus_rows, batch_rows = [], []
+    for i in range(60):
+        text = " ".join(rng.choices(vocab, k=40))
+        corpus_rows.append((100 + i, text))
+        if i < 20:  # 20 batch docs are exact clones of corpus docs
+            batch_rows.append((i, text))
+    for i in range(20, 40):  # 20 batch docs are fresh (no near-dups)
+        batch_rows.append((i, " ".join(rng.choices(vocab, k=40))))
+
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+
+    meta = build_minhash_index(corpus, str(tmp_path / "idx"))
+    assert meta["n_docs"] == 60
+
+    inc = minhash_dedup_incremental(
+        batch, str(tmp_path / "idx"), threshold=0.5
+    )
+    got = {(r["doc_new"], r["doc_corpus"], r["jac"]) for r in inc.collect()}
+
+    # every clone pair found at jac 1.0; fresh docs produce nothing
+    assert {(i, 100 + i, 1.0) for i in range(20)} <= got
+    assert all(n < 20 for (n, _, _) in got)
+
+    # cross-subset slice of the FULL-corpus run is identical
+    full = minhash_lsh_pairs(
+        batch.unionByName(corpus), "doc_id", "text", threshold=0.5
+    )
+    cross = {
+        (r["doc_a"], r["doc_b"], r["jac"])
+        for r in full.collect()
+        if r["doc_a"] < 100 <= r["doc_b"]
+    }
+    assert cross == got
+    spark.catalog.clearCache()
