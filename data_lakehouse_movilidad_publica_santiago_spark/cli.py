@@ -89,6 +89,13 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--overlap", type=int, default=16)
     cp.add_argument("--seed", default="epoch-0")
     cp.add_argument("--no-redact", action="store_true")
+    cp.add_argument(
+        "--near-dedup",
+        action="store_true",
+        help="after exact dedup, remove MinHash-LSH near-duplicates "
+        "(pairs → connected components → keep best-quality member)",
+    )
+    cp.add_argument("--near-threshold", type=float, default=0.85)
 
     rp = sub.add_parser("report", help="gold load diagnostics report")
     rp.add_argument("--lake", required=True, type=Path)
@@ -183,6 +190,8 @@ def main(argv: list[str] | None = None) -> int:
             overlap=args.overlap,
             seed=args.seed,
             redact=not args.no_redact,
+            near_dedup=args.near_dedup,
+            near_threshold=args.near_threshold,
         )
         print(json.dumps(summary))
 

@@ -139,6 +139,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    pins: list | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
@@ -158,6 +159,8 @@ def minhash_lsh_pairs(
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     shingled = _shingled(df.repartition(n_part), id_col, text_col, k).cache()
+    if pins is not None:
+        pins.append(shingled)
     banded = _minhash_banded(shingled, num_perm, bands)
 
     cand = (

@@ -46,11 +46,20 @@ def build_corpus(
     overlap: int = 16,
     seed: str = "epoch-0",
     redact: bool = True,
+    near_dedup: bool = False,
+    near_threshold: float = 0.85,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict:
     """Run the corpus build; returns the summary dict (also written
-    to ``<output_dir>/summary.json``)."""
+    to ``<output_dir>/summary.json``).
+
+    ``near_dedup=True`` adds the MinHash-LSH near-duplicate stage
+    after exact dedup: LSH pairs at Jaccard ≥ ``near_threshold`` →
+    connected components → keep the highest-quality member per
+    cluster (ties → lowest id). All the individually-gated operators
+    (`minhash_lsh_near_dup`, `dedup_clusters`, `dedup_survivors`)
+    composed into the product path."""
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -68,6 +77,43 @@ def build_corpus(
         .filter(F.col(id_col) == F.col("__keeper"))
         .select(id_col, text_col)
     )
+    n_near_removed = 0
+    stage_pins: list = []  # persisted intermediates released at the end
+    if near_dedup:
+        from .operators.clustering import (
+            canonical_survivors,
+            connected_components,
+        )
+        from .operators.dedup_text import minhash_lsh_pairs
+
+        # near-dup stage needs two passes over the exact-dedup result
+        # (pair mining + survivor join) — pin it for the stage
+        kept = kept.persist()
+        n_before = kept.count()
+        mh_pins: list = []
+        pairs = minhash_lsh_pairs(
+            kept, id_col, text_col, threshold=near_threshold, pins=mh_pins
+        )
+        comps = connected_components(pairs, src="doc_a", dst="doc_b")
+        scored = kept.withColumn(
+            "__q", quality_score(F.col(text_col), QUALITY_STOPWORDS)
+        )
+        survivors = canonical_survivors(
+            scored.select(F.col(id_col), F.col("__q")),
+            comps,
+            id_col=id_col,
+            score_col="__q",
+        ).select(id_col)
+        # materialize the survivor join, then the shingle cache and
+        # the pre-dedup pin can release; the survivor frame itself is
+        # released with the other stage pins after the final write
+        deduped = kept.join(survivors, id_col, "inner").persist()
+        stage_pins.append(deduped)
+        n_near_removed = n_before - deduped.count()
+        for p in mh_pins:
+            p.unpersist()
+        kept.unpersist()
+        kept = deduped
     if redact:
         kept = kept.withColumn(text_col, redact_pii(F.col(text_col)))
     # persist: kept feeds the count, the chunker AND the shuffle-rank
@@ -119,11 +165,15 @@ def build_corpus(
     kept.unpersist()
     for p in pins:  # release the shuffle-rank pin (ours alone — a
         p.unpersist()  # shared session's other caches stay intact)
+    for p in stage_pins:  # near-dedup survivor frame, if that stage ran
+        p.unpersist()
 
     summary = {
         "input": str(input_path),
         "n_docs_raw": n_raw,
         "n_docs_kept": n_kept,
+        "near_dedup": near_dedup,
+        "n_near_dups_removed": int(n_near_removed),
         "n_chunks": int(n_chunks),
         "n_tokens": int(n_tokens or 0),
         "quality_min": quality_min,

@@ -105,3 +105,50 @@ def test_build_corpus_redaction_applied(spark, tmp_path):
         .count()
     )
     assert diff > 0
+
+
+def test_build_corpus_near_dedup(spark, tmp_path):
+    """--near-dedup collapses the variant docs (identical base text,
+    tiny suffix → word-3-gram Jaccard ≈ 0.7) to survivors, composed from the gated
+    minhash/cluster/survivor operators; summary accounts exactly."""
+    src = tmp_path / "docs.parquet"
+    _write_corpus(spark, src)
+
+    plain = build_corpus(spark, str(src), str(tmp_path / "plain"), seed="s1")
+    near = build_corpus(
+        spark,
+        str(src),
+        str(tmp_path / "near"),
+        seed="s1",
+        near_dedup=True,
+        near_threshold=0.7,
+    )
+    assert near["near_dedup"] is True
+    assert near["n_near_dups_removed"] > 0
+    assert (
+        near["n_docs_kept"]
+        == plain["n_docs_kept"] - near["n_near_dups_removed"]
+    )
+    chunks = spark.read.parquet(near["chunks_path"])
+    assert chunks.select("doc_id").distinct().count() == near["n_docs_kept"]
+    # permutation layout intact after the extra stage
+    assert (
+        chunks.select("sample_id").distinct().count() == chunks.count()
+    )
+    spark.catalog.clearCache()
+
+
+def test_corpus_cli_near_dedup_flag(spark, tmp_path, capsys):
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+
+    src = tmp_path / "docs.parquet"
+    _write_corpus(spark, src)
+    rc = cli.main(
+        ["corpus", "--input", str(src), "--output", str(tmp_path / "o"),
+         "--near-dedup", "--near-threshold", "0.7"]
+    )  # fmt: skip
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["near_dedup"] is True and summary["n_near_dups_removed"] > 0
