@@ -765,6 +765,46 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test assignment (80/10/10):
+    the split is the first cumulative-weight interval containing
+    uniform_hash(seed, doc_id) — disjoint, exhaustive, reproducible
+    under any partitioning/retry (same contract as `sample_mix`), and
+    the oracle replays every assignment exactly. Output: per (split,
+    lang) doc counts — pins both the marginals and the independence
+    of split from strata."""
+    from ..operators.data_mix import split_assign
+
+    docs = t(spark, sf_dir, "documents")
+    assigned = split_assign(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split-v1"
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+ORACLE_STRATIFIED_SPLIT = f"""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         md5('split-v1:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+decided AS (
+  SELECT doc_id, lang,
+         CAST(({_md5_hex8_bigint_sql()}) AS DOUBLE) / 4294967296.0 AS u
+  FROM hashed)
+SELECT CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM decided
+GROUP BY 1, 2
+"""
+
+
 ORACLE_SAMPLE_MIX = f"""
 WITH hashed AS (
   SELECT lang, n_chars,
@@ -825,6 +865,7 @@ GROUP BY 1
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination": q_decontamination,
     "sample_mix": q_sample_mix,
+    "stratified_split": q_stratified_split,
     "pack_shards": q_pack_shards,
     "doc_fingerprints": q_doc_fingerprints,
     "exact_dedup_summary": q_exact_dedup_summary,
@@ -852,6 +893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "decontamination": ORACLE_DECONTAMINATION,
     "sample_mix": ORACLE_SAMPLE_MIX,
+    "stratified_split": ORACLE_STRATIFIED_SPLIT,
     "pack_shards": ORACLE_PACK_SHARDS,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "exact_dedup_summary": ORACLE_EXACT_DEDUP_SUMMARY,

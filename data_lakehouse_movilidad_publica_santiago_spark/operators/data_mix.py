@@ -207,3 +207,37 @@ def pack_shards(
             ).alias("shard_id"),
         )
     )
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic stratified split (train/val/test): each row gets
+    the first split whose cumulative weight bound exceeds
+    ``uniform_hash(seed, id)``. Splits are disjoint, exhaustive
+    (weights are normalized), and reproducible under any partitioning
+    / retry / cluster size — the same guarantees as ``sample_mix``,
+    and the same reason not to use ``rand()``: a retried task must
+    not reassign rows. Iteration order of ``weights`` defines the
+    interval order, so pass an ordered mapping."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = _uniform_hash(F.col(id_col), seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += float(weights[name]) / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    return df.withColumn(
+        out_col, last if expr is None else expr.otherwise(last)
+    )

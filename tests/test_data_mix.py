@@ -117,3 +117,41 @@ def test_pack_shards_pins_released(spark):
     assert out.count() > 0
     # whatever was cached before the call, q_pack_shards added nothing
     assert jcache.isEmpty() == before
+
+
+def test_split_assign_properties(spark):
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.data_mix import (
+        split_assign,
+    )
+
+    docs = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    out = split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # exhaustive + disjoint (one split per row)
+    assert sum(counts.values()) == 10_000
+    assert set(counts) == {"train", "val", "test"}
+    # proportions within a loose binomial band
+    assert 7_700 <= counts["train"] <= 8_300
+    assert 800 <= counts["val"] <= 1_200
+    assert 800 <= counts["test"] <= 1_200
+    # deterministic: repartitioning does not move any row
+    again = split_assign(docs.repartition(17), {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
+    # unnormalized weights normalize; single split takes everything
+    solo = split_assign(docs, {"all": 3.0})
+    assert solo.filter(F.col("split") == "all").count() == 10_000
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.data_mix import (
+        split_assign,
+    )
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    with _pytest.raises(ValueError):
+        split_assign(docs, {"a": 0.0, "b": 0.0})
