@@ -13,6 +13,7 @@ from .silver_stream import (
     stream_silver_viajes,
     streaming_boardings_30m,
     streaming_dedup,
+    stream_dedup_against_index,
     stream_trip_chains,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "stream_silver_viajes",
     "streaming_boardings_30m",
     "streaming_dedup",
+    "stream_dedup_against_index",
     "stream_trip_chains",
 ]

@@ -222,3 +222,59 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def stream_dedup_against_index(
+    events: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.85,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming corpus intake with incremental near-dedup: every
+    arriving micro-batch is near-dup-checked against the PERSISTED
+    MinHash index (``operators.dedup_text.build_minhash_index``) and
+    split into ``<out_dir>/accepted`` (no corpus match) and
+    ``<out_dir>/near_dups`` (the matching pairs with their exact
+    Jaccard). The corpus signatures are computed ONCE at index build;
+    each micro-batch costs O(batch + matches) — the streaming twin of
+    ``minhash_dedup_incremental``, sharing its recipe sidecar so
+    banding matches are identical to a batch run.
+
+    foreachBatch (not a continuous stateful operator) because the
+    index is an at-rest artifact: exactly-once parquet appends per
+    micro-batch id, restart-safe via the checkpoint. Returns the
+    started StreamingQuery."""
+    from pathlib import Path as _Path
+
+    from ..operators.dedup_text import minhash_dedup_incremental
+
+    accepted_dir = str(_Path(out_dir) / "accepted")
+    pairs_dir = str(_Path(out_dir) / "near_dups")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            pairs = minhash_dedup_incremental(
+                batch_df, index_dir, threshold, id_col=id_col,
+                text_col=text_col,
+            ).persist()  # fmt: skip
+            pairs.write.mode("append").parquet(pairs_dir)
+            dup_ids = pairs.select(
+                F.col("doc_new").alias(id_col)
+            ).distinct()
+            batch_df.join(dup_ids, id_col, "left_anti").write.mode(
+                "append"
+            ).parquet(accepted_dir)
+            pairs.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -246,3 +246,56 @@ def test_streaming_dedup_matches_batch(spark, tmp_path_factory):
             for r in batch.dropDuplicates(["event_id"]).collect()
         )
     )
+
+
+def test_stream_dedup_against_index(spark, tmp_path_factory):
+    """Micro-batches near-dup-check against the persisted MinHash
+    index: clones of indexed docs land in near_dups, fresh docs are
+    accepted — and the union of both partitions the stream."""
+    import random
+
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.dedup_text import (
+        build_minhash_index,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.streaming import (
+        stream_dedup_against_index,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(300)]
+    corpus_rows = [
+        (1000 + i, " ".join(rng.choices(vocab, k=40))) for i in range(30)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    idx = tmp_path_factory.mktemp("mh_idx")
+    build_minhash_index(corpus, str(idx))
+
+    # stream: 10 clones of indexed docs + 10 fresh docs
+    src = tmp_path_factory.mktemp("stream_src")
+    batch_rows = [(i, corpus_rows[i][1]) for i in range(10)] + [
+        (50 + i, " ".join(rng.choices(vocab, k=40))) for i in range(10)
+    ]
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    batch.coalesce(2).write.mode("overwrite").parquet(str(src))
+
+    out = tmp_path_factory.mktemp("dedup_stream_out")
+    q = stream_dedup_against_index(
+        spark.readStream.schema(batch.schema).parquet(str(src)),
+        str(idx),
+        str(out),
+        str(tmp_path_factory.mktemp("ck")),
+        threshold=0.85,
+    )
+    q.awaitTermination(180)
+
+    pairs = spark.read.parquet(str(out / "near_dups"))
+    accepted = spark.read.parquet(str(out / "accepted"))
+    dup_new = {r["doc_new"] for r in pairs.collect()}
+    acc_ids = {r["doc_id"] for r in accepted.collect()}
+    assert dup_new == set(range(10))  # every clone caught at jac 1.0
+    assert pairs.filter("jac < 0.85").count() == 0
+    assert acc_ids == {50 + i for i in range(10)}
+    # partition property: accepted ∪ dup-new == stream, disjoint
+    assert acc_ids | dup_new == {r[0] for r in batch_rows}
+    assert not (acc_ids & dup_new)
+    spark.catalog.clearCache()
