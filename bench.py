@@ -104,6 +104,11 @@ HEADLINE = [
     # and the 5-way role-playing stop join
     "biz_q3_od_matrix",
     "biz_q5_role_joins",
+    # round-5 retrieval/quality ops: CCNet bigram-LM perplexity
+    # (train + broadcast-model score in one plan) and Okapi BM25
+    # top-k (array-expression tf, no explode, TakeOrdered)
+    "lm_perplexity",
+    "bm25_topk",
 ]
 
 

@@ -435,3 +435,126 @@ FROM raw r LEFT JOIN kept_agg k ON r.source = k.source
 
 QUERIES["corpus_build_summary"] = q_corpus_build_summary
 ORACLE["corpus_build_summary"] = _oracle_corpus_build()
+
+
+# ── CCNet-style LM perplexity filter ────────────────────────────────
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train an add-one-smoothed word-bigram LM on the English slice
+    (the trusted reference corpus) and score EVERY document's
+    cross-entropy under it — the CCNet quality screen. The keep
+    verdict thresholds the ROUNDED score so both engines decide from
+    identical doubles. Non-English docs score measurably worse, which
+    is the operator's whole point."""
+    from ..operators.lm_filter import score_perplexity, train_bigram_lm
+    from ..operators.spread import ensure_parallelism
+
+    # gram explode + model probes are compute-heavy narrow stages; a
+    # one-file scan would single-thread them (no-op at cluster scale)
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    model = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    # lang rides the gram rows; bigram-free docs are excluded anyway,
+    # so skip the join-back stage — train + score is ONE Spark plan
+    scored = score_perplexity(
+        docs, model, passthrough=["lang"], include_empty=False
+    )
+    ce = F.round(F.col("cross_entropy"), 4)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        ce.alias("cross_entropy"),
+        (ce <= F.lit(3.42)).alias("keep"),
+    )
+
+
+ORACLE_LM_PERPLEXITY = """
+WITH train AS (
+  SELECT string_split(text, ' ') AS l FROM documents WHERE lang = 'en'),
+uni AS (
+  SELECT t AS w1, COUNT(*) AS c1
+  FROM (SELECT unnest(l) AS t FROM train) GROUP BY t),
+v AS (SELECT COUNT(*) AS vocab FROM uni),
+tbg AS (
+  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i + 1])) AS gram
+  FROM train WHERE len(l) >= 2),
+big AS (SELECT gram, COUNT(*) AS c12 FROM tbg GROUP BY gram),
+toks AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+sg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i + 1])) AS gram
+  FROM toks WHERE len(l) >= 2),
+sc AS (
+  SELECT doc_id, lang,
+         ln(CAST(COALESCE(c12, 0) + 1 AS DOUBLE)
+            / CAST(COALESCE(c1, 0) + vocab AS DOUBLE)) AS logp
+  FROM sg LEFT JOIN big USING (gram)
+  LEFT JOIN uni ON split_part(gram, ' ', 1) = uni.w1
+  CROSS JOIN v)
+SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+       ROUND(-AVG(logp), 4) AS cross_entropy,
+       ROUND(-AVG(logp), 4) <= 3.42 AS keep
+FROM sc GROUP BY doc_id, lang
+"""
+
+QUERIES["lm_perplexity"] = q_lm_perplexity
+ORACLE["lm_perplexity"] = ORACLE_LM_PERPLEXITY
+
+
+# ── BM25 sparse retrieval ───────────────────────────────────────────
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the query {dup, spark}: one rare term
+    (high idf — it dominates the ranking) and one common term (low
+    idf tf/length tiebreaker) — the sparse-retrieval baseline next to
+    the dense embedding-kNN gates. tf columns ride along for
+    explainability; cast to bigint so both engines hash one type."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    out = bm25_topk(docs, ["dup", "spark"], top_k=10)
+    return out.select(
+        "doc_id",
+        "score",
+        F.col("tf_dup").cast("bigint").alias("tf_dup"),
+        F.col("tf_spark").cast("bigint").alias("tf_spark"),
+    )
+
+
+ORACLE_BM25_TOPK = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+base AS (
+  SELECT doc_id, len(l) AS dl,
+         len(list_filter(l, x -> x = 'dup')) AS tf_dup,
+         len(list_filter(l, x -> x = 'spark')) AS tf_spark
+  FROM d),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+         SUM(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS df_dup,
+         SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark
+  FROM base)
+SELECT doc_id,
+  ROUND(
+    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_dup AS DOUBLE) + 0.5)
+             / (CAST(df_dup AS DOUBLE) + 0.5))
+      * CAST(tf_dup AS DOUBLE) * 2.2
+      / (CAST(tf_dup AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+  + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_spark AS DOUBLE) + 0.5)
+             / (CAST(df_spark AS DOUBLE) + 0.5))
+      * CAST(tf_spark AS DOUBLE) * 2.2
+      / (CAST(tf_spark AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+  , 4) AS score,
+  tf_dup, tf_spark
+FROM base CROSS JOIN stats
+WHERE greatest(tf_dup, tf_spark) > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+QUERIES["bm25_topk"] = q_bm25_topk
+ORACLE["bm25_topk"] = ORACLE_BM25_TOPK

@@ -1,0 +1,159 @@
+"""CCNet-style n-gram language-model perplexity filtering.
+
+The classic LLM-training-data quality screen (Wenzek et al., "CCNet:
+Extracting High Quality Monolingual Datasets from Web Crawl Data",
+LREC 2020): train a small language model on a trusted reference
+corpus (CCNet uses Wikipedia + KenLM), score every candidate document
+by its perplexity under that model, and keep the low-perplexity
+(in-domain, well-formed) tail. Here the model is a word-bigram LM
+with add-one smoothing — the n-gram-counting shape of KenLM reduced
+to something two engines can compute bit-identically — and both
+training and scoring are pure DataFrame plans:
+
+- **Training** is one explode + groupBy count over the reference
+  slice: ``bigram(gram) -> c12``, ``unigram(w1) -> c1``, and the
+  vocabulary size ``V``. At 100 TB the counts tables are the only
+  shuffle and their rows are (short-string, long) pairs; the model
+  for a bounded vocabulary (always true after normalization +
+  top-M pruning, the standard KenLM practice) broadcasts.
+- **Scoring** is explode → two LEFT joins against the model → one
+  per-doc aggregate. With a broadcast model the whole score pass is
+  map-side: no shuffle except the final per-doc combine, which
+  carries only (doc_id, logp) pairs.
+
+Smoothed probability of a bigram occurrence ``w1 w2``:
+
+    P(w2 | w1) = (c12 + 1) / (c1 + V)
+
+so unseen continuations and unseen contexts degrade gracefully
+(c12=0, c1=0 → 1/V). Cross-entropy of a document is the mean of
+``-ln P`` over its bigram occurrences; perplexity is ``exp`` of that.
+Documents with fewer than 2 tokens have no bigram evidence and score
+NULL (callers decide their fate; the gate excludes them).
+
+Reference parity note: the reference repo has no LM filter — this is
+part of the beyond-reference LLM-data-pipeline suite the build brief
+requires alongside SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_ngrams_raw
+
+
+class BigramLM:
+    """A trained add-one-smoothed word-bigram model: two count tables
+    plus a one-row vocabulary-size relation. Plain LAZY DataFrames —
+    training launches no job; persist or write them once per
+    reference-corpus revision and reuse across scoring runs (the same
+    index-once/score-many shape as ``build_minhash_index``)."""
+
+    def __init__(self, bigrams: DataFrame, unigrams: DataFrame, vocab: DataFrame):
+        self.bigrams = bigrams    # (gram string "w1 w2", c12 bigint)
+        self.unigrams = unigrams  # (w1, c1 bigint)
+        self.vocab = vocab        # one row: (vocab bigint) = |V|
+
+    @property
+    def vocab_size(self) -> int:
+        """|V| as a driver-side int (runs one small job)."""
+        return self.vocab.collect()[0][0]
+
+
+def train_bigram_lm(
+    reference: DataFrame, text_col: str = "text"
+) -> BigramLM:
+    """Count word bigrams and unigrams over the reference corpus.
+
+    Tokens are raw space-split words (the corpus is pre-normalized;
+    compose with ``functions.text.normalize_text`` upstream when it
+    is not). Single-token documents contribute their token to the
+    unigram/vocab tables but no bigram. |V| stays a one-row relation
+    so scoring folds it in as a broadcast scalar — training is fully
+    lazy and a train+score run is ONE Spark plan."""
+    toks = F.split(F.col(text_col), " ")
+    words = reference.select(F.explode(toks).alias("w1"))
+    unigrams = words.groupBy("w1").agg(F.count("*").alias("c1"))
+    # word_ngrams_raw pads docs shorter than n with one short gram;
+    # a true bigram contains a space, so filter the padding out
+    grams = reference.select(
+        F.explode(word_ngrams_raw(F.col(text_col), 2)).alias("gram")
+    ).filter(F.col("gram").contains(" "))
+    bigrams = grams.groupBy("gram").agg(F.count("*").alias("c12"))
+    vocab = unigrams.agg(F.count("*").alias("vocab"))
+    return BigramLM(bigrams, unigrams, vocab)
+
+
+def score_perplexity(
+    docs: DataFrame,
+    model: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_threshold: float | None = None,
+    passthrough: list[str] | None = None,
+    include_empty: bool = True,
+) -> DataFrame:
+    """Per-document cross-entropy and perplexity under ``model``.
+
+    Output: one row per input document with ``n_bigrams`` (0 for
+    docs shorter than 2 tokens — their ``cross_entropy``/``ppl`` are
+    NULL), ``cross_entropy`` (mean -ln P per bigram occurrence),
+    ``ppl`` (exp of it), and — when ``keep_threshold`` is given — the
+    CCNet keep/drop verdict ``keep = cross_entropy <= threshold``.
+
+    The two model joins are LEFT joins with counts coalesced to 0, so
+    out-of-vocabulary text scores against the smoothing floor instead
+    of vanishing. Grams shuffle as (doc_id, gram) only; the document
+    text never leaves its scan. |V| rides in as a broadcast scalar,
+    so train+score execute as one plan with no eager driver job.
+
+    ``passthrough`` columns (small per-doc attributes, e.g. lang/
+    source) ride the gram rows and come back in the output without a
+    second join against the corpus. ``include_empty=False`` drops the
+    LEFT join-back that resurrects bigram-free docs — when the caller
+    filters them anyway, that join is a whole stage saved."""
+    extra = list(passthrough or [])
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *extra,
+        F.explode(word_ngrams_raw(F.col(text_col), 2)).alias("gram"),
+    ).filter(F.col("gram").contains(" "))
+    scored = (
+        grams.join(model.bigrams, "gram", "left")
+        .withColumn("w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+        .join(model.unigrams, "w1", "left")
+        .crossJoin(F.broadcast(model.vocab))
+        .withColumn(
+            "logp",
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab").cast("double"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", *extra).agg(
+        F.count("*").alias("n_bigrams"),
+        (-F.avg("logp")).alias("cross_entropy"),
+    )
+    if include_empty:
+        # LEFT join back so bigram-free docs still appear (n_bigrams=0)
+        out = (
+            docs.select(F.col(id_col).alias("doc_id"), *extra)
+            .join(per_doc.drop(*extra) if extra else per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                *extra,
+                F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+                F.col("cross_entropy"),
+            )
+        )
+    else:
+        out = per_doc.select("doc_id", *extra, "n_bigrams", "cross_entropy")
+    out = out.withColumn("ppl", F.exp("cross_entropy"))
+    if keep_threshold is not None:
+        out = out.withColumn(
+            "keep", F.col("cross_entropy") <= F.lit(keep_threshold)
+        )
+    return out

@@ -1,0 +1,116 @@
+"""BM25 full-text retrieval over a document corpus.
+
+Okapi BM25 (Robertson & Zaragoza, "The Probabilistic Relevance
+Framework: BM25 and Beyond", FnTIR 2009) with the Lucene idf variant
+— the standard sparse-retrieval baseline a training-data platform
+needs next to its dense (embedding kNN / IVF) path, e.g. for
+RAG retrieval ablations and contamination audits by keyword.
+
+    score(d, q) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1)
+                             / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    idf(t) = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+
+Execution shape, built for the 100 TB corpus:
+
+- A cheap map-side candidate prune: ``arrays_overlap`` keeps only
+  documents containing at least one query term BEFORE anything
+  explodes — at scale this is the inverted-index lookup expressed
+  declaratively (with the corpus bucketed by term buckets, Catalyst
+  prunes further; here the filter rides the parquet scan).
+- Term frequencies come from per-row array expressions (no explode,
+  no shuffle): one ``size(filter(tokens, = term))`` per query term.
+- ``df``/``N``/``avgdl`` are one tiny aggregate each; the per-term
+  idf table is a handful of rows — broadcast by construction.
+- Final ranking is ``TakeOrderedAndProject`` (top-k, never a global
+  sort).
+
+The per-document score is a single fixed expression tree over the
+query's terms, so its floating-point evaluation order is
+deterministic — important for the differential gate and for
+reproducible retrieval runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` documents for the bag-of-words query, scored by
+    BM25. Ties (after rounding to 4 decimals) break on ascending
+    doc_id so the ranking is total and reproducible.
+
+    Output: (doc_id, score rounded to 4, one ``tf_<term>`` column per
+    query term for explainability)."""
+    if not query_terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    terms = list(dict.fromkeys(query_terms))  # dedup, keep order
+    toks = F.split(F.col(text_col), " ")
+
+    def _tf(term: str):
+        # NB: bind `term` through a real closure — a default-argument
+        # lambda (`lambda t, term=term`) would be seen by Spark's HOF
+        # arity inspection as the 2-ary (element, index) form
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        *[_tf(term).alias(f"tf_{term}") for term in terms],
+    )
+    # corpus stats over ALL docs (N, avgdl) and per-term df — three
+    # tiny aggregates; avgdl is an exact integer-sum mean so both
+    # engines (and any partitioning) agree bit-for-bit
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{term}") > 0).cast("bigint")).alias(f"df_{term}")
+            for term in terms
+        ],
+    )
+    # candidate prune BEFORE the stats join: only docs containing at
+    # least one query term can score > 0
+    candidates = base.filter(
+        F.greatest(*[F.col(f"tf_{term}") for term in terms]) > 0
+        if len(terms) > 1
+        else F.col(f"tf_{terms[0]}") > 0
+    )
+    joined = candidates.crossJoin(F.broadcast(stats))
+
+    def _idf(term: str):
+        df_t = F.col(f"df_{term}").cast("double")
+        return F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        )
+
+    def _term_score(term: str):
+        tf = F.col(f"tf_{term}").cast("double")
+        norm = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        return _idf(term) * tf * F.lit(k1 + 1.0) / (tf + norm)
+
+    score = _term_score(terms[0])
+    for term in terms[1:]:
+        score = score + _term_score(term)
+
+    return (
+        joined.select(
+            "doc_id",
+            F.round(score, 4).alias("score"),
+            *[F.col(f"tf_{term}") for term in terms],
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+    )

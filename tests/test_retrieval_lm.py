@@ -1,0 +1,160 @@
+"""Unit tests for the BM25 retrieval and CCNet-style LM perplexity
+operators (hand-computed math on tiny corpora + plan shape)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_movilidad_publica_santiago_spark.operators.lm_filter import (
+    score_perplexity,
+    train_bigram_lm,
+)
+from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+    bm25_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestBigramLM:
+    def test_counts_and_vocab(self, spark):
+        model = train_bigram_lm(_docs(spark, [(1, "a b a"), (2, "a b")]))
+        assert model.vocab_size == 2
+        bi = {r["gram"]: r["c12"] for r in model.bigrams.collect()}
+        assert bi == {"a b": 2, "b a": 1}
+        uni = {r["w1"]: r["c1"] for r in model.unigrams.collect()}
+        assert uni == {"a": 3, "b": 2}
+
+    def test_hand_computed_cross_entropy(self, spark):
+        model = train_bigram_lm(_docs(spark, [(1, "a b a"), (2, "a b")]))
+        scored = {
+            r["doc_id"]: r
+            for r in score_perplexity(_docs(spark, [(10, "a b")]), model).collect()
+        }
+        # P(b|a) = (c12 + 1)/(c1 + V) = (2 + 1)/(3 + 2)
+        expected = -math.log(3 / 5)
+        assert scored[10]["n_bigrams"] == 1
+        assert scored[10]["cross_entropy"] == pytest.approx(expected)
+        assert scored[10]["ppl"] == pytest.approx(math.exp(expected))
+
+    def test_oov_scores_smoothing_floor(self, spark):
+        model = train_bigram_lm(_docs(spark, [(1, "a b a"), (2, "a b")]))
+        row = score_perplexity(_docs(spark, [(10, "z z")]), model).collect()[0]
+        # unseen context and continuation: P = (0+1)/(0+V) = 1/2
+        assert row["cross_entropy"] == pytest.approx(math.log(2))
+
+    def test_single_token_doc_scores_null(self, spark):
+        model = train_bigram_lm(_docs(spark, [(1, "a b")]))
+        row = score_perplexity(_docs(spark, [(10, "a")]), model).collect()[0]
+        assert row["n_bigrams"] == 0
+        assert row["cross_entropy"] is None
+        assert row["ppl"] is None
+
+    def test_keep_threshold(self, spark):
+        model = train_bigram_lm(_docs(spark, [(1, "a b c d e a b c d e")]))
+        out = score_perplexity(
+            _docs(spark, [(10, "a b c d"), (11, "z q z q")]),
+            model,
+            keep_threshold=1.0,
+        )
+        verdict = {r["doc_id"]: r["keep"] for r in out.collect()}
+        # in-domain: -ln(3/7) ≈ 0.85 per gram; OOV floor: ln V ≈ 1.61
+        assert verdict == {10: True, 11: False}
+
+    def test_in_domain_beats_out_of_domain(self, spark):
+        train = _docs(spark, [(i, "the quick brown fox jumps") for i in range(5)])
+        model = train_bigram_lm(train)
+        out = {
+            r["doc_id"]: r["cross_entropy"]
+            for r in score_perplexity(
+                _docs(
+                    spark,
+                    [(100, "the quick brown fox"), (101, "colorless green ideas sleep")],
+                ),
+                model,
+            ).collect()
+        }
+        assert out[100] < out[101]
+
+
+class TestBM25:
+    CORPUS = [
+        (1, "spark spark spark common word here"),
+        (2, "spark common word here filler filler"),
+        (3, "rare common word here filler filler"),
+        (4, "common word here filler filler filler"),
+    ]
+
+    def test_rare_term_outranks_common(self, spark):
+        docs = _docs(spark, self.CORPUS)
+        rows = bm25_topk(docs, ["rare", "spark"], top_k=4).collect()
+        # doc 3 holds the rare (df=1) term: its idf dwarfs spark's (df=2)
+        assert rows[0]["doc_id"] == 3
+
+    def test_higher_tf_scores_higher(self, spark):
+        docs = _docs(spark, self.CORPUS)
+        rows = bm25_topk(docs, ["spark"], top_k=4).collect()
+        assert [r["doc_id"] for r in rows] == [1, 2]  # tf 3 beats tf 1
+        assert rows[0]["score"] > rows[1]["score"]
+        assert rows[0]["tf_spark"] == 3
+
+    def test_zero_match_docs_excluded_and_topk_bound(self, spark):
+        docs = _docs(spark, self.CORPUS)
+        rows = bm25_topk(docs, ["rare"], top_k=10).collect()
+        assert [r["doc_id"] for r in rows] == [3]
+
+    def test_hand_computed_score(self, spark):
+        docs = _docs(spark, self.CORPUS)
+        row = bm25_topk(docs, ["rare"], top_k=1).collect()[0]
+        n, df, tf, dl, avgdl = 4, 1, 1, 6, 6.0
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        expected = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        assert row["score"] == pytest.approx(expected, abs=1e-4)
+
+    def test_empty_query_rejected(self, spark):
+        with pytest.raises(ValueError):
+            bm25_topk(_docs(spark, self.CORPUS), [])
+
+    def test_duplicate_query_terms_collapse(self, spark):
+        docs = _docs(spark, self.CORPUS)
+        once = bm25_topk(docs, ["spark"], top_k=4).collect()
+        twice = bm25_topk(docs, ["spark", "spark"], top_k=4).collect()
+        assert [(r["doc_id"], r["score"]) for r in once] == [
+            (r["doc_id"], r["score"]) for r in twice
+        ]
+
+    def test_plan_is_topk_not_global_sort(self, spark):
+        docs = _docs(spark, self.CORPUS)
+        plan = bm25_topk(docs, ["spark"], top_k=2)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestGateShapes:
+    def test_lm_gate_discriminates_languages(self, spark):
+        from data_lakehouse_movilidad_publica_santiago_spark.analytics.corpus_gate import (
+            q_lm_perplexity,
+        )
+
+        rows = q_lm_perplexity(spark, "/root/testdata/sf0.001").collect()
+        assert rows, "gate returned no rows"
+        by_lang: dict[str, list[float]] = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r["cross_entropy"])
+        if "en" in by_lang and len(by_lang) > 1:
+            en_avg = sum(by_lang["en"]) / len(by_lang["en"])
+            other = [v for k, vs in by_lang.items() if k != "en" for v in vs]
+            assert en_avg < sum(other) / len(other)
+
+    def test_bm25_gate_schema(self, spark):
+        from data_lakehouse_movilidad_publica_santiago_spark.analytics.corpus_gate import (
+            q_bm25_topk,
+        )
+
+        df = q_bm25_topk(spark, "/root/testdata/sf0.001")
+        assert df.columns == ["doc_id", "score", "tf_dup", "tf_spark"]
+        assert df.count() <= 10
