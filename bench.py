@@ -109,6 +109,11 @@ HEADLINE = [
     # top-k (array-expression tf, no explode, TakeOrdered)
     "lm_perplexity",
     "bm25_topk",
+    # ExactSubstr span dedup (hash-only corpus shuffle + per-doc
+    # gaps-and-islands) and 2-iteration Lloyd's k-means (literal-
+    # centroid map-side assign, (cluster, dim) update shuffle)
+    "span_dedup",
+    "kmeans_assign",
 ]
 
 

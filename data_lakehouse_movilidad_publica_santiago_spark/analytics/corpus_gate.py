@@ -504,6 +504,142 @@ QUERIES["lm_perplexity"] = q_lm_perplexity
 ORACLE["lm_perplexity"] = ORACLE_LM_PERPLEXITY
 
 
+# ── exact substring-span dedup (Lee et al. ExactSubstr) ─────────────
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated 8-token-window spans across the corpus: per-doc
+    accounting plus the md5 of the masked rebuild, so every single
+    token-keep/drop decision is hash-pinned against the oracle. The
+    window-hash explode is compute-heavy → spread the scan."""
+    from ..operators.span_dedup import mask_duplicated_spans, span_dedup_stats
+    from ..operators.spread import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    stats = span_dedup_stats(docs, window=8)
+    masked = mask_duplicated_spans(docs, window=8).select(
+        "doc_id", F.md5("kept_text").alias("kept_md5")
+    )
+    return stats.join(masked, "doc_id")
+
+
+ORACLE_SPAN_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+win AS (
+  SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS s, l
+  FROM toks WHERE len(l) >= 8),
+h AS (SELECT doc_id, s, md5(array_to_string(l[s:s+7], ' ')) AS hsh FROM win),
+dup AS (SELECT hsh FROM h GROUP BY hsh HAVING COUNT(*) > 1),
+spans AS (SELECT doc_id, s, s + 7 AS e FROM h SEMI JOIN dup USING (hsh)),
+runs AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM spans),
+grp AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS g
+  FROM runs),
+islands AS (
+  SELECT doc_id, g, MIN(s) AS span_start, MAX(e) AS span_end,
+         COUNT(*) AS n_windows
+  FROM grp GROUP BY doc_id, g),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(n_windows) AS BIGINT) AS dup_windows,
+         CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+  FROM islands GROUP BY doc_id),
+cov AS (
+  SELECT doc_id, unnest(generate_series(span_start, span_end)) AS p
+  FROM islands),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(l))) AS p, l FROM toks),
+keptpos AS (
+  SELECT pos.doc_id, pos.p, pos.l[pos.p] AS tok
+  FROM pos ANTI JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p),
+kept AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY p)) AS kept_md5
+  FROM keptpos GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.l) AS BIGINT) AS n_tokens,
+       COALESCE(d.dup_windows, 0) AS dup_windows,
+       COALESCE(d.dup_tokens, 0) AS dup_tokens,
+       ROUND(COALESCE(d.dup_tokens, 0) / CAST(len(t.l) AS DOUBLE), 6) AS dup_frac,
+       COALESCE(k.kept_md5, md5('')) AS kept_md5
+FROM toks t
+LEFT JOIN per_doc d ON t.doc_id = d.doc_id
+LEFT JOIN kept k ON t.doc_id = k.doc_id
+"""
+
+QUERIES["span_dedup"] = q_span_dedup
+ORACLE["span_dedup"] = ORACLE_SPAN_DEDUP
+
+
+# ── distributed k-means (topic clustering over embeddings) ──────────
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd's iterations, k=4, deterministic init (the 4
+    smallest vec_ids). Assignment is a pure map stage against
+    driver-held literal centroids; the update is one (cluster, dim)
+    shuffle. The oracle replays both iterations relationally —
+    centroids are ROUNDed each update so the engines iterate from
+    identical doubles."""
+    from ..operators.kmeans import kmeans_fit_assign
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_fit_assign(emb, k=4, iters=2)
+
+
+def _oracle_kmeans(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    def dist(e: str, c: str) -> str:
+        terms = [
+            f"({e}.v[{i + 1}] - {c}.v[{i + 1}]) * ({e}.v[{i + 1}] - {c}.v[{i + 1}])"
+            for i in range(dim)
+        ]
+        return f"ROUND({' + '.join(terms)}, 6)"
+
+    sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})),
+d0 AS (
+  SELECT e.vec_id, c0.cid, {dist('e', 'c0')} AS d
+  FROM e CROSS JOIN c0),
+a0 AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT vec_id, cid, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d0) WHERE rn = 1)"""
+    prev = "a0"
+    for it in range(1, iters):
+        sql += f""",
+u{it} AS (
+  SELECT {prev}.cid, dims.i, ROUND(AVG(e.v[dims.i]), 6) AS cv
+  FROM {prev} JOIN e USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) dims
+  GROUP BY {prev}.cid, dims.i),
+c{it} AS (SELECT cid, array_agg(cv ORDER BY i) AS v FROM u{it} GROUP BY cid),
+d{it} AS (
+  SELECT e.vec_id, c{it}.cid, {dist('e', f'c{it}')} AS d
+  FROM e CROSS JOIN c{it}),
+a{it} AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT vec_id, cid, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d{it}) WHERE rn = 1)"""
+        prev = f"a{it}"
+    sql += f"""
+SELECT vec_id, cid AS cluster, d AS dist FROM {prev}
+"""
+    return sql
+
+
+QUERIES["kmeans_assign"] = q_kmeans_assign
+ORACLE["kmeans_assign"] = _oracle_kmeans()
+
+
 # ── BM25 sparse retrieval ───────────────────────────────────────────
 
 
