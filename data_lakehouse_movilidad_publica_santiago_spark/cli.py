@@ -96,6 +96,20 @@ def main(argv: list[str] | None = None) -> int:
         "(pairs → connected components → keep best-quality member)",
     )
     cp.add_argument("--near-threshold", type=float, default=0.85)
+    cp.add_argument(
+        "--span-mask-window",
+        type=int,
+        default=None,
+        help="ExactSubstr masking: cut every N-token window that "
+        "occurs more than once in the corpus (Lee et al. 2022)",
+    )
+    cp.add_argument(
+        "--ppl-threshold",
+        type=float,
+        default=None,
+        help="CCNet screen: drop docs whose bigram-LM cross-entropy "
+        "(self-trained) exceeds this",
+    )
 
     rp = sub.add_parser("report", help="gold load diagnostics report")
     rp.add_argument("--lake", required=True, type=Path)
@@ -192,6 +206,8 @@ def main(argv: list[str] | None = None) -> int:
             redact=not args.no_redact,
             near_dedup=args.near_dedup,
             near_threshold=args.near_threshold,
+            span_mask_window=args.span_mask_window,
+            ppl_threshold=args.ppl_threshold,
         )
         print(json.dumps(summary))
 

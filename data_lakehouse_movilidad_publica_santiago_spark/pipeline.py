@@ -48,6 +48,8 @@ def build_corpus(
     redact: bool = True,
     near_dedup: bool = False,
     near_threshold: float = 0.85,
+    span_mask_window: int | None = None,
+    ppl_threshold: float | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict:
@@ -59,7 +61,18 @@ def build_corpus(
     connected components → keep the highest-quality member per
     cluster (ties → lowest id). All the individually-gated operators
     (`minhash_lsh_near_dup`, `dedup_clusters`, `dedup_survivors`)
-    composed into the product path."""
+    composed into the product path.
+
+    ``span_mask_window=N`` adds ExactSubstr masking (Lee et al.
+    2022) after dedup: every N-token window occurring more than once
+    in the corpus is cut out of the surviving documents (gated as
+    `span_dedup`); documents masked to nothing are dropped.
+
+    ``ppl_threshold=X`` adds the CCNet perplexity screen: a word-
+    bigram LM is trained on the surviving corpus itself and documents
+    with cross-entropy above X (out-of-distribution: boilerplate,
+    wrong language, degenerate text) are dropped — docs too short to
+    have bigram evidence are kept (gated as `lm_perplexity`)."""
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -114,6 +127,45 @@ def build_corpus(
             p.unpersist()
         kept.unpersist()
         kept = deduped
+    n_mask_emptied = 0
+    if span_mask_window is not None:
+        from .operators.span_dedup import mask_duplicated_spans
+
+        kept = kept.persist()
+        n_premask = kept.count()
+        masked = mask_duplicated_spans(
+            kept, window=span_mask_window, id_col=id_col, text_col=text_col
+        )
+        remasked = (
+            kept.drop(text_col)
+            .join(masked.withColumnRenamed("doc_id", id_col), id_col)
+            .withColumnRenamed("kept_text", text_col)
+            .filter(F.length(F.col(text_col)) > 0)
+            .persist()
+        )
+        stage_pins.append(remasked)
+        n_mask_emptied = n_premask - remasked.count()
+        kept.unpersist()
+        kept = remasked
+    n_lm_dropped = 0
+    if ppl_threshold is not None:
+        from .operators.lm_filter import score_perplexity, train_bigram_lm
+
+        kept = kept.persist()
+        n_prelm = kept.count()
+        model = train_bigram_lm(kept, text_col=text_col)
+        scored = score_perplexity(
+            kept, model, id_col=id_col, text_col=text_col
+        )
+        survivors_lm = scored.filter(
+            F.col("cross_entropy").isNull()
+            | (F.col("cross_entropy") <= F.lit(ppl_threshold))
+        ).select(F.col("doc_id").alias(id_col))
+        screened = kept.join(survivors_lm, id_col, "inner").persist()
+        stage_pins.append(screened)
+        n_lm_dropped = n_prelm - screened.count()
+        kept.unpersist()
+        kept = screened
     if redact:
         kept = kept.withColumn(text_col, redact_pii(F.col(text_col)))
     # persist: kept feeds the count, the chunker AND the shuffle-rank
@@ -174,6 +226,10 @@ def build_corpus(
         "n_docs_kept": n_kept,
         "near_dedup": near_dedup,
         "n_near_dups_removed": int(n_near_removed),
+        "span_mask_window": span_mask_window,
+        "n_docs_emptied_by_mask": int(n_mask_emptied),
+        "ppl_threshold": ppl_threshold,
+        "n_docs_dropped_by_ppl": int(n_lm_dropped),
         "n_chunks": int(n_chunks),
         "n_tokens": int(n_tokens or 0),
         "quality_min": quality_min,

@@ -152,3 +152,100 @@ def test_corpus_cli_near_dedup_flag(spark, tmp_path, capsys):
     assert rc == 0
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["near_dedup"] is True and summary["n_near_dups_removed"] > 0
+
+
+def test_build_corpus_span_mask(spark, tmp_path):
+    """--span-mask-window cuts corpus-duplicated passages: the shared
+    base text vanishes from every doc, fully-duplicated docs drop."""
+    src = tmp_path / "docs_mask.parquet"
+    base = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "in the park with a friend that it is good to see "
+    )
+    rows = [(i, base * 3 + f"unique tail number {i} here") for i in range(6)]
+    rows.append((50, base * 3))  # all-duplicated -> masked to empty
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    summary = build_corpus(
+        spark,
+        str(src),
+        str(tmp_path / "masked"),
+        seed="s1",
+        span_mask_window=8,
+    )
+    assert summary["span_mask_window"] == 8
+    assert summary["n_docs_emptied_by_mask"] == 1
+    assert summary["n_docs_kept"] == 6
+    # every surviving chunk comes from the unique tails only: with the
+    # base text cut, each doc's remaining text is far under one chunk
+    assert summary["n_chunks"] == 6
+    assert summary["n_tokens"] < 6 * 12
+    spark.catalog.clearCache()
+
+
+def test_build_corpus_ppl_filter(spark, tmp_path):
+    """--ppl-threshold drops out-of-distribution docs under the
+    self-trained bigram LM; the threshold sits between the measured
+    in-distribution and OOD score levels."""
+    from pyspark.sql import functions as SF
+
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.lm_filter import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    src = tmp_path / "docs_ppl.parquet"
+    base = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "in the park with a friend that it is good to see "
+    )
+    rows = [(i, base * 3 + f"variant {i}") for i in range(10)]
+    # passes the quality gate (stopwords, length, clean punctuation)
+    # but its bigrams never occur elsewhere -> high cross-entropy
+    ood = (
+        "the zebra quantum warbles of nebular kumquat to distant argon "
+        "whispers and the vortex mangles it with plasmid echoes that is "
+        "a riddle in the bramble of a glacial photon sea to see"
+    )
+    rows.append((90, ood))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    docs.write.mode("overwrite").parquet(str(src))
+
+    model = train_bigram_lm(docs)
+    scores = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in score_perplexity(docs, model).collect()
+    }
+    in_max = max(v for k, v in scores.items() if k != 90)
+    assert scores[90] > in_max  # OOD really is separable
+    thr = (in_max + scores[90]) / 2
+
+    summary = build_corpus(
+        spark, str(src), str(tmp_path / "ppl"), seed="s1", ppl_threshold=thr
+    )
+    assert summary["n_docs_dropped_by_ppl"] == 1
+    assert summary["n_docs_kept"] == 10
+    chunks = spark.read.parquet(summary["chunks_path"])
+    assert chunks.filter(SF.col("doc_id") == 90).count() == 0
+    spark.catalog.clearCache()
+
+
+def test_corpus_cli_new_stage_flags(spark, tmp_path, capsys):
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+
+    src = tmp_path / "docs.parquet"
+    _write_corpus(spark, src)
+    rc = cli.main(
+        ["corpus", "--input", str(src), "--output", str(tmp_path / "o2"),
+         "--span-mask-window", "8", "--ppl-threshold", "99.0"]
+    )  # fmt: skip
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["span_mask_window"] == 8
+    assert summary["ppl_threshold"] == 99.0
+    # lenient threshold drops nothing; masking still accounted
+    assert summary["n_docs_dropped_by_ppl"] == 0
