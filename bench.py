@@ -114,6 +114,9 @@ HEADLINE = [
     # centroid map-side assign, (cluster, dim) update shuffle)
     "span_dedup",
     "kmeans_assign",
+    # SemDeDup: within-cluster-only pair compare (the O(N²) -> Σ k²
+    # collapse) + components + farthest-from-centroid keep
+    "semantic_dedup",
 ]
 
 

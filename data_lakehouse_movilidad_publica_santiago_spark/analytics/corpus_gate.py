@@ -591,7 +591,12 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit_assign(emb, k=4, iters=2)
 
 
-def _oracle_kmeans(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+def _kmeans_ctes(k: int = 4, iters: int = 2, dim: int = 64) -> tuple[str, str]:
+    """The Lloyd's-iteration CTE chain (shared by the kmeans and
+    semantic-dedup oracles). Returns (cte_sql_without_WITH,
+    final_assignment_cte) where the final CTE yields
+    (vec_id, cid, d) plus an ``e`` CTE with the DOUBLE[] vectors."""
+
     def dist(e: str, c: str) -> str:
         terms = [
             f"({e}.v[{i + 1}] - {c}.v[{i + 1}]) * ({e}.v[{i + 1}] - {c}.v[{i + 1}])"
@@ -600,7 +605,7 @@ def _oracle_kmeans(k: int = 4, iters: int = 2, dim: int = 64) -> str:
         return f"ROUND({' + '.join(terms)}, 6)"
 
     sql = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
   FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})),
@@ -630,14 +635,70 @@ a{it} AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
     FROM d{it}) WHERE rn = 1)"""
         prev = f"a{it}"
-    sql += f"""
-SELECT vec_id, cid AS cluster, d AS dist FROM {prev}
+    return sql, prev
+
+
+def _oracle_kmeans(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    ctes, final = _kmeans_ctes(k, iters, dim)
+    return f"""
+WITH {ctes}
+SELECT vec_id, cid AS cluster, d AS dist FROM {final}
 """
-    return sql
 
 
 QUERIES["kmeans_assign"] = q_kmeans_assign
 ORACLE["kmeans_assign"] = _oracle_kmeans()
+
+
+# ── SemDeDup (cluster-then-compare semantic dedup) ──────────────────
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdicts: k-means (k=4, 2 iters, deterministic init)
+    → within-cluster cosine ≥ 0.35 pairs → connected components →
+    keep the farthest-from-centroid member per duplicate group. The
+    oracle replays the whole chain: both Lloyd's iterations, the
+    rounded cosine pair set, a recursive-CTE component closure, and
+    the (dist DESC, id ASC) representative pick."""
+    from ..operators.semantic_dedup import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=4, iters=2, threshold=0.35)
+
+
+def _oracle_semantic_dedup(
+    k: int = 4, iters: int = 2, dim: int = 64, threshold: float = 0.35
+) -> str:
+    ctes, final = _kmeans_ctes(k, iters, dim)
+    return f"""
+WITH RECURSIVE {ctes},
+pr AS (
+  SELECT x1.vec_id AS doc_a, x2.vec_id AS doc_b
+  FROM {final} x1 JOIN {final} x2
+    ON x1.cid = x2.cid AND x1.vec_id < x2.vec_id
+  JOIN e e1 ON e1.vec_id = x1.vec_id
+  JOIN e e2 ON e2.vec_id = x2.vec_id
+  WHERE ROUND(list_cosine_similarity(e1.v, e2.v), 6) >= {threshold}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+          UNION SELECT doc_b, doc_a FROM pr),
+walk(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT ed.dst, w.lbl FROM walk w JOIN edges ed ON ed.src = w.node),
+comp AS (SELECT node, MIN(lbl) AS comp_id FROM walk GROUP BY node),
+ranked AS (
+  SELECT c.node,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.comp_id ORDER BY f.d DESC, c.node ASC) AS rn
+  FROM comp c JOIN {final} f ON f.vec_id = c.node)
+SELECT f.vec_id, CAST(f.cid AS INT) AS cluster, f.d AS dist,
+       COALESCE(r.rn = 1, TRUE) AS keep
+FROM {final} f LEFT JOIN ranked r ON r.node = f.vec_id
+"""
+
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+ORACLE["semantic_dedup"] = _oracle_semantic_dedup()
 
 
 # ── BM25 sparse retrieval ───────────────────────────────────────────
