@@ -102,3 +102,62 @@ def test_global_shuffle_no_single_partition_window(spark):
     for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
         assert m.group(2).strip(), "unpartitioned window in global_shuffle"
     out.sparkSession.catalog.clearCache()
+
+
+def test_bm25_no_explode_and_topk(spark):
+    """BM25 term frequencies are per-row array expressions: the plan
+    has NO Generate (explode) node, and ranking is
+    TakeOrderedAndProject — never a global Sort."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    plan = explain_str(bm25_topk(_docs(spark), ["dup", "spark"], top_k=10))
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lm_score_model_joins_broadcast(spark):
+    """The LM scoring joins (bigram + unigram + |V| scalar) broadcast
+    the model side: no SortMergeJoin, and the only hash Exchanges are
+    the model-count aggregations + the per-doc combine."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.lm_filter import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = _docs(spark)
+    model = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    plan = explain_str(score_perplexity(docs, model, include_empty=False))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_span_dedup_corpus_shuffle_carries_hashes_only(spark):
+    """The corpus-wide stage of span dedup (dup-hash groupBy) must
+    shuffle md5 hashes, not text: no Exchange in the plan may carry
+    the text column."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.span_dedup import (
+        duplicated_spans,
+    )
+
+    plan = explain_str(duplicated_spans(_docs(spark), window=8))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+
+
+def test_kmeans_assign_stage_is_map_side(spark):
+    """The k-means assignment against literal centroids is a pure map
+    stage: scan + project, no Exchange, no Join."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.kmeans import (
+        _dist_sql,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+    centroid = [0.1] * 64
+    scored = emb.select(
+        "vec_id", F.expr(_dist_sql("embedding", centroid, 64)).alias("d")
+    )
+    plan = explain_str(scored)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
