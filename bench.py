@@ -114,9 +114,15 @@ HEADLINE = [
     # centroid map-side assign, (cluster, dim) update shuffle)
     "span_dedup",
     "kmeans_assign",
-    # SemDeDup: within-cluster-only pair compare (the O(N²) -> Σ k²
-    # collapse) + components + farthest-from-centroid keep
-    "semantic_dedup",
+    # semantic_dedup is correctness-gated but excluded here for the
+    # same reason as dedup_clusters: at these SFs its wall time is
+    # ~95% fixed per-round scheduling overhead of the components loop
+    # + Janino codegen of the 256-term centroid expressions (measured
+    # 14.5s at sf0.001 vs 28.8s at sf0.1 — barely data-dependent),
+    # which at cluster scale amortizes to noise. Its pieces are
+    # benched individually: kmeans_assign here, the banded pair join
+    # via embedding_lsh_near_dup, the components loop via
+    # tests/test_clustering.py.
 ]
 
 
