@@ -114,6 +114,8 @@ HEADLINE = [
     # centroid map-side assign, (cluster, dim) update shuffle)
     "span_dedup",
     "kmeans_assign",
+    # Gopher rule battery: map-only reason-code chain over the corpus
+    "gopher_rules",
     # semantic_dedup is correctness-gated but excluded here for the
     # same reason as dedup_clusters: at these SFs its wall time is
     # ~95% fixed per-round scheduling overhead of the components loop

@@ -19,7 +19,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import dup_ngram_fraction, word_ngrams_raw
+from ..functions.text import (
+    QUALITY_STOPWORDS,
+    dup_ngram_fraction,
+    word_ngrams_raw,
+)
 from ..operators.chunking import chunk_documents, global_shuffle
 from ..operators.pii import PII_PATTERNS, pii_count, redact_pii
 from ..operators.windows import sessionize
@@ -661,9 +665,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded cosine pair set, a recursive-CTE component closure, and
     the (dist DESC, id ASC) representative pick."""
     from ..operators.semantic_dedup import semantic_dedup
+    from ..operators.spread import release_pins
 
     emb = t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=4, iters=2, threshold=0.35)
+    pins: list = []
+    out = semantic_dedup(emb, k=4, iters=2, threshold=0.35, pins=pins)
+    return release_pins(out, pins)
 
 
 def _oracle_semantic_dedup(
@@ -699,6 +706,69 @@ FROM {final} f LEFT JOIN ranked r ON r.node = f.vec_id
 
 QUERIES["semantic_dedup"] = q_semantic_dedup
 ORACLE["semantic_dedup"] = _oracle_semantic_dedup()
+
+
+# ── Gopher quality rules (ordered reason-code chain) ────────────────
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher filter verdict: the FIRST failing rule's
+    code (same first-match-wins discipline as the silver quarantine)
+    or NULL, plus the pass boolean. Map-only — no shuffle at all."""
+    from ..functions.gopher import gopher_reason
+
+    docs = t(spark, sf_dir, "documents")
+    reason = gopher_reason(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "source",
+        reason.alias("gopher_reason"),
+        reason.isNull().alias("pass"),
+    )
+
+
+_GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+ORACLE_GOPHER_RULES = f"""
+WITH toks AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS l FROM documents),
+m AS (
+  SELECT doc_id, source,
+         len(l) AS n,
+         list_sum(list_transform(l, x -> length(x))) * 1.0 / len(l) AS mean_len,
+         len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0 / len(l) AS sym_ratio,
+         len(list_filter(l, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0
+           / len(l) AS alpha_frac,
+         len(list_filter(l, x -> x IN ({_GOPHER_STOPS_SQL}))) AS stop_hits,
+         1.0 - CAST(len(list_distinct(list_transform(
+                 generate_series(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || COALESCE(l[i + 1], '')))) AS DOUBLE)
+             / len(list_transform(
+                 generate_series(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || COALESCE(l[i + 1], ''))) AS dup2
+  FROM toks)
+SELECT doc_id, source,
+       CASE WHEN n < 50 THEN 'TOO_FEW_WORDS'
+            WHEN n > 100000 THEN 'TOO_MANY_WORDS'
+            WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'BAD_MEAN_WORD_LENGTH'
+            WHEN sym_ratio > 0.1 THEN 'HIGH_SYMBOL_RATIO'
+            WHEN alpha_frac < 0.8 THEN 'LOW_ALPHA_FRACTION'
+            WHEN stop_hits < 2 THEN 'TOO_FEW_STOPWORDS'
+            WHEN dup2 > 0.4 THEN 'HIGH_DUP_2GRAM'
+            ELSE NULL END AS gopher_reason,
+       CASE WHEN n < 50 THEN FALSE
+            WHEN n > 100000 THEN FALSE
+            WHEN mean_len < 3.0 OR mean_len > 10.0 THEN FALSE
+            WHEN sym_ratio > 0.1 THEN FALSE
+            WHEN alpha_frac < 0.8 THEN FALSE
+            WHEN stop_hits < 2 THEN FALSE
+            WHEN dup2 > 0.4 THEN FALSE
+            ELSE TRUE END AS pass
+FROM m
+"""
+
+QUERIES["gopher_rules"] = q_gopher_rules
+ORACLE["gopher_rules"] = ORACLE_GOPHER_RULES
 
 
 # ── BM25 sparse retrieval ───────────────────────────────────────────

@@ -110,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
         help="CCNet screen: drop docs whose bigram-LM cross-entropy "
         "(self-trained) exceeds this",
     )
+    cp.add_argument(
+        "--gopher",
+        action="store_true",
+        help="use the published Gopher rule battery as the quality "
+        "filter instead of the heuristic score",
+    )
 
     rp = sub.add_parser("report", help="gold load diagnostics report")
     rp.add_argument("--lake", required=True, type=Path)
@@ -208,6 +214,7 @@ def main(argv: list[str] | None = None) -> int:
             near_threshold=args.near_threshold,
             span_mask_window=args.span_mask_window,
             ppl_threshold=args.ppl_threshold,
+            gopher=args.gopher,
         )
         print(json.dumps(summary))
 

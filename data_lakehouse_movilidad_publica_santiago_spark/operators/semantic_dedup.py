@@ -41,6 +41,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pins: list | None = None,
 ) -> DataFrame:
     """Per-vector SemDeDup verdict: (id, cluster, dist, keep).
 
@@ -48,7 +49,15 @@ def semantic_dedup(
     each within-cluster duplicate group (cosine ≥ ``threshold``,
     transitively connected). Representatives are the group member
     with the LARGEST rounded centroid distance; ties break on the
-    lowest id."""
+    lowest id.
+
+    The k-means assignment is persisted internally: it feeds three
+    consumers (both pair-join sides and the final verdict join), and
+    inlining its 4·dim-term centroid expressions into the fused pair
+    stage both recomputes them 3× and overflows Janino's method
+    limit (measured: whole-stage codegen falls back to interpreted).
+    Pass ``pins`` (a list) to receive the persisted handle and
+    release it after your final action — see ``spread.release_pins``."""
     first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
         raise ValueError("semantic_dedup: empty input")
@@ -56,7 +65,9 @@ def semantic_dedup(
 
     assign = kmeans_fit_assign(
         emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
-    )
+    ).persist()
+    if pins is not None:
+        pins.append(assign)
     joined = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

@@ -50,6 +50,7 @@ def build_corpus(
     near_threshold: float = 0.85,
     span_mask_window: int | None = None,
     ppl_threshold: float | None = None,
+    gopher: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict:
@@ -79,10 +80,18 @@ def build_corpus(
     docs = ensure_parallelism(spark.read.parquet(input_path))
     n_raw = docs.count()
 
-    passed = docs.filter(
-        F.round(quality_score(F.col(text_col), QUALITY_STOPWORDS), 2)
-        >= quality_min
-    ).select(id_col, text_col)
+    if gopher:
+        # the published Gopher rule battery (first-match reason chain)
+        # instead of the compact heuristic score
+        from .functions.gopher import gopher_reason
+
+        quality_pred = gopher_reason(F.col(text_col)).isNull()
+    else:
+        quality_pred = (
+            F.round(quality_score(F.col(text_col), QUALITY_STOPWORDS), 2)
+            >= quality_min
+        )
+    passed = docs.filter(quality_pred).select(id_col, text_col)
     keyed = passed.withColumn("__fp", doc_fingerprint(F.col(text_col)))
     w = Window.partitionBy("__fp")
     kept = (
@@ -230,6 +239,7 @@ def build_corpus(
         "n_docs_emptied_by_mask": int(n_mask_emptied),
         "ppl_threshold": ppl_threshold,
         "n_docs_dropped_by_ppl": int(n_lm_dropped),
+        "gopher": gopher,
         "n_chunks": int(n_chunks),
         "n_tokens": int(n_tokens or 0),
         "quality_min": quality_min,

@@ -249,3 +249,35 @@ def test_corpus_cli_new_stage_flags(spark, tmp_path, capsys):
     assert summary["ppl_threshold"] == 99.0
     # lenient threshold drops nothing; masking still accounted
     assert summary["n_docs_dropped_by_ppl"] == 0
+
+
+def test_build_corpus_gopher_filter(spark, tmp_path, capsys):
+    """--gopher swaps the quality screen for the published rule
+    battery: repetitive docs (HIGH_DUP_2GRAM) and short docs fall."""
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+
+    src = tmp_path / "docs_gopher.parquet"
+    # 6 clean docs (unique bigrams, stopwords, 60 words) + 1
+    # repetitive doc + 1 short doc
+    clean = [
+        (i, " ".join(f"the item{i}x{j} holds value{i}x{j}" for j in range(15)))
+        for i in range(6)
+    ]
+    rows = clean + [
+        (50, " ".join(["the dogs ate bones"] * 15)),  # dup-2gram
+        (51, "the of short"),                          # too few words
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    rc = cli.main(
+        ["corpus", "--input", str(src), "--output", str(tmp_path / "g"),
+         "--gopher"]
+    )  # fmt: skip
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["gopher"] is True
+    assert summary["n_docs_kept"] == 6
