@@ -516,15 +516,23 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting plus the md5 of the masked rebuild, so every single
     token-keep/drop decision is hash-pinned against the oracle. The
     window-hash explode is compute-heavy → spread the scan."""
-    from ..operators.span_dedup import mask_duplicated_spans, span_dedup_stats
-    from ..operators.spread import ensure_parallelism
+    from ..operators.span_dedup import (
+        duplicated_spans,
+        mask_duplicated_spans,
+        span_dedup_stats,
+    )
+    from ..operators.spread import ensure_parallelism, release_pins
 
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
-    stats = span_dedup_stats(docs, window=8)
-    masked = mask_duplicated_spans(docs, window=8).select(
+    # ONE window-hash pass feeds both consumers; the internal cache
+    # pin is released once the gate result is snapshotted
+    pins: list = []
+    spans = duplicated_spans(docs, window=8, pins=pins)
+    stats = span_dedup_stats(docs, window=8, spans=spans)
+    masked = mask_duplicated_spans(docs, window=8, spans=spans).select(
         "doc_id", F.md5("kept_text").alias("kept_md5")
     )
-    return stats.join(masked, "doc_id")
+    return release_pins(stats.join(masked, "doc_id"), pins)
 
 
 ORACLE_SPAN_DEDUP = """
@@ -611,8 +619,11 @@ def _kmeans_ctes(k: int = 4, iters: int = 2, dim: int = 64) -> tuple[str, str]:
     sql = f"""
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (
+  -- k DISTINCT vectors with the smallest ids (duplicate-vector-safe
+  -- init, mirroring kmeans_fit_assign)
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
-  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})),
+  FROM (SELECT MIN(vec_id) AS vec_id, v FROM e GROUP BY v
+        ORDER BY vec_id LIMIT {k})),
 d0 AS (
   SELECT e.vec_id, c0.cid, {dist('e', 'c0')} AS d
   FROM e CROSS JOIN c0),
@@ -731,7 +742,9 @@ _GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
 
 ORACLE_GOPHER_RULES = f"""
 WITH toks AS (
-  SELECT doc_id, source, text, string_split(text, ' ') AS l FROM documents),
+  -- COALESCE mirrors gopher_reason's fail-closed NULL handling
+  SELECT doc_id, source, COALESCE(text, '') AS text,
+         string_split(COALESCE(text, ''), ' ') AS l FROM documents),
 m AS (
   SELECT doc_id, source,
          len(l) AS n,

@@ -52,6 +52,10 @@ def gopher_reason(
     occurrences; duplicate word-2-gram fraction ≤ 0.4 (the repetition
     family's document-level cut)."""
     stops = stopwords if stopwords is not None else QUALITY_STOPWORDS
+    # fail CLOSED on NULL text: a null would make every predicate
+    # three-valued-NULL and fall through to the pass verdict; the
+    # empty string tokenizes to [''] (1 word) and fails TOO_FEW_WORDS
+    col = F.coalesce(col, F.lit(""))
     toks = F.split(col, " ")
     n = F.size(toks)
     nd = n.cast("double")

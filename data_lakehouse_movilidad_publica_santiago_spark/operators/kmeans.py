@@ -70,9 +70,16 @@ def kmeans_fit_assign(
     squared L2). The trained centroids are reachable as
     ``df.kmeans_centroids`` (list of k rounded vectors) for reuse as
     an IVF quantizer or for scoring a held-out set."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1 (got {iters})")
     if init_ids is None:
+        # k DISTINCT vectors with the smallest ids: duplicate low-id
+        # embeddings (common in the dedup corpora this clusters) would
+        # otherwise seed identical centroids and permanently empty
+        # clusters
         rows = (
-            emb.select(id_col, vec_col)
+            emb.groupBy(vec_col)
+            .agg(F.min(id_col).alias(id_col))
             .orderBy(F.col(id_col))
             .limit(k)
             .collect()
@@ -82,9 +89,12 @@ def kmeans_fit_assign(
             r[id_col]: r
             for r in emb.filter(F.col(id_col).isin(init_ids)).collect()
         }
+        missing = [i for i in init_ids if i not in got]
+        if missing:
+            raise ValueError(f"init_ids not found in input: {missing}")
         rows = [got[i] for i in init_ids]
     if len(rows) < k:
-        raise ValueError(f"need {k} init vectors, found {len(rows)}")
+        raise ValueError(f"need {k} distinct init vectors, found {len(rows)}")
     centroids = [[float(x) for x in r[vec_col]] for r in rows]
     dim = len(centroids[0])
 
@@ -97,7 +107,11 @@ def kmeans_fit_assign(
         scored = emb.select(
             F.col(id_col), F.col(vec_col), *dists
         )
-        m = F.least(*[F.col(f"__d{j}") for j in range(k)])
+        m = (
+            F.least(*[F.col(f"__d{j}") for j in range(k)])
+            if k > 1
+            else F.col("__d0")
+        )
         cluster = F.lit(None).cast("int")
         # reversed so the FIRST (lowest-index) match wins ties
         for j in reversed(range(k)):

@@ -32,6 +32,8 @@ reproducible retrieval runs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,10 +52,16 @@ def bm25_topk(
     doc_id so the ranking is total and reproducible.
 
     Output: (doc_id, score rounded to 4, one ``tf_<term>`` column per
-    query term for explainability)."""
+    query term for explainability — term text sanitized to a safe
+    identifier, case-insensitive collisions disambiguated by index,
+    since raw query text must never reach the column namespace)."""
     if not query_terms:
         raise ValueError("bm25_topk requires at least one query term")
     terms = list(dict.fromkeys(query_terms))  # dedup, keep order
+    # internal columns are POSITIONAL (tf_0, tf_1, ...): a term like
+    # "u.s" would parse as a struct access, and "The"/"the" collide
+    # under Spark's case-insensitive resolver
+    idx = list(range(len(terms)))
     toks = F.split(F.col(text_col), " ")
 
     def _tf(term: str):
@@ -65,7 +73,7 @@ def bm25_topk(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("dl"),
-        *[_tf(term).alias(f"tf_{term}") for term in terms],
+        *[_tf(term).alias(f"tf_{j}") for j, term in zip(idx, terms)],
     )
     # corpus stats over ALL docs (N, avgdl) and per-term df — three
     # tiny aggregates; avgdl is an exact integer-sum mean so both
@@ -74,42 +82,53 @@ def bm25_topk(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         *[
-            F.sum((F.col(f"tf_{term}") > 0).cast("bigint")).alias(f"df_{term}")
-            for term in terms
+            F.sum((F.col(f"tf_{j}") > 0).cast("bigint")).alias(f"df_{j}")
+            for j in idx
         ],
     )
     # candidate prune BEFORE the stats join: only docs containing at
     # least one query term can score > 0
     candidates = base.filter(
-        F.greatest(*[F.col(f"tf_{term}") for term in terms]) > 0
+        F.greatest(*[F.col(f"tf_{j}") for j in idx]) > 0
         if len(terms) > 1
-        else F.col(f"tf_{terms[0]}") > 0
+        else F.col("tf_0") > 0
     )
     joined = candidates.crossJoin(F.broadcast(stats))
 
-    def _idf(term: str):
-        df_t = F.col(f"df_{term}").cast("double")
+    def _idf(j: int):
+        df_t = F.col(f"df_{j}").cast("double")
         return F.log(
             F.lit(1.0)
             + (F.col("n_docs") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
         )
 
-    def _term_score(term: str):
-        tf = F.col(f"tf_{term}").cast("double")
+    def _term_score(j: int):
+        tf = F.col(f"tf_{j}").cast("double")
         norm = F.lit(k1) * (
             F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
         )
-        return _idf(term) * tf * F.lit(k1 + 1.0) / (tf + norm)
+        return _idf(j) * tf * F.lit(k1 + 1.0) / (tf + norm)
 
-    score = _term_score(terms[0])
-    for term in terms[1:]:
-        score = score + _term_score(term)
+    score = _term_score(0)
+    for j in idx[1:]:
+        score = score + _term_score(j)
+
+    # output labels: sanitized term text, index-suffixed when two
+    # terms sanitize to the same (case-insensitive) identifier
+    safe = [re.sub(r"[^A-Za-z0-9_]", "_", term) or f"t{j}"
+            for j, term in zip(idx, terms)]
+    from collections import Counter
+    lower_counts = Counter(x.lower() for x in safe)
+    labels = [
+        f"tf_{x}" if lower_counts[x.lower()] == 1 else f"tf_{x}_{j}"
+        for j, x in zip(idx, safe)
+    ]
 
     return (
         joined.select(
             "doc_id",
             F.round(score, 4).alias("score"),
-            *[F.col(f"tf_{term}") for term in terms],
+            *[F.col(f"tf_{j}").alias(labels[j]) for j in idx],
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(top_k)

@@ -57,17 +57,23 @@ def semantic_dedup(
     stage both recomputes them 3× and overflows Janino's method
     limit (measured: whole-stage codegen falls back to interpreted).
     Pass ``pins`` (a list) to receive the persisted handle and
-    release it after your final action — see ``spread.release_pins``."""
+    release it after your final action — see ``spread.release_pins``;
+    with ``pins=None`` the result is snapshotted via ``release_pins``
+    before returning (the operator is already eager — the components
+    loop runs jobs — so the extra materialization changes nothing)
+    and no cache entry outlives the call."""
+    from .spread import release_pins
+
     first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
         raise ValueError("semantic_dedup: empty input")
     dim = int(first["d"])
 
+    own_pins: list = [] if pins is None else pins
     assign = kmeans_fit_assign(
         emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     ).persist()
-    if pins is not None:
-        pins.append(assign)
+    own_pins.append(assign)
     joined = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -120,9 +126,13 @@ def semantic_dedup(
     verdict = ranked.select(
         F.col("doc_id").alias(id_col), (F.col("__rn") == 1).alias("keep")
     )
-    return assign.join(verdict, id_col, "left").select(
+    out = assign.join(verdict, id_col, "left").select(
         id_col,
         "cluster",
         "dist",
         F.coalesce("keep", F.lit(True)).alias("keep"),
     )
+    if pins is None:
+        # caller opted out of pin management: snapshot and release now
+        out = release_pins(out, own_pins)
+    return out

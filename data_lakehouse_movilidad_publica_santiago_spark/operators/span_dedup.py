@@ -13,13 +13,18 @@ The reference paper builds a suffix array; the Spark-native
 re-expression is relational and shuffles only narrow rows:
 
 1. window hashes: ``posexplode`` of the token-window starts → one
-   (doc_id, start, md5-of-window) row per position — map-only.
+   (doc_id, start, md5-of-window) row per position — map-only. The
+   hash frame feeds BOTH the dup-aggregate and the semi-join probe,
+   so it is persisted (the md5 sweep is the dominant CPU stage —
+   recomputing it would double it); pass ``pins`` to release the
+   cache after your final action, mirroring ``minhash_lsh_pairs``.
 2. duplicated hashes: groupBy(hash) HAVING count > 1 — ONE shuffle
    whose rows are (32-hex, count); a semi-join marks the positions.
 3. span merge: classic gaps-and-islands per document (one window
    over (doc_id, start) pairs — the heavy text never shuffles).
 4. optional masking: tokens covered by a duplicated span are dropped
-   and the survivors re-joined in order.
+   via a positions anti-join and an ordered re-assembly — linear in
+   tokens (never a per-token array_contains scan).
 
 At 100 TB: stage 2's shuffle is the only corpus-wide exchange and it
 carries hashes, not text; stage 3 partitions by doc_id (bounded per
@@ -59,11 +64,18 @@ def duplicated_spans(
     window: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pins: list | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans per document: (doc_id,
     span_start, span_end, n_windows), positions 1-based inclusive.
-    A span is the union of overlapping/adjacent duplicated windows."""
-    h = _window_hashes(docs, window, id_col, text_col)
+    A span is the union of overlapping/adjacent duplicated windows.
+
+    The window-hash frame is persisted (it feeds the dup aggregate
+    AND the probe side); pass ``pins`` (a list) to receive the handle
+    and ``unpersist()`` after your final action."""
+    h = _window_hashes(docs, window, id_col, text_col).persist()
+    if pins is not None:
+        pins.append(h)
     dup = h.groupBy("hsh").count().filter(F.col("count") > 1).select("hsh")
     spans = h.join(dup, "hsh", "semi").select(
         "doc_id", "s", (F.col("s") + F.lit(window - 1)).alias("e")
@@ -92,11 +104,16 @@ def span_dedup_stats(
     window: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    spans: DataFrame | None = None,
+    pins: list | None = None,
 ) -> DataFrame:
     """Per-document duplication accounting over ALL documents:
     (doc_id, n_tokens, dup_windows, dup_tokens, dup_frac). Documents
-    untouched by duplication report zeros."""
-    spans = duplicated_spans(docs, window, id_col, text_col)
+    untouched by duplication report zeros. Pass a precomputed
+    ``spans`` frame (from ``duplicated_spans``) to share one
+    window-hash pass with other consumers."""
+    if spans is None:
+        spans = duplicated_spans(docs, window, id_col, text_col, pins=pins)
     per_doc = spans.groupBy("doc_id").agg(
         F.sum("n_windows").alias("dup_windows"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
@@ -121,30 +138,42 @@ def mask_duplicated_spans(
     window: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    spans: DataFrame | None = None,
+    pins: list | None = None,
 ) -> DataFrame:
     """Rebuild each document with every duplicated span removed:
     (doc_id, kept_text). A fully-duplicated document keeps ''.
 
-    The covered-position set per doc arrives as a broadcast-joined
-    array; survivors are selected with an index-aware array filter, so
-    the reconstruction is map-side after one small join."""
-    spans = duplicated_spans(docs, window, id_col, text_col)
-    covered = (
-        spans.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("span_start"), F.col("span_end"))
-            ).alias("p"),
-        )
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("p")).alias("__cov"))
+    Linear reconstruction: token positions anti-join the exploded
+    covered positions, survivors re-assemble through one per-doc
+    ordered aggregation — O(tokens log tokens) per document, never a
+    per-token scan of the covered set."""
+    if spans is None:
+        spans = duplicated_spans(docs, window, id_col, text_col, pins=pins)
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias("p"),
     )
     toks = F.split(F.col(text_col), " ")
-    joined = docs.select(
-        F.col(id_col).alias("doc_id"), toks.alias("__toks")
-    ).join(covered, "doc_id", "left")
-    cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("__toks"), lambda tok, i: ~F.array_contains(cov, i + F.lit(1))
+    positions = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = (
+        positions.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("kept_text")
+        )
     )
-    return joined.select("doc_id", F.concat_ws(" ", kept).alias("kept_text"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(kept, "doc_id", "left")
+        .select("doc_id", F.coalesce("kept_text", F.lit("")).alias("kept_text"))
+    )

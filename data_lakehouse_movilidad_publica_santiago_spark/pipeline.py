@@ -31,9 +31,10 @@ from .operators.chunking import chunk_documents, global_shuffle
 from .operators.pii import redact_pii
 from .operators.spread import ensure_parallelism
 
-# one doc can carry at most 2^31 chunks before the packed sample_id
-# would collide (~100B tokens/doc at the defaults — a guard, not a
-# real limit); pos * 2^31 stays inside bigint up to ~4.3B documents
+# sample_id = pos * 2^31 + chunk_idx. chunk_idx is a posexplode INT
+# (< 2^31 by construction), so the packing's only live bound is pos:
+# it must stay below 2^31 (~2.1B documents) for the product to stay
+# inside bigint — guarded with raise_error at the packing site
 _CHUNK_IDX_LIMIT = 1 << 31
 
 
@@ -142,8 +143,13 @@ def build_corpus(
 
         kept = kept.persist()
         n_premask = kept.count()
+        mask_pins: list = []
         masked = mask_duplicated_spans(
-            kept, window=span_mask_window, id_col=id_col, text_col=text_col
+            kept,
+            window=span_mask_window,
+            id_col=id_col,
+            text_col=text_col,
+            pins=mask_pins,
         )
         remasked = (
             kept.drop(text_col)
@@ -154,6 +160,8 @@ def build_corpus(
         )
         stage_pins.append(remasked)
         n_mask_emptied = n_premask - remasked.count()
+        for p in mask_pins:  # window-hash cache: done once remasked is hot
+            p.unpersist()
         kept.unpersist()
         kept = remasked
     n_lm_dropped = 0
@@ -196,14 +204,15 @@ def build_corpus(
         chunks.join(order.select("doc_id", "pos"), "doc_id")
         .withColumn(
             "sample_id",
-            # fail loudly instead of colliding if a document ever
-            # packs more chunks than the key has bits for
+            # chunk_idx is a 32-bit posexplode int (< 2^31 by type),
+            # so the packing's live failure mode is pos: fail loudly
+            # before pos * 2^31 leaves bigint range (>= 2^31 docs)
             F.when(
-                F.col("chunk_idx") >= F.lit(_CHUNK_IDX_LIMIT),
+                F.col("pos") >= F.lit(_CHUNK_IDX_LIMIT),
                 F.raise_error(
                     F.concat(
-                        F.lit("chunk_idx overflows sample_id packing: "),
-                        F.col("chunk_idx").cast("string"),
+                        F.lit("pos overflows sample_id packing: "),
+                        F.col("pos").cast("string"),
                     )
                 ).cast("long"),
             ).otherwise(

@@ -69,3 +69,11 @@ class TestGopherRules:
     def test_thresholds_overridable(self, spark):
         text = " ".join(f"word{i}" for i in range(60))
         assert _reason(spark, text, min_stopword_hits=0) is None
+
+    def test_null_text_fails_closed(self, spark):
+        df = spark.createDataFrame([(None,)], "text string")
+        r = df.select(gopher_reason(F.col("text")).alias("r")).collect()[0]["r"]
+        assert r == "TOO_FEW_WORDS"
+
+    def test_empty_text_fails_closed(self, spark):
+        assert _reason(spark, "") == "TOO_FEW_WORDS"

@@ -60,10 +60,14 @@ class TestKMeans:
     def test_duplicate_init_empty_cluster_keeps_old_centroid(self, spark):
         data = [
             (0, [1.0, 1.0]),
-            (1, [1.0, 1.0]),  # duplicate seed -> cluster 1 empty in iter 1
+            (1, [1.0, 1.0]),
             (2, [1.5, 1.0]),
         ]
-        out = kmeans_fit_assign(_emb(spark, data), k=2, iters=2)
+        # default init dedups vectors; FORCE duplicate seeds through
+        # init_ids to exercise the empty-cluster keep-old path
+        out = kmeans_fit_assign(
+            _emb(spark, data), k=2, iters=2, init_ids=[0, 1]
+        )
         got = {r["vec_id"]: r["cluster"] for r in out.collect()}
         # iter 1: ties all -> 0; cluster 1 is EMPTY and keeps (1,1)
         # (not NaN). iter 2: c0 has moved to the mean (7/6, 1), so the
@@ -80,3 +84,37 @@ class TestKMeans:
     def test_too_few_vectors_raises(self, spark):
         with pytest.raises(ValueError):
             kmeans_fit_assign(_emb(spark, CLUSTERED[:1]), k=2, iters=1)
+
+
+class TestKMeansEdges:
+    def test_duplicate_low_id_vectors_do_not_collapse_init(self, spark):
+        # ids 0-2 share one vector; distinct-init must seed the second
+        # centroid from the other group, not a duplicate
+        data = [(i, [1.0, 0.0]) for i in range(3)] + [
+            (i, [0.0, 1.0]) for i in (3, 4, 5)
+        ]
+        out = kmeans_fit_assign(_emb(spark, data), k=2, iters=2)
+        got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+        assert set(got.values()) == {0, 1}
+        assert got[0] == got[1] == got[2]
+        assert got[3] == got[4] == got[5] != got[0]
+
+    def test_k1_single_cluster(self, spark):
+        out = kmeans_fit_assign(_emb(spark, CLUSTERED), k=1, iters=1)
+        rows = out.collect()
+        assert {r["cluster"] for r in rows} == {0}
+        assert len(rows) == len(CLUSTERED)
+
+    def test_iters_zero_rejected(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="iters"):
+            kmeans_fit_assign(_emb(spark, CLUSTERED), k=2, iters=0)
+
+    def test_missing_init_id_clear_error(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="init_ids not found"):
+            kmeans_fit_assign(
+                _emb(spark, CLUSTERED), k=2, iters=1, init_ids=[0, 99]
+            )

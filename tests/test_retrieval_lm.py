@@ -128,6 +128,19 @@ class TestBM25:
             (r["doc_id"], r["score"]) for r in twice
         ]
 
+    def test_punctuation_term_does_not_break_columns(self, spark):
+        docs = _docs(spark, [(1, "u.s economy news"), (2, "other text here")])
+        rows = bm25_topk(docs, ["u.s"], top_k=5).collect()
+        assert [r["doc_id"] for r in rows] == [1]
+        assert rows[0]["tf_u_s"] == 1
+
+    def test_case_colliding_terms_disambiguated(self, spark):
+        docs = _docs(spark, [(1, "The the cat"), (2, "dog park fun")])
+        df = bm25_topk(docs, ["The", "the"], top_k=5)
+        assert df.columns == ["doc_id", "score", "tf_The_0", "tf_the_1"]
+        row = df.collect()[0]
+        assert row["tf_The_0"] == 1 and row["tf_the_1"] == 1
+
     def test_plan_is_topk_not_global_sort(self, spark):
         docs = _docs(spark, self.CORPUS)
         plan = bm25_topk(docs, ["spark"], top_k=2)._jdf.queryExecution().executedPlan().toString()
