@@ -439,3 +439,72 @@ LIMIT 5
 
 QUERIES["cms_frequency"] = q_cms_frequency
 ORACLE["cms_frequency"] = ORACLE_CMS_FREQUENCY
+
+
+# ── set operations (INTERSECT / EXCEPT / EXCEPT ALL) ────────────────
+#
+# The reference uses only UNION [ALL] (SURVEY §2.7); these complete
+# the set-op surface. Catalyst plans INTERSECT/EXCEPT as left-semi /
+# left-anti aggregates — one hash shuffle per input, no sort.
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both an URGENT and a HIGH order, excluding any
+    with a finished ('F') order: (URGENT ∩ HIGH) − F — the standard
+    cohort-algebra shape, via native INTERSECT/EXCEPT (distinct
+    semantics in both engines)."""
+    o = t(spark, sf_dir, "orders")
+
+    def keys(pred):
+        return o.filter(pred).select("o_custkey")
+
+    urgent = keys(F.col("o_orderpriority") == "1-URGENT")
+    high = keys(F.col("o_orderpriority") == "2-HIGH")
+    finished = keys(F.col("o_orderstatus") == "F")
+    return urgent.intersect(high).subtract(finished)
+
+
+ORACLE_SET_OPS_CUSTOMERS = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_except_all_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference: (suppkey, qty) pairs that occur more
+    often among accepted ('A') lines than among returned ('R') lines
+    — EXCEPT ALL keeps the occurrence-count surplus per row, which
+    the distinct EXCEPT destroys."""
+    li = t(spark, sf_dir, "lineitem")
+    accepted = li.filter(F.col("l_returnflag") == "A").select(
+        "l_suppkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_suppkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    surplus = accepted.exceptAll(returned)
+    return surplus.groupBy("l_suppkey").agg(
+        F.count("*").alias("surplus_rows"), F.sum("qty").alias("surplus_qty")
+    )
+
+
+ORACLE_EXCEPT_ALL_LINEITEMS = """
+WITH surplus AS (
+  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_returnflag = 'A'
+  EXCEPT ALL
+  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_returnflag = 'R')
+SELECT l_suppkey, COUNT(*) AS surplus_rows,
+       CAST(SUM(qty) AS BIGINT) AS surplus_qty
+FROM surplus GROUP BY l_suppkey
+"""
+
+
+QUERIES["set_ops_customers"] = q_set_ops_customers
+ORACLE["set_ops_customers"] = ORACLE_SET_OPS_CUSTOMERS
+QUERIES["except_all_lineitems"] = q_except_all_lineitems
+ORACLE["except_all_lineitems"] = ORACLE_EXCEPT_ALL_LINEITEMS
