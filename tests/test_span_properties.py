@@ -77,3 +77,41 @@ def test_identical_corpora_fully_masked(spark, texts):
             assert s["dup_tokens"] == n, (doc_id, text)
         else:
             assert s["dup_tokens"] == 0
+
+
+# ── LM perplexity invariants ────────────────────────────────────────
+
+from data_lakehouse_movilidad_publica_santiago_spark.operators.lm_filter import (  # noqa: E402
+    score_perplexity,
+    train_bigram_lm,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus)
+def test_lm_cross_entropy_bounds(spark, texts):
+    """Add-one smoothing guarantees P(w2|w1) = (c12+1)/(c1+V) <= 1
+    (since c12 <= c1 and V >= 1), so cross-entropy is >= 0; and
+    P >= 1/(total_tokens + V) bounds it above. Every doc with >= 2
+    tokens scores; shorter docs score NULL."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    model = train_bigram_lm(docs)
+    total_tokens = sum(len(t.split(" ")) for t in texts)
+    vocab = model.vocab_size
+    import math
+
+    upper = math.log(total_tokens + vocab) + 1e-9
+    got = {r["doc_id"]: r for r in score_perplexity(docs, model).collect()}
+    for doc_id, text in rows:
+        n = len(text.split(" "))
+        r = got[doc_id]
+        if n < 2:
+            assert r["n_bigrams"] == 0 and r["cross_entropy"] is None
+        else:
+            assert r["n_bigrams"] == n - 1
+            assert -1e-9 <= r["cross_entropy"] <= upper
