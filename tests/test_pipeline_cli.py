@@ -281,3 +281,52 @@ def test_build_corpus_gopher_filter(spark, tmp_path, capsys):
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["gopher"] is True
     assert summary["n_docs_kept"] == 6
+
+
+def test_corpus_cli_all_stages_composed(spark, tmp_path, capsys):
+    """Kitchen sink: gopher quality + exact dedup + MinHash near-dedup
+    + ExactSubstr masking + CCNet screen + redaction + chunk/shuffle
+    layout in ONE invocation — the stages must compose, and the
+    accounting must add up."""
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+
+    def gooddoc(tag, n=15):
+        return " ".join(f"the {tag}{j} holds value{tag}{j}" for j in range(n))
+
+    shared = " ".join(f"the common{j} block holds part{j}" for j in range(4))
+    rows = [
+        (0, gooddoc("alpha")),
+        (1, gooddoc("beta")),
+        (2, gooddoc("gamma")),
+        (3, gooddoc("alpha") + " tiny suffix change here"),  # near-dup of 0
+        (4, gooddoc("delta", 10) + " " + shared),            # share a passage
+        (5, gooddoc("omega", 10) + " " + shared),
+        (6, gooddoc("beta")),                                # exact dup of 1
+        (7, "the of short"),                                 # gopher: too few words
+    ]
+    src = tmp_path / "docs_all.parquet"
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    rc = cli.main(
+        ["corpus", "--input", str(src), "--output", str(tmp_path / "all"),
+         "--gopher", "--near-dedup", "--near-threshold", "0.7",
+         "--span-mask-window", "8", "--ppl-threshold", "99.0",
+         "--seed", "mix-1"]
+    )  # fmt: skip
+    assert rc == 0
+    s = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["n_docs_raw"] == 8
+    assert s["gopher"] is True
+    # doc 7 fails gopher; doc 6 exact-dedups; doc 3 near-dedups into 0
+    assert s["n_near_dups_removed"] >= 1
+    assert s["n_docs_dropped_by_ppl"] == 0  # lenient threshold
+    assert s["n_docs_emptied_by_mask"] == 0
+    assert 4 <= s["n_docs_kept"] <= 5
+    chunks = spark.read.parquet(s["chunks_path"])
+    assert chunks.select("doc_id").distinct().count() == s["n_docs_kept"]
+    assert chunks.select("sample_id").distinct().count() == chunks.count()
+    spark.catalog.clearCache()
