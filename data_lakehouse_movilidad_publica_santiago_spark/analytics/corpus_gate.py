@@ -784,6 +784,107 @@ QUERIES["gopher_rules"] = q_gopher_rules
 ORACLE["gopher_rules"] = ORACLE_GOPHER_RULES
 
 
+# ── learned quality classifier (distributed logistic regression) ────
+
+
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression language screen (label: lang='en')
+    on four unit-scale quality features with 3 full-batch GD steps,
+    then score every document — the fastText-style learned filter.
+    Weights round to 6 per step and the margin is one fixed-order
+    expression, so the oracle replays the entire optimization."""
+    from ..functions.text import (
+        mean_word_length,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+    from ..operators.logreg import logreg_fit, logreg_score
+
+    docs = t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("label"),
+        stopword_ratio(F.col("text"), QUALITY_STOPWORDS).alias("f1"),
+        punct_ratio(F.col("text")).alias("f2"),
+        (mean_word_length(F.col("text")) / F.lit(10.0)).alias("f3"),
+        (token_count(F.col("text")) / F.lit(100.0)).alias("f4"),
+    )
+    fcols = ["f1", "f2", "f3", "f4"]
+    w = logreg_fit(feats, fcols, "label", iters=3, lr=1.0)
+    scored = logreg_score(feats, w, fcols)
+    return scored.select(
+        "doc_id",
+        F.col("label").cast("bigint").alias("label"),
+        "p",
+        (F.col("p") >= F.lit(0.5)).alias("predicted_en"),
+    )
+
+
+def _oracle_logreg(iters: int = 3) -> str:
+    from .inventory_llm import _SQL_NORM, _STOP_LIST_SQL
+
+    fcols = ["f1", "f2", "f3", "f4"]
+
+    def z(w: str) -> str:
+        terms = [f"({w}.b)"] + [
+            f"({w}.w{j + 1}) * CAST({c} AS DOUBLE)" for j, c in enumerate(fcols)
+        ]
+        return " + ".join(terms)
+
+    sql = f"""
+WITH feat0 AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS label,
+         string_split_regex({_SQL_NORM}, ' ') AS toks,
+         text
+  FROM documents),
+feat AS (
+  SELECT doc_id, label,
+         len(list_filter(toks, x -> list_contains([{_STOP_LIST_SQL}], x))) * 1.0
+           / len(toks) AS f1,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+           / length(text) AS f2,
+         (list_sum(list_transform(toks, x -> length(x))) * 1.0
+           / len(toks)) / 10.0 AS f3,
+         CAST(len(toks) AS DOUBLE) / 100.0 AS f4
+  FROM feat0),
+w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
+              CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
+              CAST(0.0 AS DOUBLE) AS w4)"""
+    prev = "w0"
+    for it in range(1, iters + 1):
+        zz = z("w")
+        sig = f"(1.0 / (1.0 + EXP(-({zz}))))"
+        sql += f""",
+g{it} AS (
+  SELECT ROUND(AVG({sig} - label), 6) AS g0,
+         ROUND(AVG(({sig} - label) * f1), 6) AS g1,
+         ROUND(AVG(({sig} - label) * f2), 6) AS g2,
+         ROUND(AVG(({sig} - label) * f3), 6) AS g3,
+         ROUND(AVG(({sig} - label) * f4), 6) AS g4
+  FROM feat CROSS JOIN {prev} w),
+w{it} AS (
+  SELECT ROUND(w.b - g.g0, 6) AS b, ROUND(w.w1 - g.g1, 6) AS w1,
+         ROUND(w.w2 - g.g2, 6) AS w2, ROUND(w.w3 - g.g3, 6) AS w3,
+         ROUND(w.w4 - g.g4, 6) AS w4
+  FROM {prev} w CROSS JOIN g{it} g)"""
+        prev = f"w{it}"
+    zz = z("w")
+    sig = f"(1.0 / (1.0 + EXP(-({zz}))))"
+    sql += f"""
+SELECT doc_id, CAST(label AS BIGINT) AS label,
+       ROUND({sig}, 4) AS p,
+       ROUND({sig}, 4) >= 0.5 AS predicted_en
+FROM feat CROSS JOIN {prev} w
+"""
+    return sql
+
+
+QUERIES["logreg_quality"] = q_logreg_quality
+ORACLE["logreg_quality"] = _oracle_logreg()
+
+
 # ── BM25 sparse retrieval ───────────────────────────────────────────
 
 
