@@ -116,6 +116,9 @@ HEADLINE = [
     "kmeans_assign",
     # Gopher rule battery: map-only reason-code chain over the corpus
     "gopher_rules",
+    # learned quality screen: 3 GD passes (one aggregate each) + a
+    # map-only literal-weight scoring pass
+    "logreg_quality",
     # semantic_dedup is correctness-gated but excluded here for the
     # same reason as dedup_clusters: at these SFs its wall time is
     # ~95% fixed per-round scheduling overhead of the components loop
