@@ -725,10 +725,14 @@ ORACLE["semantic_dedup"] = _oracle_semantic_dedup()
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher filter verdict: the FIRST failing rule's
     code (same first-match-wins discipline as the silver quarantine)
-    or NULL, plus the pass boolean. Map-only — no shuffle at all."""
+    or NULL, plus the pass boolean. Map-only — no shuffle at all; the
+    per-row rule battery is compute-heavy (interpreted HOF filters +
+    regex counts), so the one-file scan is spread first (no-op at
+    cluster scale)."""
     from ..functions.gopher import gopher_reason
+    from ..operators.spread import ensure_parallelism
 
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     reason = gopher_reason(F.col("text"))
     return docs.select(
         "doc_id",
