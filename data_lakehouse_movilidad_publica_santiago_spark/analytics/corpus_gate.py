@@ -889,6 +889,76 @@ QUERIES["logreg_quality"] = q_logreg_quality
 ORACLE["logreg_quality"] = _oracle_logreg()
 
 
+# ── DSIR importance-resampling selection ────────────────────────────
+
+
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023): the 100 documents whose bigram
+    distribution most resembles the English target slice relative to
+    the raw pool — logratio = ce_raw − ce_target over the SAME gram
+    occurrences, rounded before the TakeOrdered ranking."""
+    from ..operators.lm_filter import dsir_select
+    from ..operators.spread import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return dsir_select(
+        docs, F.col("lang") == "en", top_k=100, passthrough=["lang"]
+    )
+
+
+ORACLE_DSIR_SELECTION = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+sg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i + 1])) AS gram
+  FROM toks WHERE len(l) >= 2),
+t_train AS (
+  SELECT string_split(text, ' ') AS l FROM documents WHERE lang = 'en'),
+t_uni AS (
+  SELECT t AS w1, COUNT(*) AS c1
+  FROM (SELECT unnest(l) AS t FROM t_train) GROUP BY t),
+t_v AS (SELECT COUNT(*) AS vocab FROM t_uni),
+t_big AS (
+  SELECT gram, COUNT(*) AS c12
+  FROM (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+               i -> l[i] || ' ' || l[i + 1])) AS gram
+        FROM t_train WHERE len(l) >= 2) GROUP BY gram),
+r_train AS (SELECT string_split(text, ' ') AS l FROM documents),
+r_uni AS (
+  SELECT t AS w1, COUNT(*) AS c1
+  FROM (SELECT unnest(l) AS t FROM r_train) GROUP BY t),
+r_v AS (SELECT COUNT(*) AS vocab FROM r_uni),
+r_big AS (
+  SELECT gram, COUNT(*) AS c12
+  FROM (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+               i -> l[i] || ' ' || l[i + 1])) AS gram
+        FROM r_train WHERE len(l) >= 2) GROUP BY gram),
+sc AS (
+  SELECT sg.doc_id, sg.lang,
+         ln(CAST(COALESCE(tb.c12, 0) + 1 AS DOUBLE)
+            / CAST(COALESCE(tu.c1, 0) + tv.vocab AS DOUBLE)) AS logp_t,
+         ln(CAST(COALESCE(rb.c12, 0) + 1 AS DOUBLE)
+            / CAST(COALESCE(ru.c1, 0) + rv.vocab AS DOUBLE)) AS logp_r
+  FROM sg
+  LEFT JOIN t_big tb USING (gram)
+  LEFT JOIN t_uni tu ON split_part(sg.gram, ' ', 1) = tu.w1
+  LEFT JOIN r_big rb USING (gram)
+  LEFT JOIN r_uni ru ON split_part(sg.gram, ' ', 1) = ru.w1
+  CROSS JOIN t_v tv CROSS JOIN r_v rv),
+per AS (
+  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+         ROUND((-AVG(logp_r)) - (-AVG(logp_t)), 4) AS logratio
+  FROM sc GROUP BY doc_id, lang)
+SELECT doc_id, lang, n_bigrams, logratio
+FROM per ORDER BY logratio DESC, doc_id ASC LIMIT 100
+"""
+
+QUERIES["dsir_selection"] = q_dsir_selection
+ORACLE["dsir_selection"] = ORACLE_DSIR_SELECTION
+
+
 # ── BM25 sparse retrieval ───────────────────────────────────────────
 
 

@@ -157,3 +157,74 @@ def score_perplexity(
             "keep", F.col("cross_entropy") <= F.lit(keep_threshold)
         )
     return out
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target: "F.Column",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """DSIR importance scores (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): train
+    one n-gram model on the TARGET slice (``target`` is a boolean
+    Column over ``docs``) and one on the RAW corpus, and score every
+    document by the average log importance ratio
+
+        logratio = mean ln( P_target(gram) / P_raw(gram) )
+                 = cross_entropy_raw − cross_entropy_target
+
+    (both cross-entropies average over the SAME bigram occurrences,
+    so the difference IS the mean log-ratio). High scores = documents
+    that look like the target distribution relative to the raw pool —
+    the standard pre-training data-selection signal.
+
+    Two broadcast-model scoring passes over one gram explode shape;
+    documents without bigram evidence score NULL. Output: (doc_id,
+    passthrough…, n_bigrams, logratio) — logratio left unrounded for
+    the caller (``dsir_select`` rounds before ranking)."""
+    extra = list(passthrough or [])
+    target_model = train_bigram_lm(docs.filter(target), text_col=text_col)
+    raw_model = train_bigram_lm(docs, text_col=text_col)
+    t_ce = score_perplexity(
+        docs, target_model, id_col=id_col, text_col=text_col,
+        passthrough=extra, include_empty=False,
+    ).select("doc_id", *extra, "n_bigrams", F.col("cross_entropy").alias("__ce_t"))
+    r_ce = score_perplexity(
+        docs, raw_model, id_col=id_col, text_col=text_col,
+        include_empty=False,
+    ).select("doc_id", F.col("cross_entropy").alias("__ce_r"))
+    return t_ce.join(r_ce, "doc_id").select(
+        "doc_id",
+        *extra,
+        "n_bigrams",
+        (F.col("__ce_r") - F.col("__ce_t")).alias("logratio"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: "F.Column",
+    top_k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Select the ``top_k`` most target-like documents by rounded
+    DSIR log-ratio (ties break on ascending id — the ranking is total
+    and engine-reproducible). TakeOrdered, never a global sort."""
+    scored = dsir_logratio(
+        docs, target, id_col=id_col, text_col=text_col,
+        passthrough=passthrough,
+    )
+    return (
+        scored.select(
+            "doc_id",
+            *(passthrough or []),
+            "n_bigrams",
+            F.round("logratio", 4).alias("logratio"),
+        )
+        .orderBy(F.desc("logratio"), F.asc("doc_id"))
+        .limit(top_k)
+    )

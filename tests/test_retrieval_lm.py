@@ -171,3 +171,46 @@ class TestGateShapes:
         df = q_bm25_topk(spark, "/root/testdata/sf0.001")
         assert df.columns == ["doc_id", "score", "tf_dup", "tf_spark"]
         assert df.count() <= 10
+
+
+class TestDSIR:
+    def _docs(self, spark):
+        rows = (
+            [(i, "the cat sat on the mat with a hat") for i in range(5)]
+            + [(10 + i, "zorn blix quux flem grat plon vree skab") for i in range(5)]
+            + [(100, "the cat sat on a mat with the hat")]   # target-like held-out
+            + [(101, "blix zorn flem quux grat vree plon skab")]  # raw-like
+        )
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_target_like_docs_rank_first(self, spark):
+        from pyspark.sql import functions as SF
+
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.lm_filter import (
+            dsir_select,
+        )
+
+        docs = self._docs(spark)
+        rows = dsir_select(docs, SF.col("doc_id") < 10, top_k=12).collect()
+        score = {r["doc_id"]: r["logratio"] for r in rows}
+        order = [r["doc_id"] for r in rows]
+        # target members dominate the ranking
+        assert set(order[:5]) == {0, 1, 2, 3, 4}
+        # the held-out target-like doc outranks every raw-member doc,
+        # which all score firmly negative (raw explains them better)
+        assert all(score[100] > score[10 + i] for i in range(5))
+        assert all(score[10 + i] < 0 for i in range(5))
+        # note: the shuffled doc 101 can score above 100 here — with a
+        # tiny 8-word target vocab the add-one OOV floor (1/V) is
+        # cheap, a fixture artifact, not an operator property
+
+    def test_identical_target_and_raw_scores_zero(self, spark):
+        from pyspark.sql import functions as SF
+
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.lm_filter import (
+            dsir_logratio,
+        )
+
+        docs = self._docs(spark)
+        out = dsir_logratio(docs, SF.lit(True)).collect()
+        assert all(abs(r["logratio"]) < 1e-12 for r in out)
