@@ -119,6 +119,9 @@ HEADLINE = [
     # learned quality screen: 3 GD passes (one aggregate each) + a
     # map-only literal-weight scoring pass
     "logreg_quality",
+    # DSIR data selection: two broadcast-model LM scoring passes over
+    # one gram-explode shape + TakeOrdered
+    "dsir_selection",
     # semantic_dedup is correctness-gated but excluded here for the
     # same reason as dedup_clusters: at these SFs its wall time is
     # ~95% fixed per-round scheduling overhead of the components loop
