@@ -120,6 +120,14 @@ def main(argv: list[str] | None = None) -> int:
     rp = sub.add_parser("report", help="gold load diagnostics report")
     rp.add_argument("--lake", required=True, type=Path)
 
+    crp = sub.add_parser(
+        "corpus-report",
+        help="corpus auditing report: token/dup/quality/PII/mix stats",
+    )
+    crp.add_argument("--input", required=True, type=Path,
+                     help="parquet with (doc_id, text, ...) columns")
+    crp.add_argument("--out", required=True, type=Path)
+
     ep = sub.add_parser("export-sqlite", help="export the DW to one .db file")
     ep.add_argument("--lake", required=True, type=Path)
     ep.add_argument("--out", required=True, type=Path)
@@ -223,6 +231,13 @@ def main(argv: list[str] | None = None) -> int:
         report = build_load_report(loader.store, args.lake)
         jp, mp = write_load_report(report, args.lake / "diagnostics")
         print(f"wrote {jp} and {mp}")
+
+    elif args.cmd == "corpus-report":
+        from .corpus_report import build_corpus_report, write_corpus_report
+
+        report = build_corpus_report(spark, str(args.input))
+        jp, mp = write_corpus_report(report, args.out)
+        print(json.dumps(report, sort_keys=True))
 
     elif args.cmd == "export-sqlite":
         loader = GoldLoader(spark, args.lake / "gold")

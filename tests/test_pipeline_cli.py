@@ -330,3 +330,41 @@ def test_corpus_cli_all_stages_composed(spark, tmp_path, capsys):
     assert chunks.select("doc_id").distinct().count() == s["n_docs_kept"]
     assert chunks.select("sample_id").distinct().count() == chunks.count()
     spark.catalog.clearCache()
+
+
+def test_corpus_report_cli(spark, tmp_path, capsys):
+    """corpus-report audits a documents parquet: counts, dup
+    accounting, Gopher outcomes, PII, mixes, top trigrams — json+md."""
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+
+    src = tmp_path / "docs_report.parquet"
+    rows = [
+        (i, " ".join(f"the item{i}x{j} holds value{i}x{j}" for j in range(15)),
+         "en" if i % 2 == 0 else "es", f"src{i % 2}")
+        for i in range(5)
+    ]
+    rows.append((50, rows[0][1], "en", "src0"))        # exact duplicate
+    rows.append((51, "contact me at a@b.com now", "en", "src1"))  # PII + short
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(src))
+
+    out = tmp_path / "rep"
+    rc = cli.main(["corpus-report", "--input", str(src), "--out", str(out)])
+    assert rc == 0
+    printed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    disk = _json.loads((out / "corpus_report.json").read_text())
+    assert printed == disk
+    assert disk["n_docs"] == 7
+    assert disk["exact_dup_docs"] == 1
+    assert disk["distinct_fingerprints"] == 6
+    assert disk["docs_with_pii"] == 1
+    assert disk["gopher_reasons"]["PASS"] == disk["gopher_pass"] == 6
+    assert disk["gopher_reasons"]["TOO_FEW_WORDS"] == 1
+    assert disk["lang_distribution"] == {"en": 5, "es": 2}
+    assert disk["source_distribution"] == {"src0": 4, "src1": 3}
+    assert len(disk["top_trigrams"]) == 10
+    md = (out / "corpus_report.md").read_text()
+    assert "# Corpus report" in md and "TOO_FEW_WORDS" in md
