@@ -14,6 +14,7 @@ from .silver_stream import (
     streaming_boardings_30m,
     streaming_dedup,
     stream_dedup_against_index,
+    stream_quality_screen,
     stream_trip_chains,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "streaming_boardings_30m",
     "streaming_dedup",
     "stream_dedup_against_index",
+    "stream_quality_screen",
     "stream_trip_chains",
 ]

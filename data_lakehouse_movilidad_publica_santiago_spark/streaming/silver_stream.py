@@ -278,3 +278,55 @@ def stream_dedup_against_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quality_screen(
+    docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    redact: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming corpus intake with quality quarantine: every
+    arriving micro-batch runs the Gopher rule chain; passing docs
+    (optionally PII-redacted) append to ``<out_dir>/accepted``,
+    failures append to ``<out_dir>/rejected`` WITH their first-
+    failing reason code — the corpus-domain twin of the silver
+    stream's quarantine (documents are never dropped silently).
+
+    foreachBatch for the same reason as the dedup intake: two sinks
+    must commit together per micro-batch id, restart-safe via the
+    checkpoint. The rule chain and redaction are map-only, so each
+    micro-batch is one narrow pass. Returns the StreamingQuery."""
+    from pathlib import Path as _Path
+
+    from ..functions.gopher import gopher_reason
+    from ..operators.pii import redact_pii
+
+    accepted_dir = str(_Path(out_dir) / "accepted")
+    rejected_dir = str(_Path(out_dir) / "rejected")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = batch_df.withColumn(
+            "__reason", gopher_reason(F.col(text_col))
+        ).persist()
+        try:
+            accepted = tagged.filter(F.col("__reason").isNull()).drop("__reason")
+            if redact:
+                accepted = accepted.withColumn(
+                    text_col, redact_pii(F.col(text_col))
+                )
+            accepted.write.mode("append").parquet(accepted_dir)
+            tagged.filter(F.col("__reason").isNotNull()).withColumnRenamed(
+                "__reason", "reason_code"
+            ).write.mode("append").parquet(rejected_dir)
+        finally:
+            tagged.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

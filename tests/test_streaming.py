@@ -299,3 +299,42 @@ def test_stream_dedup_against_index(spark, tmp_path_factory):
     assert acc_ids | dup_new == {r[0] for r in batch_rows}
     assert not (acc_ids & dup_new)
     spark.catalog.clearCache()
+
+
+def test_stream_quality_screen(spark, tmp_path_factory):
+    """Micro-batches pass the Gopher chain: clean docs are accepted
+    (PII-redacted), failures land in rejected WITH their reason code,
+    and the two sinks partition the stream."""
+    from data_lakehouse_movilidad_publica_santiago_spark.streaming import (
+        stream_quality_screen,
+    )
+
+    clean = [
+        (i, " ".join(f"the item{i}x{j} holds value{i}x{j}" for j in range(15))
+            + " mail me at a@b.com")
+        for i in range(4)
+    ]
+    bad = [
+        (100, "the of short"),                            # TOO_FEW_WORDS
+        (101, " ".join(f"word{i}" for i in range(60))),   # TOO_FEW_STOPWORDS
+    ]
+    batch = spark.createDataFrame(clean + bad, ["doc_id", "text"])
+    src = tmp_path_factory.mktemp("q_src")
+    batch.coalesce(2).write.mode("overwrite").parquet(str(src))
+
+    out = tmp_path_factory.mktemp("q_out")
+    q = stream_quality_screen(
+        spark.readStream.schema(batch.schema).parquet(str(src)),
+        str(out),
+        str(tmp_path_factory.mktemp("q_ck")),
+    )
+    q.awaitTermination(180)
+
+    accepted = spark.read.parquet(str(out / "accepted"))
+    rejected = spark.read.parquet(str(out / "rejected"))
+    acc = {r["doc_id"]: r["text"] for r in accepted.collect()}
+    rej = {r["doc_id"]: r["reason_code"] for r in rejected.collect()}
+    assert set(acc) == {0, 1, 2, 3}
+    assert all("[EMAIL]" in t and "a@b.com" not in t for t in acc.values())
+    assert rej == {100: "TOO_FEW_WORDS", 101: "TOO_FEW_STOPWORDS"}
+    assert accepted.count() + rejected.count() == 6
