@@ -808,7 +808,9 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     feats = docs.select(
         "doc_id",
-        (F.col("lang") == "en").cast("double").alias("label"),
+        # when/otherwise (not a bare ==) so a NULL lang labels 0.0
+        # exactly like the oracle's CASE, instead of NULL-propagating
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("label"),
         stopword_ratio(F.col("text"), QUALITY_STOPWORDS).alias("f1"),
         punct_ratio(F.col("text")).alias("f2"),
         (mean_word_length(F.col("text")) / F.lit(10.0)).alias("f3"),

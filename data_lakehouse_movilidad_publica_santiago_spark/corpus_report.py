@@ -2,11 +2,14 @@
 gold load report (``gold/diagnostics``): one JSON + markdown artifact
 summarizing a documents parquet before/after a corpus build.
 
-Everything is computed in TWO passes over the corpus (one wide
-aggregate + one small top-k job), composing the individually-gated
-expressions: token/char accounting, language and source mixes, exact
-duplication (fingerprint groups + HLL estimate vs exact), Gopher
-rule outcomes, PII class counts, and the corpus top trigrams."""
+Composes the individually-gated expressions over ONE persisted
+enrichment pass, then runs a handful of driver-sized jobs against it
+(the wide aggregate, the Gopher/lang/source distributions, and the
+trigram top-k): token/char accounting, language and source mixes,
+exact duplication (fingerprint groups + HLL estimate vs exact),
+Gopher rule outcomes, PII class counts, and the corpus top trigrams.
+Percentiles are approximate (bounded-memory sketch aggregate — an
+exact global percentile would buffer every row in one reducer)."""
 
 from __future__ import annotations
 
@@ -54,19 +57,20 @@ def build_corpus_report(
         F.count("*").alias("n_docs"),
         F.sum("__n_tok").alias("total_tokens"),
         F.sum("__n_chars").alias("total_chars"),
-        F.expr("percentile(__n_tok, array(0.5, 0.95))").alias("tok_pcts"),
+        F.expr("percentile_approx(__n_tok, array(0.5, 0.95))").alias("tok_pcts"),
         F.countDistinct("__fp").alias("distinct_fingerprints"),
         F.expr("hll_sketch_estimate(hll_sketch_agg(__fp))").alias(
             "distinct_fingerprints_hll"
         ),
-        F.sum((F.col("__gopher").isNull()).cast("bigint")).alias("gopher_pass"),
         F.sum("__n_pii").alias("total_pii_matches"),
         F.sum((F.col("__n_pii") > 0).cast("bigint")).alias("docs_with_pii"),
     ).collect()[0]
 
     def _dist(col: str) -> dict:
+        # NULL keys bucket under "__null__" so the report stays
+        # json/sort-safe on nullable columns
         return {
-            r[col]: r["n"]
+            (r[col] if r[col] is not None else "__null__"): r["n"]
             for r in enriched.groupBy(col)
             .agg(F.count("*").alias("n"))
             .collect()
@@ -81,6 +85,9 @@ def build_corpus_report(
         for r in enriched.select(
             F.explode(word_ngrams_raw(F.col("text"), 3)).alias("gram")
         )
+        # word_ngrams_raw pads docs shorter than 3 words with one
+        # short gram — only true trigrams belong in the table
+        .filter(F.size(F.split(F.col("gram"), " ")) == 3)
         .groupBy("gram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("gram"))
@@ -97,11 +104,15 @@ def build_corpus_report(
         "tokens_p50": float(wide["tok_pcts"][0]) if wide["tok_pcts"] else None,
         "tokens_p95": float(wide["tok_pcts"][1]) if wide["tok_pcts"] else None,
         "distinct_fingerprints": int(wide["distinct_fingerprints"]),
-        "distinct_fingerprints_hll": round(
-            float(wide["distinct_fingerprints_hll"]), 1
+        # NULL on an empty corpus (sketch of zero rows)
+        "distinct_fingerprints_hll": (
+            round(float(wide["distinct_fingerprints_hll"]), 1)
+            if wide["distinct_fingerprints_hll"] is not None
+            else 0.0
         ),
         "exact_dup_docs": n_docs - int(wide["distinct_fingerprints"]),
-        "gopher_pass": int(wide["gopher_pass"]),
+        # derived from the distribution — one source of truth
+        "gopher_pass": gopher_dist.get("PASS", 0),
         "gopher_reasons": gopher_dist,
         "total_pii_matches": int(wide["total_pii_matches"] or 0),
         "docs_with_pii": int(wide["docs_with_pii"] or 0),

@@ -181,7 +181,9 @@ def dsir_logratio(
     the standard pre-training data-selection signal.
 
     Two broadcast-model scoring passes over one gram explode shape;
-    documents without bigram evidence score NULL. Output: (doc_id,
+    documents without bigram evidence (< 2 tokens) are EXCLUDED from
+    the output — there is nothing to score them on, and a NULL row
+    would read as "keep by default" downstream. Output: (doc_id,
     passthrough…, n_bigrams, logratio) — logratio left unrounded for
     the caller (``dsir_select`` rounds before ranking)."""
     extra = list(passthrough or [])

@@ -69,6 +69,8 @@ def logreg_fit(
                 for j, c in enumerate(feature_cols)
             ],
         ).collect()[0]
+        if row["g0"] is None:
+            raise ValueError("logreg_fit: empty training set")
         w = [
             round(w[j] - lr * row[f"g{j}"], 6)
             for j in range(k + 1)

@@ -244,9 +244,12 @@ def stream_dedup_against_index(
     banding matches are identical to a batch run.
 
     foreachBatch (not a continuous stateful operator) because the
-    index is an at-rest artifact: exactly-once parquet appends per
-    micro-batch id, restart-safe via the checkpoint. Returns the
-    started StreamingQuery."""
+    index is an at-rest artifact. foreachBatch is at-least-once, so
+    each sink writes into a ``batch_id=<id>`` partition directory
+    with overwrite: a replayed micro-batch rewrites its own partition
+    instead of appending duplicates — idempotent, restart-safe via
+    the checkpoint. Readers see ``batch_id`` as a partition column.
+    Returns the started StreamingQuery."""
     from pathlib import Path as _Path
 
     from ..operators.dedup_text import minhash_dedup_incremental
@@ -261,13 +264,15 @@ def stream_dedup_against_index(
                 batch_df, index_dir, threshold, id_col=id_col,
                 text_col=text_col,
             ).persist()  # fmt: skip
-            pairs.write.mode("append").parquet(pairs_dir)
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_dir}/batch_id={batch_id}"
+            )
             dup_ids = pairs.select(
                 F.col("doc_new").alias(id_col)
             ).distinct()
             batch_df.join(dup_ids, id_col, "left_anti").write.mode(
-                "append"
-            ).parquet(accepted_dir)
+                "overwrite"
+            ).parquet(f"{accepted_dir}/batch_id={batch_id}")
             pairs.unpersist()
         finally:
             batch_df.unpersist()
@@ -295,10 +300,12 @@ def stream_quality_screen(
     failing reason code — the corpus-domain twin of the silver
     stream's quarantine (documents are never dropped silently).
 
-    foreachBatch for the same reason as the dedup intake: two sinks
-    must commit together per micro-batch id, restart-safe via the
-    checkpoint. The rule chain and redaction are map-only, so each
-    micro-batch is one narrow pass. Returns the StreamingQuery."""
+    foreachBatch for the same reason as the dedup intake, and with
+    the same idempotency discipline: each sink writes its micro-batch
+    into a ``batch_id=<id>`` partition with overwrite, so an
+    at-least-once replay rewrites its own partition instead of
+    duplicating rows. The rule chain and redaction are map-only, so
+    each micro-batch is one narrow pass. Returns the StreamingQuery."""
     from pathlib import Path as _Path
 
     from ..functions.gopher import gopher_reason
@@ -317,10 +324,14 @@ def stream_quality_screen(
                 accepted = accepted.withColumn(
                     text_col, redact_pii(F.col(text_col))
                 )
-            accepted.write.mode("append").parquet(accepted_dir)
+            accepted.write.mode("overwrite").parquet(
+                f"{accepted_dir}/batch_id={batch_id}"
+            )
             tagged.filter(F.col("__reason").isNotNull()).withColumnRenamed(
                 "__reason", "reason_code"
-            ).write.mode("append").parquet(rejected_dir)
+            ).write.mode("overwrite").parquet(
+                f"{rejected_dir}/batch_id={batch_id}"
+            )
         finally:
             tagged.unpersist()
 
