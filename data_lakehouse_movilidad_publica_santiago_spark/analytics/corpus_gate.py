@@ -607,7 +607,21 @@ def _kmeans_ctes(k: int = 4, iters: int = 2, dim: int = 64) -> tuple[str, str]:
     """The Lloyd's-iteration CTE chain (shared by the kmeans and
     semantic-dedup oracles). Returns (cte_sql_without_WITH,
     final_assignment_cte) where the final CTE yields
-    (vec_id, cid, d) plus an ``e`` CTE with the DOUBLE[] vectors."""
+    (vec_id, cid, d) plus an ``e`` CTE with the DOUBLE[] vectors.
+
+    Pinned to ``iters <= 2``: the Spark operator keeps a stale
+    centroid when a cluster empties mid-run, while this CTE chain
+    drops the cid (its u{it} group vanishes). At iters=2 the two are
+    provably identical — every init seed is a member of its own first
+    assignment, so no cluster can be empty when c1 is computed — but
+    a third iteration could diverge. Raise the cap only together with
+    a COALESCE-to-previous-centroid rewrite of c{it}."""
+    if iters > 2:
+        raise ValueError(
+            "_kmeans_ctes is pinned to iters<=2: the oracle drops "
+            "empty clusters while kmeans_fit_assign keeps their stale "
+            "centroids, so iters>2 could silently diverge"
+        )
 
     def dist(e: str, c: str) -> str:
         terms = [

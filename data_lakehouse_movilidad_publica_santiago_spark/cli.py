@@ -116,6 +116,25 @@ def main(argv: list[str] | None = None) -> int:
         help="use the published Gopher rule battery as the quality "
         "filter instead of the heuristic score",
     )
+    cp.add_argument(
+        "--quality-model",
+        default=None,
+        metavar="LABEL_EXPR",
+        help="learned quality screen: train a logistic regression on "
+        "the standard text features against this weak-label boolean "
+        "SQL expression (e.g. \"lang = 'en'\") and drop docs scoring "
+        "below --quality-model-min",
+    )
+    cp.add_argument("--quality-model-min", type=float, default=0.5)
+    cp.add_argument(
+        "--dsir-target",
+        default=None,
+        metavar="TARGET_EXPR",
+        help="DSIR importance resampling: keep only the --dsir-top-k "
+        "surviving docs whose bigram distribution most resembles the "
+        "slice this boolean SQL expression selects",
+    )
+    cp.add_argument("--dsir-top-k", type=int, default=None)
 
     rp = sub.add_parser("report", help="gold load diagnostics report")
     rp.add_argument("--lake", required=True, type=Path)
@@ -223,6 +242,10 @@ def main(argv: list[str] | None = None) -> int:
             span_mask_window=args.span_mask_window,
             ppl_threshold=args.ppl_threshold,
             gopher=args.gopher,
+            quality_model_label=args.quality_model,
+            quality_model_min=args.quality_model_min,
+            dsir_target=args.dsir_target,
+            dsir_top_k=args.dsir_top_k,
         )
         print(json.dumps(summary))
 

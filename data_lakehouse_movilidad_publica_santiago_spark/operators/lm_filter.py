@@ -111,31 +111,52 @@ def score_perplexity(
 
     ``passthrough`` columns (small per-doc attributes, e.g. lang/
     source) ride the gram rows and come back in the output without a
-    second join against the corpus. ``include_empty=False`` drops the
-    LEFT join-back that resurrects bigram-free docs — when the caller
-    filters them anyway, that join is a whole stage saved."""
+    second join against the corpus. Working columns are ``__``-prefixed
+    so passthrough names can't collide with them; passthrough names are
+    additionally validated against the fixed output columns
+    (doc_id / n_bigrams / cross_entropy / ppl / keep).
+    ``include_empty=False`` drops the LEFT join-back that resurrects
+    bigram-free docs — when the caller filters them anyway, that join
+    is a whole stage saved."""
     extra = list(passthrough or [])
+    reserved = {"doc_id", "n_bigrams", "cross_entropy", "ppl", "keep"}
+    bad = [c for c in extra if c in reserved or c.startswith("__")]
+    if bad:
+        raise ValueError(
+            f"passthrough columns {bad} collide with score_perplexity "
+            f"output columns {sorted(reserved)} or the __-internal prefix"
+        )
+    bigrams = model.bigrams.select(
+        F.col("gram").alias("__gram"), F.col("c12").alias("__c12")
+    )
+    unigrams = model.unigrams.select(
+        F.col("w1").alias("__w1"), F.col("c1").alias("__c1")
+    )
+    vocab = model.vocab.select(F.col("vocab").alias("__vocab"))
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         *extra,
-        F.explode(word_ngrams_raw(F.col(text_col), 2)).alias("gram"),
-    ).filter(F.col("gram").contains(" "))
+        F.explode(word_ngrams_raw(F.col(text_col), 2)).alias("__gram"),
+    ).filter(F.col("__gram").contains(" "))
     scored = (
-        grams.join(model.bigrams, "gram", "left")
-        .withColumn("w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
-        .join(model.unigrams, "w1", "left")
-        .crossJoin(F.broadcast(model.vocab))
+        grams.join(bigrams, "__gram", "left")
+        .withColumn("__w1", F.split_part(F.col("__gram"), F.lit(" "), F.lit(1)))
+        .join(unigrams, "__w1", "left")
+        .crossJoin(F.broadcast(vocab))
         .withColumn(
-            "logp",
+            "__logp",
             F.log(
-                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
-                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab").cast("double"))
+                (F.coalesce(F.col("__c12"), F.lit(0)) + F.lit(1.0))
+                / (
+                    F.coalesce(F.col("__c1"), F.lit(0))
+                    + F.col("__vocab").cast("double")
+                )
             ),
         )
     )
     per_doc = scored.groupBy("doc_id", *extra).agg(
         F.count("*").alias("n_bigrams"),
-        (-F.avg("logp")).alias("cross_entropy"),
+        (-F.avg("__logp")).alias("cross_entropy"),
     )
     if include_empty:
         # LEFT join back so bigram-free docs still appear (n_bigrams=0)
@@ -187,6 +208,11 @@ def dsir_logratio(
     passthrough…, n_bigrams, logratio) — logratio left unrounded for
     the caller (``dsir_select`` rounds before ranking)."""
     extra = list(passthrough or [])
+    if "logratio" in extra:
+        raise ValueError(
+            "passthrough column 'logratio' collides with the DSIR "
+            "output column of the same name"
+        )
     target_model = train_bigram_lm(docs.filter(target), text_col=text_col)
     raw_model = train_bigram_lm(docs, text_col=text_col)
     t_ce = score_perplexity(
@@ -215,7 +241,13 @@ def dsir_select(
 ) -> DataFrame:
     """Select the ``top_k`` most target-like documents by rounded
     DSIR log-ratio (ties break on ascending id — the ranking is total
-    and engine-reproducible). TakeOrdered, never a global sort."""
+    and engine-reproducible). TakeOrdered, never a global sort.
+
+    TakeOrdered merges per-partition top-k candidate sets on the
+    driver, so this path is for SMALL k (a retrieval gate, a sample).
+    Selecting a large slice of the corpus (k in the millions) must use
+    ``dsir_select_rank`` — identical output, distributed rank, nothing
+    driver-sized grows with k."""
     scored = dsir_logratio(
         docs, target, id_col=id_col, text_col=text_col,
         passthrough=passthrough,
@@ -229,4 +261,70 @@ def dsir_select(
         )
         .orderBy(F.desc("logratio"), F.asc("doc_id"))
         .limit(top_k)
+    )
+
+
+def dsir_select_rank(
+    docs: DataFrame,
+    target: "F.Column",
+    top_k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: list[str] | None = None,
+    n_parts: int | None = None,
+    pins: list | None = None,
+) -> DataFrame:
+    """``dsir_select``'s scale twin: the SAME top-k set (rounded
+    logratio desc, doc_id asc — pinned identical by test), computed as
+    a two-pass distributed rank instead of a TakeOrdered driver merge,
+    so k can be a large fraction of the corpus:
+
+    range-partition the scored rows on (-logratio, doc_id) → pass 1
+    ranks within each partition (``row_number``) → pass 2 collects one
+    row-count per partition (metadata-sized) and adds exclusive
+    offsets → filter global rank ≤ k. The same recipe as
+    ``chunking.global_shuffle``; like there, the range-shuffled frame
+    must stay persisted until the result is consumed — pass ``pins``
+    to receive the handle and unpersist after your final action."""
+    from pyspark.sql import Window
+
+    from .spread import default_range_parts
+
+    scored = dsir_logratio(
+        docs, target, id_col=id_col, text_col=text_col,
+        passthrough=passthrough,
+    ).select(
+        "doc_id",
+        *(passthrough or []),
+        "n_bigrams",
+        F.round("logratio", 4).alias("logratio"),
+    )
+    if n_parts is None:
+        n_parts = default_range_parts(scored)
+    keyed = scored.withColumn("__negr", -F.col("logratio"))
+    parts = (
+        keyed.repartitionByRange(n_parts, "__negr", "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    if pins is not None:
+        pins.append(parts)
+    w = Window.partitionBy("__pid").orderBy("__negr", "doc_id")
+    local = parts.withColumn("__lr", F.row_number().over(w))
+    counts = {
+        r["__pid"]: r["c"]
+        for r in parts.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = local.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        "__pid int, __offset bigint",
+    )
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .filter((F.col("__offset") + F.col("__lr")) <= F.lit(top_k))
+        .select("doc_id", *(passthrough or []), "n_bigrams", "logratio")
     )

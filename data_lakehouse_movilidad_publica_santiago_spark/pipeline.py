@@ -21,6 +21,7 @@ counts — the observability contract the silver/gold pipelines use
 from __future__ import annotations
 
 import json
+import time
 from pathlib import Path
 
 from pyspark.sql import SparkSession, Window
@@ -52,6 +53,11 @@ def build_corpus(
     span_mask_window: int | None = None,
     ppl_threshold: float | None = None,
     gopher: bool = False,
+    quality_model_label: str | None = None,
+    quality_model_min: float = 0.5,
+    quality_model_iters: int = 3,
+    dsir_target: str | None = None,
+    dsir_top_k: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict:
@@ -74,12 +80,44 @@ def build_corpus(
     bigram LM is trained on the surviving corpus itself and documents
     with cross-entropy above X (out-of-distribution: boilerplate,
     wrong language, degenerate text) are dropped — docs too short to
-    have bigram evidence are kept (gated as `lm_perplexity`)."""
+    have bigram evidence are kept (gated as `lm_perplexity`).
+
+    ``quality_model_label='<bool SQL expr>'`` adds the LEARNED quality
+    screen (gated as `logreg_quality`): a logistic regression over the
+    four standard text features (stopword ratio, punctuation ratio,
+    scaled mean word length, scaled token count) is trained with
+    ``quality_model_iters`` full-batch GD steps against the weak label
+    the expression defines (e.g. ``"lang = 'en'"``; NULL evaluates as
+    false), and documents scoring below ``quality_model_min`` are
+    dropped. Training is iters aggregate passes (k+1 doubles to the
+    driver each); scoring is a map stage with literal weights — the
+    learned weights land in the summary for audit.
+
+    ``dsir_target='<bool SQL expr>'`` + ``dsir_top_k=K`` adds DSIR
+    importance resampling (gated as `dsir_selection`) as the FINAL
+    selection stage: keep only the K surviving documents whose bigram
+    distribution most resembles the target slice relative to the raw
+    pool. Documents without bigram evidence (< 2 tokens) cannot be
+    scored and are dropped by this stage."""
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
+    # per-stage wall clock (driver-observed, action-to-action). Spark
+    # is lazy, so a stage's wall includes any upstream work its first
+    # action materializes — e.g. the first enabled optional stage pays
+    # for the quality filter + exact dedup above it. Totals are exact;
+    # attribution is "everything since the previous materialization".
+    stage_wall: dict[str, float] = {}
+    t0 = time.perf_counter()
+
+    def _mark(stage: str, since: float) -> float:
+        now = time.perf_counter()
+        stage_wall[stage] = round(now - since, 2)
+        return now
+
     docs = ensure_parallelism(spark.read.parquet(input_path))
     n_raw = docs.count()
+    t = _mark("scan_count", t0)
 
     if gopher:
         # the published Gopher rule battery (first-match reason chain)
@@ -133,6 +171,7 @@ def build_corpus(
         deduped = kept.join(survivors, id_col, "inner").persist()
         stage_pins.append(deduped)
         n_near_removed = n_before - deduped.count()
+        t = _mark("near_dedup", t)
         for p in mh_pins:
             p.unpersist()
         kept.unpersist()
@@ -160,6 +199,7 @@ def build_corpus(
         )
         stage_pins.append(remasked)
         n_mask_emptied = n_premask - remasked.count()
+        t = _mark("span_mask", t)
         for p in mask_pins:  # window-hash cache: done once remasked is hot
             p.unpersist()
         kept.unpersist()
@@ -181,8 +221,111 @@ def build_corpus(
         screened = kept.join(survivors_lm, id_col, "inner").persist()
         stage_pins.append(screened)
         n_lm_dropped = n_prelm - screened.count()
+        t = _mark("ppl_screen", t)
         kept.unpersist()
         kept = screened
+    n_qm_dropped = 0
+    qm_weights: list[float] | None = None
+    if quality_model_label is not None:
+        from .functions.text import (
+            mean_word_length,
+            punct_ratio,
+            stopword_ratio,
+            token_count,
+        )
+        from .operators.logreg import logreg_fit, logreg_score
+
+        kept = kept.persist()
+        n_preqm = kept.count()
+        # the weak-label expression may reference metadata columns
+        # (lang, source, …) that the dedup projection dropped — so it
+        # is evaluated against the RAW input frame and joined in by id
+        labels = docs.select(
+            F.col(id_col),
+            # when/otherwise so a NULL predicate labels 0.0 instead of
+            # NULL-propagating into the gradient averages
+            F.when(F.expr(quality_model_label), 1.0)
+            .otherwise(0.0)
+            .alias("__label"),
+        )
+        feats = (
+            kept.join(labels, id_col)
+            .select(
+                F.col(id_col),
+                F.col("__label"),
+                stopword_ratio(F.col(text_col), QUALITY_STOPWORDS).alias(
+                    "__f1"
+                ),
+                punct_ratio(F.col(text_col)).alias("__f2"),
+                (mean_word_length(F.col(text_col)) / F.lit(10.0)).alias(
+                    "__f3"
+                ),
+                (token_count(F.col(text_col)) / F.lit(100.0)).alias("__f4"),
+            )
+            .persist()  # feeds iters gradient passes + the scoring pass
+        )
+        fcols = ["__f1", "__f2", "__f3", "__f4"]
+        qm_weights = logreg_fit(
+            feats, fcols, "__label", iters=quality_model_iters, lr=1.0
+        )
+        keep_ids = (
+            logreg_score(feats, qm_weights, fcols, out_col="__p")
+            .filter(F.col("__p") >= F.lit(quality_model_min))
+            .select(id_col)
+        )
+        screened_qm = kept.join(keep_ids, id_col, "inner").persist()
+        stage_pins.append(screened_qm)
+        n_qm_dropped = n_preqm - screened_qm.count()
+        t = _mark("quality_model", t)
+        feats.unpersist()
+        kept.unpersist()
+        kept = screened_qm
+    n_dsir_dropped = 0
+    if dsir_target is not None:
+        if dsir_top_k is None:
+            raise ValueError("dsir_target requires dsir_top_k")
+        from .operators.lm_filter import dsir_select, dsir_select_rank
+
+        kept = kept.persist()
+        n_predsir = kept.count()
+        # like the quality-model label, the target expression is
+        # evaluated against the raw frame (metadata columns survive
+        # there) and carried into the survivors as a boolean column
+        tgt = docs.select(
+            F.col(id_col),
+            F.coalesce(
+                F.expr(dsir_target).cast("boolean"), F.lit(False)
+            ).alias("__target"),
+        )
+        dsir_pins: list = []
+        if dsir_top_k > 10_000:
+            # large slice: distributed-rank path (a TakeOrdered merge
+            # of millions of candidate rows would be driver-bound)
+            sel = dsir_select_rank(
+                kept.join(tgt, id_col),
+                F.col("__target"),
+                top_k=dsir_top_k,
+                id_col=id_col,
+                text_col=text_col,
+                pins=dsir_pins,
+            )
+        else:
+            sel = dsir_select(
+                kept.join(tgt, id_col),
+                F.col("__target"),
+                top_k=dsir_top_k,
+                id_col=id_col,
+                text_col=text_col,
+            )
+        sel_ids = sel.select(F.col("doc_id").alias(id_col))
+        selected = kept.join(sel_ids, id_col, "inner").persist()
+        stage_pins.append(selected)
+        n_dsir_dropped = n_predsir - selected.count()
+        t = _mark("dsir_select", t)
+        for p in dsir_pins:  # rank shuffle pin: done once selected is hot
+            p.unpersist()
+        kept.unpersist()
+        kept = selected
     if redact:
         kept = kept.withColumn(text_col, redact_pii(F.col(text_col)))
     # persist: kept feeds the count, the chunker AND the shuffle-rank
@@ -190,6 +333,7 @@ def build_corpus(
     # the heaviest shuffle
     kept = kept.persist()
     n_kept = kept.count()
+    t = _mark("filter_dedup_redact", t)
 
     chunks = chunk_documents(
         kept,
@@ -232,6 +376,7 @@ def build_corpus(
     written = spark.read.parquet(chunks_path)
     n_chunks = written.count()
     n_tokens = written.agg(F.sum("n_tok")).collect()[0][0]
+    t = _mark("chunk_shuffle_write", t)
     kept.unpersist()
     for p in pins:  # release the shuffle-rank pin (ours alone — a
         p.unpersist()  # shared session's other caches stay intact)
@@ -249,6 +394,13 @@ def build_corpus(
         "ppl_threshold": ppl_threshold,
         "n_docs_dropped_by_ppl": int(n_lm_dropped),
         "gopher": gopher,
+        "quality_model_label": quality_model_label,
+        "quality_model_min": quality_model_min if quality_model_label else None,
+        "quality_model_weights": qm_weights,
+        "n_docs_dropped_by_quality_model": int(n_qm_dropped),
+        "dsir_target": dsir_target,
+        "dsir_top_k": dsir_top_k,
+        "n_docs_dropped_by_dsir": int(n_dsir_dropped),
         "n_chunks": int(n_chunks),
         "n_tokens": int(n_tokens or 0),
         "quality_min": quality_min,
@@ -257,6 +409,8 @@ def build_corpus(
         "seed": seed,
         "redacted": redact,
         "chunks_path": chunks_path,
+        "stage_wall_s": stage_wall,
+        "total_wall_s": round(time.perf_counter() - t0, 2),
     }
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     return summary

@@ -224,6 +224,33 @@ def streaming_dedup(
     )
 
 
+def _guard_partitioned_sink_layout(*dirs: str) -> None:
+    """Fail fast when a sink directory still holds the pre-upgrade
+    FLAT layout (root-level ``*.parquet`` from the old plain-append
+    sinks). The current sinks write ``batch_id=<id>`` partition
+    subdirectories; Spark's partition discovery refuses a directory
+    that mixes both ("conflicting directory structures"), and the
+    reader-visible schema gains a ``batch_id`` column. Migrate by
+    moving legacy files into a ``batch_id=-1`` subdirectory (or
+    pointing the stream at a fresh out_dir)."""
+    from pathlib import Path as _Path
+
+    for d in dirs:
+        p = _Path(d)
+        if not p.is_dir():
+            continue
+        legacy = [f.name for f in p.iterdir() if f.suffix == ".parquet"]
+        if legacy:
+            raise ValueError(
+                f"{d} contains root-level parquet files from the "
+                f"pre-partitioned flat-append layout (e.g. {legacy[0]}); "
+                "the sink now writes batch_id=<id> partition directories "
+                "and Spark cannot read a mix of both. Move the legacy "
+                "files into a batch_id=-1 subdirectory or use a fresh "
+                "out_dir."
+            )
+
+
 def stream_dedup_against_index(
     events: DataFrame,
     index_dir: str,
@@ -256,6 +283,7 @@ def stream_dedup_against_index(
 
     accepted_dir = str(_Path(out_dir) / "accepted")
     pairs_dir = str(_Path(out_dir) / "near_dups")
+    _guard_partitioned_sink_layout(accepted_dir, pairs_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
@@ -313,6 +341,7 @@ def stream_quality_screen(
 
     accepted_dir = str(_Path(out_dir) / "accepted")
     rejected_dir = str(_Path(out_dir) / "rejected")
+    _guard_partitioned_sink_layout(accepted_dir, rejected_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         tagged = batch_df.withColumn(

@@ -46,7 +46,7 @@ def main():
 
     n = e.entry(spark).count()
     print(f"entry: {n} rows", flush=True)
-    assert n >= 0
+    assert n > 0, "entry() must return a non-empty DataFrame"
 
     queries = e.queries()
     oracles = e.oracle_sql()

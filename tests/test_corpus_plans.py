@@ -146,6 +146,57 @@ def test_span_dedup_corpus_shuffle_carries_hashes_only(spark):
         assert "text" not in m.group(1)
 
 
+def test_dsir_one_gram_shape_broadcast_models(spark):
+    """DSIR's contract: the two scoring passes reuse ONE gram-explode
+    shape each and every model join broadcasts — no SortMergeJoin may
+    appear, ranking is TakeOrdered (never a global Sort), and the
+    Generate (explode) count stays pinned at 8 (2 scoring explodes +
+    2×(unigram+bigram) training explodes for the target and raw
+    models, plus the word_ngrams padding filter sharing its explode).
+    A regression that re-explodes the corpus per join breaks this."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.lm_filter import (
+        dsir_select,
+    )
+
+    plan = explain_str(
+        dsir_select(_docs(spark), F.col("lang") == "en", top_k=10)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 8
+
+
+def test_logreg_gradient_single_agg_scoring_map_only(spark):
+    """logreg's contract: one aggregate pass per GD step (map-side
+    partials, a single SinglePartition exchange bringing k+1 doubles
+    to the driver), and scoring with literal weights is a pure map
+    stage — no Exchange, no Join, no Python."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.logreg import (
+        _sigmoid_sql,
+        _z_sql,
+        logreg_score,
+    )
+
+    feats = _docs(spark).select(
+        "doc_id", (F.length("text") / F.lit(100.0)).alias("f1")
+    )
+    grad = feats.agg(
+        F.round(
+            F.avg(F.expr(_sigmoid_sql(_z_sql([0.0, 0.0], ["f1"])))),
+            6,
+        ).alias("g0")
+    )
+    gplan = explain_str(grad)
+    assert len(re.findall(r"\(\d+\) Exchange", gplan)) == 1
+    assert "SinglePartition" in gplan
+    assert "Join" not in gplan
+
+    splan = explain_str(logreg_score(feats, [0.1, 0.2], ["f1"]))
+    assert "Exchange" not in splan
+    assert "Join" not in splan
+    assert "Python" not in splan
+
+
 def test_kmeans_assign_stage_is_map_side(spark):
     """The k-means assignment against literal centroids is a pure map
     stage: scan + project, no Exchange, no Join."""

@@ -147,6 +147,25 @@ def test_read_counts_match_reference_manifest(demo_lake):
     )
 
 
+# Exact per-partition quarantine distribution on the seeded demo
+# fixture — pinned so a rule-precedence or coercion regression cannot
+# hide behind the vocabulary check. Every count was independently
+# verified by replaying the ordered rule chains (silver/{viajes,
+# etapas}.py predicates, TRY_CAST coercions, first-match precedence)
+# over the raw demo CSVs in DuckDB: the two engines agree row-for-row.
+EXPECTED_REASON_COUNTS = {
+    ("viajes", "2025-04-21"): {"NEG_DISTANCE": 2},
+    ("viajes", "2025-04-22"): {},
+    ("viajes", "2025-04-23"): {},
+    ("viajes", "2025-04-24"): {"NEG_DISTANCE": 3},
+    ("viajes", "2025-04-25"): {},
+    ("viajes", "2025-04-26"): {},
+    ("viajes", "2025-04-27"): {},
+    ("etapas", "2025-04-21_2025-04-27"): {"NEG_DISTANCE": 11, "BAD_UTM_X": 1},
+    ("subidas_30m", "2025-04"): {},
+}
+
+
 def test_count_assertion_and_reason_vocabulary(demo_lake):
     lake, _, _ = demo_lake
     for (_dataset, _cut), doc in _quality_docs(lake).items():
@@ -159,6 +178,24 @@ def test_count_assertion_and_reason_vocabulary(demo_lake):
             r["_reason_code"] for r in doc["quarantine_reason_distribution"]
         }
         assert reasons <= REASON_VOCAB, f"unknown reason codes: {reasons}"
+
+
+def test_reason_distribution_exact(demo_lake):
+    """The seeded fixture's quarantine distribution is deterministic:
+    assert exact per-reason counts per partition (cross-checked against
+    an independent DuckDB replay of the rule chains — see the constant
+    above), so a precedence swap that shifts a row from one reason to
+    another fails loudly instead of passing the vocabulary check."""
+    lake, _, _ = demo_lake
+    docs = _quality_docs(lake)
+    assert set(docs) == set(EXPECTED_REASON_COUNTS)
+    for key, doc in docs.items():
+        got = {
+            r["_reason_code"]: r["cnt"]
+            for r in doc["quarantine_reason_distribution"]
+        }
+        assert got == EXPECTED_REASON_COUNTS[key], key
+        assert doc["invalid_row_count"] == sum(got.values()), key
 
 
 def test_quality_doc_shape_matches_reference(demo_lake):

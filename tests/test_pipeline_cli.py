@@ -332,6 +332,149 @@ def test_corpus_cli_all_stages_composed(spark, tmp_path, capsys):
     spark.catalog.clearCache()
 
 
+def _write_lang_corpus(spark, path):
+    """10 English docs (stopword-rich, shared bigrams) + 5 'xx' docs
+    (no stopwords, disjoint bigram space). Every text is unique so
+    exact dedup keeps all 15; every doc passes quality_min=0.0."""
+    en_base = (
+        "the quick brown fox jumps over the lazy dog and it is a fine "
+        "day in the park with a friend that it is good to see "
+    )
+    rows = [(i, en_base + f"variant {i} of the tale", "en") for i in range(10)]
+    rows += [
+        (100 + i, f"zorp{i} blick quax flem zorp{i} drun quax blick flem wex", "xx")
+        for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    ).write.mode("overwrite").parquet(str(path))
+
+
+def test_build_corpus_quality_model(spark, tmp_path):
+    """--quality-model trains the gated logreg screen on a weak label
+    evaluated against the RAW frame (lang survives there even though
+    the dedup projection drops it) and drops docs below the cutoff;
+    the kept set matches an independent replay of fit+score."""
+    from data_lakehouse_movilidad_publica_santiago_spark.functions.text import (
+        QUALITY_STOPWORDS,
+        mean_word_length,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.logreg import (
+        logreg_fit,
+        logreg_score,
+    )
+
+    src = tmp_path / "docs_qm.parquet"
+    _write_lang_corpus(spark, src)
+    docs = spark.read.parquet(str(src))
+
+    # independent replay: same features, same label, same 3 GD steps
+    feats = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("label"),
+        stopword_ratio(F.col("text"), QUALITY_STOPWORDS).alias("f1"),
+        punct_ratio(F.col("text")).alias("f2"),
+        (mean_word_length(F.col("text")) / F.lit(10.0)).alias("f3"),
+        (token_count(F.col("text")) / F.lit(100.0)).alias("f4"),
+    )
+    fcols = ["f1", "f2", "f3", "f4"]
+    w = logreg_fit(feats, fcols, "label", iters=3, lr=1.0)
+    scored = {
+        r["doc_id"]: r["p"]
+        for r in logreg_score(feats, w, fcols).collect()
+    }
+    # a cutoff strictly between the two groups' learned scores
+    p_en = [scored[i] for i in range(10)]
+    p_xx = [scored[100 + i] for i in range(5)]
+    assert min(p_en) > max(p_xx)  # the screen really separates
+    cutoff = (min(p_en) + max(p_xx)) / 2
+
+    summary = build_corpus(
+        spark,
+        str(src),
+        str(tmp_path / "qm"),
+        seed="s1",
+        quality_min=0.0,
+        quality_model_label="lang = 'en'",
+        quality_model_min=cutoff,
+    )
+    assert summary["quality_model_label"] == "lang = 'en'"
+    assert summary["n_docs_dropped_by_quality_model"] == 5
+    assert summary["n_docs_kept"] == 10
+    assert summary["quality_model_weights"] == w
+    chunks = spark.read.parquet(summary["chunks_path"])
+    assert chunks.filter(F.col("doc_id") >= 100).count() == 0
+    spark.catalog.clearCache()
+
+
+def test_build_corpus_dsir_selection(spark, tmp_path):
+    """--dsir-target/--dsir-top-k keep only the K most target-like
+    survivors: with an English target slice, the disjoint-bigram 'xx'
+    docs rank below every English doc and fall out."""
+    src = tmp_path / "docs_dsir.parquet"
+    _write_lang_corpus(spark, src)
+
+    summary = build_corpus(
+        spark,
+        str(src),
+        str(tmp_path / "dsir"),
+        seed="s1",
+        quality_min=0.0,
+        dsir_target="lang = 'en'",
+        dsir_top_k=8,
+    )
+    assert summary["dsir_target"] == "lang = 'en'"
+    assert summary["dsir_top_k"] == 8
+    assert summary["n_docs_kept"] == 8
+    assert summary["n_docs_dropped_by_dsir"] == 15 - 8
+    chunks = spark.read.parquet(summary["chunks_path"])
+    kept_ids = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    assert len(kept_ids) == 8
+    assert all(i < 100 for i in kept_ids)  # all selected docs are 'en'
+    spark.catalog.clearCache()
+
+
+def test_build_corpus_dsir_requires_top_k(spark, tmp_path):
+    import pytest
+
+    src = tmp_path / "docs_dsir2.parquet"
+    _write_lang_corpus(spark, src)
+    with pytest.raises(ValueError, match="dsir_top_k"):
+        build_corpus(
+            spark, str(src), str(tmp_path / "x"),
+            quality_min=0.0, dsir_target="lang = 'en'",
+        )  # fmt: skip
+
+
+def test_corpus_cli_selection_flags(spark, tmp_path, capsys):
+    """CLI round-trip for --quality-model and --dsir-target: both
+    stages run in one invocation and the accounting composes."""
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+
+    src = tmp_path / "docs_sel.parquet"
+    _write_lang_corpus(spark, src)
+    rc = cli.main(
+        ["corpus", "--input", str(src), "--output", str(tmp_path / "sel"),
+         "--quality-min", "0.0",
+         "--quality-model", "lang = 'en'", "--quality-model-min", "0.01",
+         "--dsir-target", "lang = 'en'", "--dsir-top-k", "6",
+         "--seed", "sel-1"]
+    )  # fmt: skip
+    assert rc == 0
+    s = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # lenient model cutoff drops nothing; DSIR then caps at 6
+    assert s["quality_model_label"] == "lang = 'en'"
+    assert s["quality_model_weights"] is not None
+    assert s["n_docs_kept"] == 6
+    assert s["n_docs_dropped_by_dsir"] == 15 - s["n_docs_dropped_by_quality_model"] - 6
+    spark.catalog.clearCache()
+
+
 def test_corpus_report_cli(spark, tmp_path, capsys):
     """corpus-report audits a documents parquet: counts, dup
     accounting, Gopher outcomes, PII, mixes, top trigrams — json+md."""

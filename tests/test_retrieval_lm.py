@@ -214,3 +214,36 @@ class TestDSIR:
         docs = self._docs(spark)
         out = dsir_logratio(docs, SF.lit(True)).collect()
         assert all(abs(r["logratio"]) < 1e-12 for r in out)
+
+    def test_rank_path_matches_takeordered_path(self, spark):
+        """dsir_select_rank (distributed two-pass rank, for large k)
+        returns the IDENTICAL set, scores, and implied order as
+        dsir_select (TakeOrdered, for small k) — on the real sf0.001
+        documents table and at several k, including k > N."""
+        from pyspark.sql import functions as SF
+
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.lm_filter import (
+            dsir_select,
+            dsir_select_rank,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        n = docs.count()
+        for k in (1, 7, 50, n + 10):
+            a = {
+                (r["doc_id"], r["n_bigrams"], r["logratio"])
+                for r in dsir_select(
+                    docs, SF.col("lang") == "en", top_k=k
+                ).collect()
+            }
+            pins: list = []
+            b_rows = dsir_select_rank(
+                docs, SF.col("lang") == "en", top_k=k, pins=pins
+            ).collect()
+            b = {
+                (r["doc_id"], r["n_bigrams"], r["logratio"]) for r in b_rows
+            }
+            for p in pins:
+                p.unpersist()
+            assert a == b, f"k={k}"
+            assert len(b_rows) == len(b)  # no duplicate ranks
