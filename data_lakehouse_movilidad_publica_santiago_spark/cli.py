@@ -135,6 +135,15 @@ def main(argv: list[str] | None = None) -> int:
         "slice this boolean SQL expression selects",
     )
     cp.add_argument("--dsir-top-k", type=int, default=None)
+    cp.add_argument(
+        "--split",
+        default=None,
+        metavar="NAME=W,NAME=W,...",
+        help="document-level train/val/test split, e.g. "
+        "train=0.9,val=0.05,test=0.05 — the chunks parquet gains a "
+        "split=<name> partition level (seeded-hash assignment, "
+        "leakage-free: all chunks of a doc share a split)",
+    )
 
     rp = sub.add_parser("report", help="gold load diagnostics report")
     rp.add_argument("--lake", required=True, type=Path)
@@ -228,6 +237,18 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "corpus":
         from .pipeline import build_corpus
 
+        split_weights = None
+        if args.split:
+            try:
+                split_weights = {
+                    name: float(w)
+                    for name, w in (
+                        part.split("=", 1) for part in args.split.split(",")
+                    )
+                }
+            except ValueError as exc:
+                print(f"bad --split spec: {exc}", file=sys.stderr)
+                return 1
         summary = build_corpus(
             spark,
             str(args.input),
@@ -246,6 +267,7 @@ def main(argv: list[str] | None = None) -> int:
             quality_model_min=args.quality_model_min,
             dsir_target=args.dsir_target,
             dsir_top_k=args.dsir_top_k,
+            split_weights=split_weights,
         )
         print(json.dumps(summary))
 

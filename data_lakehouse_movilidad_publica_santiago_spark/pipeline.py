@@ -58,6 +58,7 @@ def build_corpus(
     quality_model_iters: int = 3,
     dsir_target: str | None = None,
     dsir_top_k: int | None = None,
+    split_weights: dict[str, float] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict:
@@ -98,7 +99,15 @@ def build_corpus(
     selection stage: keep only the K surviving documents whose bigram
     distribution most resembles the target slice relative to the raw
     pool. Documents without bigram evidence (< 2 tokens) cannot be
-    scored and are dropped by this stage."""
+    scored and are dropped by this stage.
+
+    ``split_weights={'train': .9, 'val': .05, 'test': .05}`` adds a
+    deterministic DOCUMENT-level train/val/test split (gated as
+    `stratified_split`): a seeded hash of the doc id picks the split,
+    so every chunk of a document shares its split (no leakage through
+    overlapping chunks) and the assignment is reproducible under any
+    partitioning or retry. The chunks parquet gains a ``split=<name>``
+    partition level; per-split chunk counts land in the summary."""
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -364,18 +373,39 @@ def build_corpus(
             ),
         )
     )
+    if split_weights:
+        # DOCUMENT-level split on the stable doc id (all chunks of a
+        # doc land in one split — no train/val leakage through chunk
+        # overlap), written as split=<name> partition directories;
+        # files inside each split stay range-ordered by sample_id
+        from .operators.data_mix import split_assign
+
+        laid_out = split_assign(
+            laid_out, split_weights, id_col="doc_id",
+            seed=f"{seed}:split",
+        )  # fmt: skip
     chunks_path = str(out / "chunks.parquet")
-    (
+    writer = (
         laid_out.repartitionByRange(
             max(spark.sparkContext.defaultParallelism, 1), "sample_id"
         )
         .sortWithinPartitions("sample_id")
         .write.mode("overwrite")
-        .parquet(chunks_path)
     )
+    if split_weights:
+        writer = writer.partitionBy("split")
+    writer.parquet(chunks_path)
     written = spark.read.parquet(chunks_path)
     n_chunks = written.count()
     n_tokens = written.agg(F.sum("n_tok")).collect()[0][0]
+    split_chunks = (
+        {
+            r["split"]: r["c"]
+            for r in written.groupBy("split").agg(F.count("*").alias("c")).collect()
+        }
+        if split_weights
+        else None
+    )
     t = _mark("chunk_shuffle_write", t)
     kept.unpersist()
     for p in pins:  # release the shuffle-rank pin (ours alone — a
@@ -401,6 +431,8 @@ def build_corpus(
         "dsir_target": dsir_target,
         "dsir_top_k": dsir_top_k,
         "n_docs_dropped_by_dsir": int(n_dsir_dropped),
+        "split_weights": split_weights,
+        "n_chunks_per_split": split_chunks,
         "n_chunks": int(n_chunks),
         "n_tokens": int(n_tokens or 0),
         "quality_min": quality_min,

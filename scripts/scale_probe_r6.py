@@ -21,8 +21,16 @@ Gopher rule with margin); 5% of docs are near-duplicates of their
 predecessor (same body + 2-word suffix); 10% carry a shared 16-token
 passage (span-mask fodder). All generated in-plan — no Python rows.
 
-Run:  python scripts/scale_probe_r6.py [n_docs]
+Run:  python scripts/scale_probe_r6.py [n_docs] [composed|index|all]
 Emits one JSON line per probe; summarize into SCALE.md.
+
+Disk budget: the composed build keeps the near-dedup stage's shingle
+cache + 64-min-agg shuffle + the dedup survivor pin on local disk
+simultaneously; on this box's ~80 GB scratch that bounds the composed
+probe at ~5M docs (a 10M run died with ENOSPC in the banding shuffle).
+A real cluster spreads the same footprint over executors' local disks
+— run composed and index modes in separate processes so each starts
+with clean scratch.
 """
 
 from __future__ import annotations
@@ -116,7 +124,8 @@ def probe(name: str, payload: dict) -> None:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    mode = sys.argv[2] if len(sys.argv) > 2 else "all"
     batch_n = max(n_docs // 10, 1000)
     spark = get_spark(app_name="scale-probe-r6")
     work = Path(tempfile.mkdtemp(prefix="probe_r6_"))
@@ -130,34 +139,39 @@ def main() -> None:
             build_corpus,
         )
 
-        summary = build_corpus(
-            spark,
-            src,
-            str(work / "built"),
-            seed="r6-probe",
-            gopher=True,
-            near_dedup=True,
-            near_threshold=0.7,
-            span_mask_window=8,
-            ppl_threshold=99.0,
-            redact=True,
-        )
-        cache_empty = spark._jsparkSession.sharedState().cacheManager().isEmpty()
-        probe(
-            "composed_build_corpus",
-            {
-                "n_docs": n_docs,
-                "sec": summary["total_wall_s"],
-                "stage_wall_s": summary["stage_wall_s"],
-                "n_docs_kept": summary["n_docs_kept"],
-                "n_near_dups_removed": summary["n_near_dups_removed"],
-                "n_docs_emptied_by_mask": summary["n_docs_emptied_by_mask"],
-                "n_docs_dropped_by_ppl": summary["n_docs_dropped_by_ppl"],
-                "n_chunks": summary["n_chunks"],
-                "n_tokens": summary["n_tokens"],
-                "cache_manager_empty_at_exit": bool(cache_empty),
-            },
-        )
+        if mode in ("composed", "all"):
+            summary = build_corpus(
+                spark,
+                src,
+                str(work / "built"),
+                seed="r6-probe",
+                gopher=True,
+                near_dedup=True,
+                near_threshold=0.7,
+                span_mask_window=8,
+                ppl_threshold=99.0,
+                redact=True,
+            )
+            cache_empty = (
+                spark._jsparkSession.sharedState().cacheManager().isEmpty()
+            )
+            probe(
+                "composed_build_corpus",
+                {
+                    "n_docs": n_docs,
+                    "sec": summary["total_wall_s"],
+                    "stage_wall_s": summary["stage_wall_s"],
+                    "n_docs_kept": summary["n_docs_kept"],
+                    "n_near_dups_removed": summary["n_near_dups_removed"],
+                    "n_docs_emptied_by_mask": summary["n_docs_emptied_by_mask"],
+                    "n_docs_dropped_by_ppl": summary["n_docs_dropped_by_ppl"],
+                    "n_chunks": summary["n_chunks"],
+                    "n_tokens": summary["n_tokens"],
+                    "cache_manager_empty_at_exit": bool(cache_empty),
+                },
+            )
+        if mode not in ("index", "all"):
+            return
 
         # ── 2. incremental MinHash: index once, probe per-batch ─────
         from data_lakehouse_movilidad_publica_santiago_spark.operators.dedup_text import (

@@ -475,6 +475,65 @@ def test_corpus_cli_selection_flags(spark, tmp_path, capsys):
     spark.catalog.clearCache()
 
 
+def test_build_corpus_split(spark, tmp_path):
+    """--split partitions the chunk layout into leakage-free document-
+    level splits: every doc's chunks live in exactly one split, the
+    splits are exhaustive, and the assignment is seed-deterministic."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.data_mix import (
+        split_assign,
+    )
+
+    src = tmp_path / "docs_split.parquet"
+    _write_corpus(spark, src)
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    summary = build_corpus(
+        spark, str(src), str(tmp_path / "split"), seed="s1",
+        split_weights=weights,
+    )  # fmt: skip
+    assert summary["split_weights"] == weights
+    chunks = spark.read.parquet(summary["chunks_path"])
+    assert "split" in chunks.columns
+    # exhaustive + doc-level: each doc maps to exactly one split
+    per_doc = chunks.select("doc_id", "split").distinct()
+    assert per_doc.count() == summary["n_docs_kept"]
+    assert (
+        sum(summary["n_chunks_per_split"].values()) == summary["n_chunks"]
+    )
+    # the assignment replays exactly from the gated split operator
+    expected = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            chunks.select("doc_id").distinct(), weights, seed="s1:split"
+        ).collect()
+    }
+    got = {r["doc_id"]: r["split"] for r in per_doc.collect()}
+    assert got == expected
+    spark.catalog.clearCache()
+
+
+def test_corpus_cli_split_flag(spark, tmp_path, capsys):
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+
+    src = tmp_path / "docs.parquet"
+    _write_corpus(spark, src)
+    rc = cli.main(
+        ["corpus", "--input", str(src), "--output", str(tmp_path / "sp"),
+         "--split", "train=0.8,val=0.1,test=0.1"]
+    )  # fmt: skip
+    assert rc == 0
+    s = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(s["n_chunks_per_split"]) <= {"train", "val", "test"}
+    assert sum(s["n_chunks_per_split"].values()) == s["n_chunks"]
+    # bad spec fails fast with exit code 1
+    rc_bad = cli.main(
+        ["corpus", "--input", str(src), "--output", str(tmp_path / "spb"),
+         "--split", "train=big"]
+    )  # fmt: skip
+    assert rc_bad == 1
+
+
 def test_corpus_report_cli(spark, tmp_path, capsys):
     """corpus-report audits a documents parquet: counts, dup
     accounting, Gopher outcomes, PII, mixes, top trigrams — json+md."""
