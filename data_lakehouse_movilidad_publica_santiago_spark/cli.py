@@ -144,6 +144,14 @@ def main(argv: list[str] | None = None) -> int:
         "split=<name> partition level (seeded-hash assignment, "
         "leakage-free: all chunks of a doc share a split)",
     )
+    cp.add_argument(
+        "--checkpoint-stages",
+        action="store_true",
+        help="bound shuffle scratch: parquet each stage boundary under "
+        "<output>/_stages/ (restart points) so finished stages' shuffle "
+        "files are reclaimed instead of accumulating until the final "
+        "write — use on disk-tight executors / large composed builds",
+    )
 
     rp = sub.add_parser("report", help="gold load diagnostics report")
     rp.add_argument("--lake", required=True, type=Path)
@@ -268,6 +276,7 @@ def main(argv: list[str] | None = None) -> int:
             dsir_target=args.dsir_target,
             dsir_top_k=args.dsir_top_k,
             split_weights=split_weights,
+            checkpoint_stages=args.checkpoint_stages,
         )
         print(json.dumps(summary))
 

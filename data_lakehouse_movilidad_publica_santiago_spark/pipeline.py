@@ -20,6 +20,7 @@ counts — the observability contract the silver/gold pipelines use
 
 from __future__ import annotations
 
+import gc
 import json
 import time
 from pathlib import Path
@@ -59,6 +60,7 @@ def build_corpus(
     dsir_target: str | None = None,
     dsir_top_k: int | None = None,
     split_weights: dict[str, float] | None = None,
+    checkpoint_stages: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict:
@@ -107,7 +109,21 @@ def build_corpus(
     so every chunk of a document shares its split (no leakage through
     overlapping chunks) and the assignment is reproducible under any
     partitioning or retry. The chunks parquet gains a ``split=<name>``
-    partition level; per-split chunk counts land in the summary."""
+    partition level; per-split chunk counts land in the summary.
+
+    ``checkpoint_stages=True`` bounds shuffle scratch: each stage's
+    surviving corpus is written to ``<output_dir>/_stages/<stage>``
+    and re-read, truncating lineage so the finished stage's shuffle
+    files become collectible (pins released, py4j refs dropped, one
+    JVM GC requested so ContextCleaner reclaims them). Without it a
+    full five-stage build holds the UNION of every stage's shuffle
+    scratch on executor-local disk until the final write — O(sum of
+    stages) vs O(one stage), the difference that kills long corpus
+    pipelines on disk-tight executors (measured: the 5M-doc composed
+    probe ENOSPC'd an 80 GB scratch without it). The stage dirs are
+    also restart points: a failed stage re-runs from the previous
+    boundary, not from the raw scan. Results are identical either
+    way (asserted in tests/test_pipeline_checkpoint.py)."""
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -128,6 +144,24 @@ def build_corpus(
     n_raw = docs.count()
     t = _mark("scan_count", t0)
 
+    stage_pins: list = []  # persisted intermediates released at the end
+
+    def _stage_ckpt(df, stage: str):
+        """checkpoint_stages boundary: parquet the stage's surviving
+        corpus, release every pin, and request one JVM GC so
+        ContextCleaner can delete the finished stage's shuffle files
+        (unpersist alone leaves them — the ShuffleDependency stays
+        strongly reachable until the plan objects are collected).
+        Callers must ``del`` their block-local plan refs first."""
+        path = str(out / "_stages" / stage)
+        df.write.mode("overwrite").parquet(path)
+        for p in stage_pins:
+            p.unpersist()
+        stage_pins.clear()
+        gc.collect()  # detach the dropped py4j plan refs JVM-side
+        spark.sparkContext._jvm.System.gc()
+        return spark.read.parquet(path)
+
     if gopher:
         # the published Gopher rule battery (first-match reason chain)
         # instead of the compact heuristic score
@@ -147,8 +181,9 @@ def build_corpus(
         .filter(F.col(id_col) == F.col("__keeper"))
         .select(id_col, text_col)
     )
+    del passed, keyed  # drop plan refs: their window shuffle lives on
+    # in `kept`'s lineage only, so a later stage checkpoint frees it
     n_near_removed = 0
-    stage_pins: list = []  # persisted intermediates released at the end
     if near_dedup:
         from .operators.clustering import (
             canonical_survivors,
@@ -185,6 +220,9 @@ def build_corpus(
             p.unpersist()
         kept.unpersist()
         kept = deduped
+        if checkpoint_stages:
+            del pairs, comps, scored, survivors, deduped
+            kept = _stage_ckpt(kept, "near_dedup")
     n_mask_emptied = 0
     if span_mask_window is not None:
         from .operators.span_dedup import mask_duplicated_spans
@@ -213,6 +251,9 @@ def build_corpus(
             p.unpersist()
         kept.unpersist()
         kept = remasked
+        if checkpoint_stages:
+            del masked, remasked
+            kept = _stage_ckpt(kept, "span_mask")
     n_lm_dropped = 0
     if ppl_threshold is not None:
         from .operators.lm_filter import score_perplexity, train_bigram_lm
@@ -233,6 +274,9 @@ def build_corpus(
         t = _mark("ppl_screen", t)
         kept.unpersist()
         kept = screened
+        if checkpoint_stages:
+            del scored, survivors_lm, screened
+            kept = _stage_ckpt(kept, "ppl_screen")
     n_qm_dropped = 0
     qm_weights: list[float] | None = None
     if quality_model_label is not None:
@@ -289,6 +333,9 @@ def build_corpus(
         feats.unpersist()
         kept.unpersist()
         kept = screened_qm
+        if checkpoint_stages:
+            del labels, feats, keep_ids, screened_qm
+            kept = _stage_ckpt(kept, "quality_model")
     n_dsir_dropped = 0
     if dsir_target is not None:
         if dsir_top_k is None:
@@ -335,6 +382,9 @@ def build_corpus(
             p.unpersist()
         kept.unpersist()
         kept = selected
+        if checkpoint_stages:
+            del tgt, sel, sel_ids, selected
+            kept = _stage_ckpt(kept, "dsir_select")
     if redact:
         kept = kept.withColumn(text_col, redact_pii(F.col(text_col)))
     # persist: kept feeds the count, the chunker AND the shuffle-rank
@@ -433,6 +483,7 @@ def build_corpus(
         "n_docs_dropped_by_dsir": int(n_dsir_dropped),
         "split_weights": split_weights,
         "n_chunks_per_split": split_chunks,
+        "checkpoint_stages": checkpoint_stages,
         "n_chunks": int(n_chunks),
         "n_tokens": int(n_tokens or 0),
         "quality_min": quality_min,

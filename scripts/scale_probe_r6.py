@@ -1,10 +1,11 @@
 """Round-6 scale probes (local[32]):
 
-1. COMPOSED corpus build at 10M docs — round 5 probed the stages in
+1. COMPOSED corpus build — round 5 probed the stages in
    isolation; this runs ``pipeline.build_corpus`` with every batch
    stage ON (gopher rule battery + MinHash-LSH near-dedup +
    ExactSubstr span masking + CCNet perplexity screen + PII redaction
-   + chunk/shuffle layout) over one generated corpus, records the
+   + chunk/shuffle layout) over one generated corpus with
+   ``checkpoint_stages=True`` (bounded scratch), records the
    per-stage walls the pipeline now emits (``stage_wall_s``), and
    asserts the CacheManager is empty at exit (no leaked pins across
    stage handoffs).
@@ -24,13 +25,14 @@ passage (span-mask fodder). All generated in-plan — no Python rows.
 Run:  python scripts/scale_probe_r6.py [n_docs] [composed|index|all]
 Emits one JSON line per probe; summarize into SCALE.md.
 
-Disk budget: the composed build keeps the near-dedup stage's shingle
-cache + 64-min-agg shuffle + the dedup survivor pin on local disk
-simultaneously; on this box's ~80 GB scratch that bounds the composed
-probe at ~5M docs (a 10M run died with ENOSPC in the banding shuffle).
-A real cluster spreads the same footprint over executors' local disks
-— run composed and index modes in separate processes so each starts
-with clean scratch.
+Disk budget: the composed probe runs ``checkpoint_stages=True`` —
+without it the single-lineage build accumulates every stage's shuffle
+files on local disk until the final write (ContextCleaner can't
+reclaim them while the pinned plans keep the ShuffleDependency chain
+reachable), which ENOSPC'd this box's ~80 GB scratch at 5M docs.
+With stage-boundary checkpoints the scratch bound is one stage's
+shuffle + the boundary parquets. Run composed and index modes in
+separate processes so each starts with clean scratch.
 """
 
 from __future__ import annotations
@@ -151,6 +153,7 @@ def main() -> None:
                 span_mask_window=8,
                 ppl_threshold=99.0,
                 redact=True,
+                checkpoint_stages=True,
             )
             cache_empty = (
                 spark._jsparkSession.sharedState().cacheManager().isEmpty()

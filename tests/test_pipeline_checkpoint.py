@@ -1,0 +1,114 @@
+"""checkpoint_stages=True must be a pure execution-strategy switch:
+identical chunks, layout, and accounting vs the single-lineage build,
+with the stage boundary parquets landing under ``_stages/`` (the
+restart points) and no cache pins leaked.
+
+The mode exists for disk-tight executors: without it a full composed
+build keeps every stage's shuffle files alive until the final write
+(the ShuffleDependency chain stays reachable through the pinned
+plans), so local-disk scratch grows with the NUMBER of stages instead
+of the size of one — measured to ENOSPC an 80 GB scratch at 5M docs
+(SCALE.md round 6)."""
+
+from __future__ import annotations
+
+from data_lakehouse_movilidad_publica_santiago_spark.pipeline import (
+    build_corpus,
+)
+
+
+def _gooddoc(tag, n=15):
+    return " ".join(f"the {tag}{j} holds value{tag}{j}" for j in range(n))
+
+
+def _write_docs(spark, path):
+    shared = " ".join(f"the common{j} block holds part{j}" for j in range(4))
+    rows = [
+        (0, _gooddoc("alpha")),
+        (1, _gooddoc("beta")),
+        (2, _gooddoc("gamma")),
+        (3, _gooddoc("alpha") + " tiny suffix change here"),  # near-dup of 0
+        (4, _gooddoc("delta", 10) + " " + shared),  # shared passage
+        (5, _gooddoc("omega", 10) + " " + shared),
+        (6, _gooddoc("beta")),  # exact dup of 1
+        (7, "the of short"),  # gopher reject: too few words
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(path))
+
+
+_STAGE_KW = dict(
+    seed="ckpt-eq",
+    gopher=True,
+    near_dedup=True,
+    near_threshold=0.7,
+    span_mask_window=8,
+    ppl_threshold=99.0,
+    quality_model_label="doc_id < 100",
+    quality_model_min=0.0,  # screen is exercised but drops nothing
+    split_weights={"train": 0.8, "val": 0.2},
+)
+
+
+def test_checkpoint_stages_identical_output(spark, tmp_path):
+    src = tmp_path / "docs.parquet"
+    _write_docs(spark, src)
+
+    plain = build_corpus(
+        spark, str(src), str(tmp_path / "plain"), **_STAGE_KW
+    )
+    ckpt = build_corpus(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt"),
+        checkpoint_stages=True,
+        **_STAGE_KW,
+    )
+
+    # accounting identical, stage by stage
+    for key in (
+        "n_docs_raw",
+        "n_docs_kept",
+        "n_near_dups_removed",
+        "n_docs_emptied_by_mask",
+        "n_docs_dropped_by_ppl",
+        "n_docs_dropped_by_quality_model",
+        "n_chunks",
+        "n_tokens",
+        "n_chunks_per_split",
+    ):
+        assert plain[key] == ckpt[key], key
+    assert ckpt["checkpoint_stages"] is True
+
+    # chunk-level layout identical (same seed → same shuffle order)
+    cols = ["doc_id", "chunk_idx", "chunk_md5", "pos", "sample_id", "split"]
+    a = {tuple(r) for r in
+         spark.read.parquet(plain["chunks_path"]).select(cols).collect()}
+    b = {tuple(r) for r in
+         spark.read.parquet(ckpt["chunks_path"]).select(cols).collect()}
+    assert a == b
+
+    # the enabled stages each left a restart-point parquet
+    stages = tmp_path / "ckpt" / "_stages"
+    for stage in ("near_dedup", "span_mask", "ppl_screen", "quality_model"):
+        assert (stages / stage).is_dir(), stage
+        assert spark.read.parquet(str(stages / stage)).count() > 0
+
+    # no leaked pins from either run
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_checkpoint_stages_noop_without_optional_stages(spark, tmp_path):
+    """With no optional stage enabled there is no boundary to write —
+    the flag must not create ``_stages`` or change the output."""
+    src = tmp_path / "docs.parquet"
+    _write_docs(spark, src)
+    plain = build_corpus(spark, str(src), str(tmp_path / "p"), seed="s")
+    ckpt = build_corpus(
+        spark, str(src), str(tmp_path / "c"), seed="s",
+        checkpoint_stages=True,
+    )  # fmt: skip
+    assert plain["n_chunks"] == ckpt["n_chunks"]
+    assert plain["n_docs_kept"] == ckpt["n_docs_kept"]
+    assert not (tmp_path / "c" / "_stages").exists()

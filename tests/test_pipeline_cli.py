@@ -154,6 +154,23 @@ def test_corpus_cli_near_dedup_flag(spark, tmp_path, capsys):
     assert summary["near_dedup"] is True and summary["n_near_dups_removed"] > 0
 
 
+def test_corpus_cli_checkpoint_stages_flag(spark, tmp_path, capsys):
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+
+    src = tmp_path / "docs.parquet"
+    _write_corpus(spark, src)
+    rc = cli.main(
+        ["corpus", "--input", str(src), "--output", str(tmp_path / "o"),
+         "--near-dedup", "--near-threshold", "0.7", "--checkpoint-stages"]
+    )  # fmt: skip
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["checkpoint_stages"] is True
+    assert (tmp_path / "o" / "_stages" / "near_dedup").is_dir()
+
+
 def test_build_corpus_span_mask(spark, tmp_path):
     """--span-mask-window cuts corpus-duplicated passages: the shared
     base text vanishes from every doc, fully-duplicated docs drop."""
