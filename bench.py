@@ -90,6 +90,11 @@ HEADLINE = [
     # shuffles) and the two-pass distributed token packer
     "decontamination",
     "pack_shards",
+    # round-6 layout/mixing ops: concatenate-and-cut sequence packing
+    # (same prefix sum + bounded per-doc fan-out) and temperature-
+    # weighted domain sampling (one bounded groupBy + map-only filter)
+    "pack_sequences",
+    "temperature_mix",
     # corpus-prep ops (round 4): full-corpus regex redaction (map-only
     # JVM stage), corpus trigram top-k (explode + partial agg), seeded
     # two-pass global rank, native session-window aggregation, and the

@@ -862,11 +862,108 @@ GROUP BY 1
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-and-cut sequence packing, row-level: one
+    row per (doc, 512-token training sequence) overlap with the slice
+    offsets — boundary docs split across sequences, no padding. The
+    oracle's global cumsum window is the semantic twin of the two-pass
+    distributed prefix sum (``operators/data_mix.token_offsets``)."""
+    from ..operators.data_mix import pack_sequences
+    from ..operators.spread import release_pins
+
+    docs = t(spark, sf_dir, "documents")
+    pins: list = []
+    seqs = release_pins(
+        pack_sequences(docs, seq_tokens=512, pins=pins), pins
+    )
+    return seqs.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "seq_id",
+        "doc_off",
+        "seq_off",
+        "slice_tok",
+    )
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH tok AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS tok_begin
+  FROM tok),
+spanned AS (
+  SELECT doc_id, n_tok, tok_begin,
+         unnest(generate_series(tok_begin // 512,
+                                (tok_begin + n_tok - 1) // 512)) AS seq_id
+  FROM cum)
+SELECT doc_id, n_tok, seq_id,
+       GREATEST(tok_begin, seq_id * 512) - tok_begin AS doc_off,
+       GREATEST(tok_begin, seq_id * 512) - seq_id * 512 AS seq_off,
+       LEAST(tok_begin + n_tok, (seq_id + 1) * 512)
+         - GREATEST(tok_begin, seq_id * 512) AS slice_tok
+FROM spanned
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain sampling (budgets ∝ count^0.5):
+    the small languages are upsampled relative to their share, the
+    keep decision is the seeded hash of ``sample_mix``, and the
+    per-domain probability is a round-6 literal both engines land on
+    (one bounded groupBy to the driver, then a map-only filter)."""
+    from ..operators.data_mix import temperature_mix
+
+    docs = t(spark, sf_dir, "documents")
+    kept = temperature_mix(
+        docs, alpha=0.5, target_total=200, category_col="lang",
+        seed="temp-v1",
+    )  # fmt: skip
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.any_value(F.col("keep_prob")), 6).alias("keep_prob"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+denom AS (
+  SELECT SUM(POW(CAST(c AS DOUBLE), 0.5)) AS d FROM counts),
+probs AS (
+  SELECT lang,
+         ROUND(LEAST(1.0, 200 * POW(CAST(c AS DOUBLE), 0.5) / d / c), 6)
+           AS p
+  FROM counts, denom),
+decided AS (
+  SELECT h.lang, h.doc_id, p.p,
+         CAST(({_md5_hex8_bigint_sql()}) AS DOUBLE) / 4294967296.0 AS u
+  FROM (SELECT lang, doc_id,
+               md5('temp-v1:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents) h JOIN probs p USING (lang))
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(ANY_VALUE(p), 6) AS keep_prob,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM decided
+WHERE u < p
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination": q_decontamination,
     "sample_mix": q_sample_mix,
     "stratified_split": q_stratified_split,
     "pack_shards": q_pack_shards,
+    "pack_sequences": q_pack_sequences,
+    "temperature_mix": q_temperature_mix,
     "doc_fingerprints": q_doc_fingerprints,
     "exact_dedup_summary": q_exact_dedup_summary,
     "token_jaccard_near_dup": q_token_jaccard_near_dup,
@@ -895,6 +992,8 @@ ORACLE: dict[str, str] = {
     "sample_mix": ORACLE_SAMPLE_MIX,
     "stratified_split": ORACLE_STRATIFIED_SPLIT,
     "pack_shards": ORACLE_PACK_SHARDS,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "temperature_mix": ORACLE_TEMPERATURE_MIX,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "exact_dedup_summary": ORACLE_EXACT_DEDUP_SUMMARY,
     "token_jaccard_near_dup": ORACLE_TOKEN_JACCARD,

@@ -19,6 +19,15 @@ dedup (all Column-expression / JVM-side — no Python in the hot path):
   distributed prefix sum (per-partition window + bounded driver-side
   partition offsets), NOT a global single-partition window, so it
   scales to any corpus size.
+- ``pack_sequences``: GPT-style concatenate-and-cut packing — the
+  corpus token stream is cut into fixed-length training sequences,
+  docs crossing a boundary split across sequences (no padding waste).
+  Same distributed prefix sum (``token_offsets``) + a bounded
+  per-doc sequence fan-out.
+- ``temperature_mix``: per-domain sampling budgets ∝ count^alpha
+  (α=1 proportional → α=0 uniform), the standard domain-rebalancing
+  knob; one bounded groupBy, then the same seeded-hash keep decision
+  as ``sample_mix`` inlined as literals (map-only, no join).
 """
 
 from __future__ import annotations
@@ -127,17 +136,17 @@ def sample_mix(
     return df.filter(_uniform_hash(F.col(id_col), seed) < frac)
 
 
-def pack_shards(
+def token_offsets(
     df: DataFrame,
-    budget_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_parts: int | None = None,
     pins: list | None = None,
 ) -> DataFrame:
-    """Assign each doc a ``shard_id`` = floor(exclusive running token
-    count / budget) in ``id_col`` order — the deterministic layout step
-    that packs a corpus into fixed token-budget shards.
+    """(doc_id, n_tok, tok_begin): each doc's EXCLUSIVE running token
+    count in ``id_col`` order — the global offset of its first token
+    in the concatenated corpus token stream. The shared primitive
+    under ``pack_shards`` and ``pack_sequences``.
 
     Scale: a naive ``SUM() OVER (ORDER BY id)`` is a single-partition
     window (the whole corpus through one task). This is the standard
@@ -196,16 +205,140 @@ def pack_shards(
         [(pid, off) for pid, off in offsets.items()],
         "__pid int, __offset bigint",
     )
-    return (
-        local.join(F.broadcast(off_df), "__pid")
-        .select(
-            "doc_id",
-            "n_tok",
-            F.floor(
-                (F.col("__offset") + F.col("__local_prior"))
-                / F.lit(budget_tokens)
-            ).alias("shard_id"),
+    return local.join(F.broadcast(off_df), "__pid").select(
+        "doc_id",
+        "n_tok",
+        (F.col("__offset") + F.col("__local_prior")).alias("tok_begin"),
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int | None = None,
+    pins: list | None = None,
+) -> DataFrame:
+    """Assign each doc a ``shard_id`` = floor(exclusive running token
+    count / budget) in ``id_col`` order — the deterministic layout step
+    that packs a corpus into fixed token-budget shards. Offsets come
+    from ``token_offsets`` (two-pass distributed prefix sum — see its
+    docstring for the scale rationale and the ``pins`` contract)."""
+    return token_offsets(
+        df, id_col=id_col, text_col=text_col, n_parts=n_parts, pins=pins
+    ).select(
+        "doc_id",
+        "n_tok",
+        F.floor(F.col("tok_begin") / F.lit(budget_tokens)).alias(
+            "shard_id"
+        ),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int | None = None,
+    pins: list | None = None,
+) -> DataFrame:
+    """Concatenate-and-cut sequence packing: the corpus token stream
+    (docs in ``id_col`` order) is cut into fixed ``seq_tokens``-length
+    training sequences, documents crossing a boundary are split.  One
+    output row per (document, sequence) overlap:
+
+    - ``seq_id``       — which training sequence the slice lands in
+    - ``doc_off``      — first token of the slice within the document
+    - ``seq_off``      — its position within the sequence
+    - ``slice_tok``    — slice length; per document Σ slice_tok =
+      n_tok, per sequence Σ slice_tok = seq_tokens (except the tail)
+
+    This is the standard GPT-style packing layout (no padding waste —
+    boundary docs continue in the next sequence) expressed as one
+    declarative plan over ``token_offsets``: the only corpus-wide
+    shuffle is the range partition of the prefix sum; the per-doc
+    sequence fan-out is a bounded ``explode(sequence(...))`` (a doc
+    spans ceil(n_tok/seq_tokens)+1 sequences at most)."""
+    offs = token_offsets(
+        df, id_col=id_col, text_col=text_col, n_parts=n_parts, pins=pins
+    )
+    n = F.lit(int(seq_tokens))
+    first = F.floor(F.col("tok_begin") / n)
+    last = F.floor((F.col("tok_begin") + F.col("n_tok") - 1) / n)
+    spanned = offs.select(
+        "doc_id",
+        "n_tok",
+        "tok_begin",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    slice_begin = F.greatest(F.col("tok_begin"), F.col("seq_id") * n)
+    slice_end = F.least(
+        F.col("tok_begin") + F.col("n_tok"), (F.col("seq_id") + 1) * n
+    )
+    return spanned.select(
+        "doc_id",
+        "n_tok",
+        "seq_id",
+        (slice_begin - F.col("tok_begin")).alias("doc_off"),
+        (slice_begin - F.col("seq_id") * n).alias("seq_off"),
+        (slice_end - slice_begin).alias("slice_tok"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float,
+    target_total: int,
+    category_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-weighted domain sampling: draw ~``target_total``
+    documents with per-domain budgets ∝ count^``alpha`` — the standard
+    rebalancing between proportional sampling (α=1) and uniform-per-
+    domain (α=0) used when mixing web/code/reference domains for
+    training. Each domain's keep probability is
+
+        p_d = min(1, target_total · count_d^α / Σ count^α / count_d)
+
+    rounded to 6 digits (so an oracle replaying the formula in another
+    engine lands on the same literal), and the per-row decision is the
+    same seeded ``uniform_hash(seed, id) < p_d`` as ``sample_mix`` —
+    deterministic under any partitioning / retry / cluster size.
+
+    Scale: one groupBy over the category column (bounded: one row per
+    domain comes back to the driver), then a map-only filter with the
+    probabilities inlined as literals — no second shuffle, no join.
+    Rows keep their columns plus ``keep_prob`` for audit."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    counts = {
+        r["c"]: r["n"]
+        for r in df.groupBy(F.col(category_col).alias("c"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["c"] is not None  # NULL domain → no budget, rows dropped
+    }
+    denom = sum(float(n) ** alpha for _, n in sorted(counts.items()))
+    probs = {
+        cat: round(
+            min(1.0, target_total * (float(n) ** alpha) / denom / n), 6
         )
+        for cat, n in counts.items()
+    }
+    prob = None
+    for cat, p in sorted(probs.items()):
+        cond = F.col(category_col) == F.lit(cat)
+        prob = (
+            F.when(cond, F.lit(p))
+            if prob is None
+            else prob.when(cond, F.lit(p))
+        )
+    prob = F.lit(0.0) if prob is None else prob.otherwise(F.lit(0.0))
+    return df.withColumn("keep_prob", prob).filter(
+        _uniform_hash(F.col(id_col), seed) < F.col("keep_prob")
     )
 
 

@@ -155,3 +155,118 @@ def test_split_assign_rejects_bad_weights(spark):
     docs = spark.range(10).select(F.col("id").alias("doc_id"))
     with _pytest.raises(ValueError):
         split_assign(docs, {"a": 0.0, "b": 0.0})
+
+
+def test_pack_sequences_exact_spans(spark):
+    """Hand-computed concatenate-and-cut layout: docs of 4/6/3 tokens
+    packed into length-5 sequences → the 6-token doc splits across
+    three sequences, every slice accounted."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.data_mix import (
+        pack_sequences,
+    )
+
+    docs = _docs(spark, [
+        (1, "a b c d", "en"),          # tokens [0, 4)
+        (2, "e f g h i j", "en"),      # tokens [4, 10)
+        (3, "k l m", "en"),            # tokens [10, 13)
+    ])
+    rows = sorted(
+        (r["doc_id"], r["seq_id"], r["doc_off"], r["seq_off"], r["slice_tok"])
+        for r in pack_sequences(docs, seq_tokens=5).collect()
+    )
+    assert rows == [
+        (1, 0, 0, 0, 4),   # doc 1 fills seq 0 positions 0-3
+        (2, 0, 0, 4, 1),   # doc 2 token 0 closes seq 0
+        (2, 1, 1, 0, 5),   # tokens 1-5 fill seq 1
+        (3, 2, 0, 0, 3),   # doc 3 opens seq 2
+    ]
+
+
+def test_pack_sequences_conservation_and_boundaries(spark):
+    """Σ slice_tok per doc == n_tok; every sequence except the last is
+    exactly full; layout is invariant to input partitioning."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.data_mix import (
+        pack_sequences,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(["w"] * (1 + i * 7 % 23)), "en") for i in range(400)],
+    )
+    out = pack_sequences(docs, seq_tokens=64).collect()
+    per_doc: dict[int, int] = {}
+    per_seq: dict[int, int] = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["slice_tok"]
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["slice_tok"]
+        assert 0 <= r["seq_off"] < 64 and r["slice_tok"] >= 1
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    assert per_doc == n_toks
+    last = max(per_seq)
+    for sid, tot in per_seq.items():
+        assert tot == 64 or sid == last, (sid, tot)
+    assert sum(n_toks.values()) == sum(per_seq.values())
+
+    repart = sorted(
+        tuple(r) for r in
+        pack_sequences(docs.repartition(13), seq_tokens=64).collect()
+    )
+    assert repart == sorted(tuple(r) for r in out)
+
+
+def test_temperature_mix_budgets_and_determinism(spark):
+    """α=0.5 budgets sit between proportional and uniform: the small
+    domain is upsampled relative to its share, the decision replays
+    bit-identically, and α=1 degenerates to proportional sampling."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.data_mix import (
+        temperature_mix,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, f"doc {i}", "en" if i < 9000 else "es") for i in range(10000)],
+    )
+    kept = temperature_mix(docs, alpha=0.5, target_total=2000, seed="t1")
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # proportional would give es ~200 of 2000; α=0.5 lifts it to
+    # 2000·sqrt(1000)/(sqrt(9000)+sqrt(1000)) ≈ 500
+    assert 380 <= by_lang["es"] <= 620
+    assert 1300 <= by_lang["en"] <= 1700
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in temperature_mix(
+            docs, alpha=0.5, target_total=2000, seed="t1"
+        ).collect()
+    }
+    assert ids1 == ids2
+    # keep_prob is audited on every surviving row
+    probs = {r["lang"]: r["keep_prob"] for r in kept.collect()}
+    assert probs["es"] > probs["en"]
+
+    prop = temperature_mix(docs, alpha=1.0, target_total=2000, seed="t1")
+    by_prop = {
+        r["lang"]: r["n"]
+        for r in prop.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert 120 <= by_prop["es"] <= 280  # ~10% share → ~200
+
+
+def test_temperature_mix_rejects_bad_alpha(spark):
+    import pytest
+
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.data_mix import (
+        temperature_mix,
+    )
+
+    docs = _docs(spark, [(1, "a", "en")])
+    with pytest.raises(ValueError):
+        temperature_mix(docs, alpha=1.5, target_total=10)
