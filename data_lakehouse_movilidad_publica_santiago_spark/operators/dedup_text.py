@@ -95,22 +95,34 @@ def minhash_signature(sh: Column, num_perm: int = 64) -> Column:
     )
 
 
-def _minhash_banded(shingled: DataFrame, num_perm: int, bands: int) -> DataFrame:
-    """(doc_id, band, bucket) LSH rows from a ``_shingled`` frame.
-
-    Signature via explode + codegen'd MIN aggregates (map-side
-    combine; whole-stage codegen) instead of nested array lambdas —
-    the lambda form is interpreted per shingle×perm and ~50× slower.
-    Bucket rows carry ONLY (doc_id, band, bucket) — the shingle
-    arrays never enter any downstream join shuffle. A document's
-    signature depends only on its own shingles, so banding is stable
-    across corpus subsets — the property the incremental index
-    (``build_minhash_index``) rests on."""
-    rows_per_band = num_perm // bands
+def _minhash_sig(shingled: DataFrame, num_perm: int) -> DataFrame:
+    """(doc_id, sig: array<bigint>) MinHash signatures from a
+    ``_shingled`` frame, via explode + codegen'd MIN aggregates
+    (map-side combine; whole-stage codegen) instead of nested array
+    lambdas — the lambda form is interpreted per shingle×perm and
+    ~50× slower."""
     exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
-    sig = exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
+                for i in range(num_perm)
+            ]
+        )
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+        )
     )
+
+
+def _band_rows(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) LSH rows from a ``_minhash_sig`` frame.
+    Bucket values are bit-identical to hashing the h0..hN min columns
+    directly (element_at reads the same bigints), so persisted indexes
+    and the gate oracles are unaffected by the signature refactor."""
+    rows_per_band = num_perm // bands
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -118,7 +130,7 @@ def _minhash_banded(shingled: DataFrame, num_perm: int, bands: int) -> DataFrame
                 F.concat_ws(
                     ",",
                     *[
-                        F.col(f"h{i}")
+                        F.element_at("sig", i + 1)
                         for i in range(b * rows_per_band, (b + 1) * rows_per_band)
                     ],
                 )
@@ -131,6 +143,56 @@ def _minhash_banded(shingled: DataFrame, num_perm: int, bands: int) -> DataFrame
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
+def _minhash_banded(shingled: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) LSH rows from a ``_shingled`` frame.
+
+    Bucket rows carry ONLY (doc_id, band, bucket) — the shingle
+    arrays never enter any downstream join shuffle. A document's
+    signature depends only on its own shingles, so banding is stable
+    across corpus subsets — the property the incremental index
+    (``build_minhash_index``) rests on."""
+    return _band_rows(_minhash_sig(shingled, num_perm), num_perm, bands)
+
+
+def _drop_hot_buckets(
+    banded: DataFrame, max_bucket: int, stats: dict | None
+) -> DataFrame:
+    """Drop (band, bucket) groups with more than ``max_bucket`` member
+    docs — the standard guard against boilerplate/template text whose
+    identical band minima otherwise create O(bucket²) candidate pairs
+    (published MinHash-dedup pipelines drop these mega-buckets; their
+    members are near-dups of a template, not of each other). One
+    window over the same (band, bucket) keys the candidate self-join
+    shuffles on. NOT silent: pass ``stats`` to receive the dropped
+    bucket/row counts, which callers must surface."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    sized = banded.withColumn("__bn", F.count("*").over(w))
+    if stats is not None:
+        hot = (
+            sized.filter(F.col("__bn") > max_bucket)
+            .groupBy("band", "bucket")
+            .count()
+        )
+        agg = hot.agg(
+            F.count("*").alias("nb"), F.coalesce(F.sum("count"), F.lit(0)).alias("nr")
+        ).collect()[0]
+        stats["hot_buckets_dropped"] = int(agg["nb"])
+        stats["banded_rows_dropped"] = int(agg["nr"])
+    return sized.filter(F.col("__bn") <= max_bucket).drop("__bn")
+
+
+def _est_match_count(sig_a: Column, sig_b: Column) -> Column:
+    """Number of matching MinHash permutations between two signatures
+    — an unbiased Jaccard estimate (matches/num_perm) with std
+    sqrt(J(1-J)/num_perm), used to prune candidate pairs before the
+    exact shingle-set verify."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -140,6 +202,9 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     pins: list | None = None,
+    est_margin: float | None = None,
+    max_bucket: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
@@ -151,7 +216,28 @@ def minhash_lsh_pairs(
 
     Scale: the explode produces bands×N tiny rows; the bucket join is
     an equality shuffle join on (band, hash) — no quadratic work
-    outside genuinely colliding buckets.
+    outside genuinely colliding buckets. Two opt-in guards for
+    corpora where buckets DO collide pathologically (boilerplate /
+    shared template passages make every carrier's band minima land on
+    the same shared shingles → one bucket holds every carrier and the
+    verify join drags |bucket|² shingle-array rows through a shuffle;
+    measured: a 5M-doc probe with a 16-token passage shared by 10% of
+    docs spilled >60 GB and GC-stalled the driver):
+
+    - ``est_margin``: prune candidates whose SIGNATURE-estimated
+      Jaccard (matching perms / num_perm, unbiased, std
+      sqrt(J(1-J)/num_perm)) is below ``threshold - est_margin``
+      before the shingle-array verify. The join shrinks from 1.5 KB
+      shingle rows to num_perm×8 B signature rows, and shared-passage
+      false candidates (est ≈ their true low Jaccard) die before the
+      expensive join. With num_perm=64, margin 0.25 at threshold 0.7
+      keeps a TRUE pair with probability 1-Φ(-4.4) ≈ 1-5e-6 —
+      precision stays 1.0 (exact verify still runs), recall loss is
+      negligible but NOT exactly zero, so the default (None) keeps
+      the oracle-gated bit-exact path.
+    - ``max_bucket``: drop (band, bucket) groups larger than this
+      before pairing (see ``_drop_hot_buckets``; pass ``stats`` —
+      callers must surface the drop counts, never cap silently).
     """
     # spread docs across cores before the CPU-heavy shingling (a small
     # parquet arrives as one partition), and cache: the shingle sets
@@ -161,7 +247,16 @@ def minhash_lsh_pairs(
     shingled = _shingled(df.repartition(n_part), id_col, text_col, k).cache()
     if pins is not None:
         pins.append(shingled)
-    banded = _minhash_banded(shingled, num_perm, bands)
+    sig = _minhash_sig(shingled, num_perm)
+    if est_margin is not None:
+        # the sig frame feeds banding AND the est prefilter join —
+        # pin it so the min-agg over the shingle explode runs once
+        sig = sig.cache()
+        if pins is not None:
+            pins.append(sig)
+    banded = _band_rows(sig, num_perm, bands)
+    if max_bucket is not None:
+        banded = _drop_hot_buckets(banded, max_bucket, stats)
 
     cand = (
         banded.alias("a")
@@ -177,6 +272,28 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    if est_margin is not None:
+        import math as _math
+
+        min_match = max(0, _math.ceil((threshold - est_margin) * num_perm))
+        cand = (
+            cand.join(
+                sig.select(
+                    F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                sig.select(
+                    F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+                ),
+                "doc_b",
+            )
+            .filter(
+                _est_match_count(F.col("sig_a"), F.col("sig_b")) >= min_match
+            )
+            .select("doc_a", "doc_b")
+        )
     sh_only = shingled.select("doc_id", "sh")
     verified = (
         cand.join(
@@ -560,6 +677,8 @@ def build_minhash_index(
 
     Writes to ``index_dir``:
       - ``banded.parquet`` — (doc_id, band, bucket) LSH rows,
+      - ``sigs.parquet`` — (doc_id, sig array<bigint>) MinHash
+        signatures, for the ``est_margin`` candidate prefilter,
       - ``shingles.parquet`` — (doc_id, sh, sh_n) for exact verify of
         candidates only,
       - ``meta.json`` — the (k, num_perm, bands) recipe; queries must
@@ -576,7 +695,14 @@ def build_minhash_index(
     shingled = _shingled(df.repartition(n_part), id_col, text_col, k).cache()
     out = _Path(index_dir)
     out.mkdir(parents=True, exist_ok=True)
-    _minhash_banded(shingled, num_perm, bands).write.mode("overwrite").parquet(
+    # persist signatures once, derive band rows from the PERSISTED
+    # sigs — one min-agg pass total, and the banding provably hashes
+    # the exact longs the est prefilter will later compare against
+    _minhash_sig(shingled, num_perm).write.mode("overwrite").parquet(
+        str(out / "sigs.parquet")
+    )
+    sig = spark.read.parquet(str(out / "sigs.parquet"))
+    _band_rows(sig, num_perm, bands).write.mode("overwrite").parquet(
         str(out / "banded.parquet")
     )
     shingled.write.mode("overwrite").parquet(str(out / "shingles.parquet"))
@@ -593,6 +719,7 @@ def minhash_dedup_incremental(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    est_margin: float | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and the indexed corpus:
     (doc_new, doc_corpus, jac) with exact Jaccard ≥ ``threshold``.
@@ -603,7 +730,14 @@ def minhash_dedup_incremental(
     recall of the full-corpus banding carries over exactly); the
     bucket join touches only (id, band, bucket) rows; exact
     verification joins shingle sets for CANDIDATES only. Batch-
-    internal duplicates are the existing ``minhash_lsh_pairs`` job."""
+    internal duplicates are the existing ``minhash_lsh_pairs`` job.
+
+    ``est_margin``: same opt-in signature-estimate candidate prune as
+    ``minhash_lsh_pairs`` (see there for the recall math) — candidates
+    below ``threshold - est_margin`` estimated Jaccard are dropped
+    against the index's persisted ``sigs.parquet`` before the shingle
+    verify join. Requires an index written by this version (raises a
+    clear error on a legacy index without sigs.parquet)."""
     import json as _json
     from pathlib import Path as _Path
 
@@ -615,7 +749,16 @@ def minhash_dedup_incremental(
     new_sh = _shingled(
         new_docs.repartition(n_part), id_col, text_col, meta["k"]
     ).cache()
-    new_banded = _minhash_banded(new_sh, meta["num_perm"], meta["bands"])
+    new_sig = _minhash_sig(new_sh, meta["num_perm"])
+    if est_margin is not None:
+        if not (_Path(index_dir) / "sigs.parquet").exists():
+            raise ValueError(
+                f"est_margin needs {index_dir}/sigs.parquet; this index "
+                "predates signature persistence — rebuild it with "
+                "build_minhash_index"
+            )
+        new_sig = new_sig.cache()
+    new_banded = _band_rows(new_sig, meta["num_perm"], meta["bands"])
     corpus_banded = spark.read.parquet(str(_Path(index_dir) / "banded.parquet"))
     cand = (
         new_banded.alias("a")
@@ -630,6 +773,33 @@ def minhash_dedup_incremental(
         )
         .dropDuplicates(["doc_new", "doc_corpus"])
     )
+    if est_margin is not None:
+        import math as _math
+
+        min_match = max(
+            0, _math.ceil((threshold - est_margin) * meta["num_perm"])
+        )
+        corpus_sig = spark.read.parquet(str(_Path(index_dir) / "sigs.parquet"))
+        cand = (
+            cand.join(
+                new_sig.select(
+                    F.col("doc_id").alias("doc_new"),
+                    F.col("sig").alias("sig_a"),
+                ),
+                "doc_new",
+            )
+            .join(
+                corpus_sig.select(
+                    F.col("doc_id").alias("doc_corpus"),
+                    F.col("sig").alias("sig_b"),
+                ),
+                "doc_corpus",
+            )
+            .filter(
+                _est_match_count(F.col("sig_a"), F.col("sig_b")) >= min_match
+            )
+            .select("doc_new", "doc_corpus")
+        )
     corpus_sh = spark.read.parquet(str(_Path(index_dir) / "shingles.parquet"))
     verified = cand.join(
         new_sh.select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_a")),

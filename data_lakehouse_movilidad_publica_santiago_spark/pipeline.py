@@ -51,6 +51,8 @@ def build_corpus(
     redact: bool = True,
     near_dedup: bool = False,
     near_threshold: float = 0.85,
+    lsh_est_margin: float | None = None,
+    lsh_max_bucket: int | None = None,
     span_mask_window: int | None = None,
     ppl_threshold: float | None = None,
     gopher: bool = False,
@@ -72,7 +74,13 @@ def build_corpus(
     connected components → keep the highest-quality member per
     cluster (ties → lowest id). All the individually-gated operators
     (`minhash_lsh_near_dup`, `dedup_clusters`, `dedup_survivors`)
-    composed into the product path.
+    composed into the product path. ``lsh_est_margin`` /
+    ``lsh_max_bucket`` are the large-corpus guards against hot-bucket
+    candidate explosions from shared boilerplate passages (see
+    ``minhash_lsh_pairs``): the signature-estimate prune keeps exact
+    verification (precision 1.0) with ~5e-6 recall loss per true
+    pair at margin 0.25/num_perm 64; dropped-hot-bucket counts land
+    in the summary (``lsh_hot_buckets_dropped``) — never silent.
 
     ``span_mask_window=N`` adds ExactSubstr masking (Lee et al.
     2022) after dedup: every N-token window occurring more than once
@@ -184,6 +192,7 @@ def build_corpus(
     del passed, keyed  # drop plan refs: their window shuffle lives on
     # in `kept`'s lineage only, so a later stage checkpoint frees it
     n_near_removed = 0
+    lsh_stats: dict = {}
     if near_dedup:
         from .operators.clustering import (
             canonical_survivors,
@@ -197,7 +206,14 @@ def build_corpus(
         n_before = kept.count()
         mh_pins: list = []
         pairs = minhash_lsh_pairs(
-            kept, id_col, text_col, threshold=near_threshold, pins=mh_pins
+            kept,
+            id_col,
+            text_col,
+            threshold=near_threshold,
+            pins=mh_pins,
+            est_margin=lsh_est_margin,
+            max_bucket=lsh_max_bucket,
+            stats=lsh_stats,
         )
         comps = connected_components(pairs, src="doc_a", dst="doc_b")
         scored = kept.withColumn(
@@ -469,6 +485,10 @@ def build_corpus(
         "n_docs_kept": n_kept,
         "near_dedup": near_dedup,
         "n_near_dups_removed": int(n_near_removed),
+        "lsh_est_margin": lsh_est_margin if near_dedup else None,
+        "lsh_max_bucket": lsh_max_bucket if near_dedup else None,
+        "lsh_hot_buckets_dropped": lsh_stats.get("hot_buckets_dropped"),
+        "lsh_banded_rows_dropped": lsh_stats.get("banded_rows_dropped"),
         "span_mask_window": span_mask_window,
         "n_docs_emptied_by_mask": int(n_mask_emptied),
         "ppl_threshold": ppl_threshold,

@@ -259,6 +259,7 @@ def stream_dedup_against_index(
     threshold: float = 0.85,
     id_col: str = "doc_id",
     text_col: str = "text",
+    est_margin: float | None = None,
 ):
     """Streaming corpus intake with incremental near-dedup: every
     arriving micro-batch is near-dup-checked against the PERSISTED
@@ -276,6 +277,9 @@ def stream_dedup_against_index(
     with overwrite: a replayed micro-batch rewrites its own partition
     instead of appending duplicates — idempotent, restart-safe via
     the checkpoint. Readers see ``batch_id`` as a partition column.
+    ``est_margin`` forwards to ``minhash_dedup_incremental``'s
+    signature-estimate candidate prune (the hot-bucket guard for
+    corpora with shared boilerplate; see its docstring).
     Returns the started StreamingQuery."""
     from pathlib import Path as _Path
 
@@ -290,7 +294,7 @@ def stream_dedup_against_index(
         try:
             pairs = minhash_dedup_incremental(
                 batch_df, index_dir, threshold, id_col=id_col,
-                text_col=text_col,
+                text_col=text_col, est_margin=est_margin,
             ).persist()  # fmt: skip
             pairs.write.mode("overwrite").parquet(
                 f"{pairs_dir}/batch_id={batch_id}"

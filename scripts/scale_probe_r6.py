@@ -129,7 +129,12 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
     mode = sys.argv[2] if len(sys.argv) > 2 else "all"
     batch_n = max(n_docs // 10, 1000)
-    spark = get_spark(app_name="scale-probe-r6")
+    # network.timeout > any plausible full-GC pause: a heartbeat miss
+    # in local mode (single JVM) must never kill a measured run
+    spark = get_spark(
+        app_name="scale-probe-r6",
+        extra_conf={"spark.network.timeout": "600s"},
+    )
     work = Path(tempfile.mkdtemp(prefix="probe_r6_"))
     try:
         src = str(work / "corpus.parquet")
@@ -142,6 +147,16 @@ def main() -> None:
         )
 
         if mode in ("composed", "all"):
+            # lsh_est_margin is the load-bearing guard here: 10% of
+            # probe docs share a 16-token passage, whose carriers'
+            # band minima all land on the shared shingles → per-band
+            # hot buckets (~N/4000 docs each, one per band) whose
+            # pairwise candidates are ALL false (their true Jaccard
+            # ≈ 0.14 << 0.7). Without the signature prune the verify
+            # join drags every candidate's 1.5 KB shingle arrays
+            # through a shuffle — measured >60 GB scratch + a 144 s
+            # driver GC stall (heartbeat death) at 5M docs; with it
+            # the candidates die at 512 B signature rows.
             summary = build_corpus(
                 spark,
                 src,
@@ -150,6 +165,8 @@ def main() -> None:
                 gopher=True,
                 near_dedup=True,
                 near_threshold=0.7,
+                lsh_est_margin=0.25,
+                lsh_max_bucket=100_000,
                 span_mask_window=8,
                 ppl_threshold=99.0,
                 redact=True,
@@ -170,6 +187,7 @@ def main() -> None:
                     "n_docs_dropped_by_ppl": summary["n_docs_dropped_by_ppl"],
                     "n_chunks": summary["n_chunks"],
                     "n_tokens": summary["n_tokens"],
+                    "lsh_hot_buckets_dropped": summary["lsh_hot_buckets_dropped"],
                     "cache_manager_empty_at_exit": bool(cache_empty),
                 },
             )
@@ -204,7 +222,7 @@ def main() -> None:
             batch = spark.read.parquet(bdir)
             t0 = time.perf_counter()
             n_pairs = minhash_dedup_incremental(
-                batch, idx_dir, threshold=0.7
+                batch, idx_dir, threshold=0.7, est_margin=0.25
             ).count()
             probe(
                 "minhash_incremental_batch",
@@ -233,6 +251,7 @@ def main() -> None:
             str(work / "stream_out"),
             str(work / "stream_ckpt"),
             threshold=0.7,
+            est_margin=0.25,
         )
         q.awaitTermination()
         accepted = spark.read.parquet(

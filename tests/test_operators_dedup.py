@@ -142,3 +142,130 @@ def test_minhash_incremental_matches_full_run(spark, tmp_path):
     }
     assert cross == got
     spark.catalog.clearCache()
+
+
+def _boilerplate_corpus(spark, n=400):
+    """Unique bodies + a 16-token passage shared by half the docs (the
+    hot-bucket shape: every carrier's band minima land on the shared
+    shingles → one bucket per band holds all carriers, but carrier
+    pairs' true Jaccard is far below any dedup threshold), plus two
+    genuine near-dup pairs."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    shared = " ".join(f"s{i}" for i in range(16))
+    rows = []
+    for i in range(n):
+        body = " ".join(rng.choices(vocab, k=40))
+        text = f"{body} {shared}" if i % 2 == 0 else body
+        rows.append((i, text))
+    # two true near-dup pairs: same body, tiny suffix edit
+    base_a = " ".join(rng.choices(vocab, k=40))
+    base_b = " ".join(rng.choices(vocab, k=40))
+    rows += [
+        (n, base_a), (n + 1, base_a + " zz"),
+        (n + 2, base_b + f" {shared}"), (n + 3, base_b + f" {shared} qq"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_est_prefilter_output_identical(spark):
+    """est_margin prunes shared-boilerplate false candidates BEFORE
+    the shingle-array verify but leaves the verified output identical
+    (precision was already 1.0; the prune only skips pairs the exact
+    verify would reject)."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+    )
+
+    docs = _boilerplate_corpus(spark)
+    base = {
+        (r["doc_a"], r["doc_b"], r["jac"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", 0.7).collect()
+    }
+    pruned = {
+        (r["doc_a"], r["doc_b"], r["jac"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", 0.7, est_margin=0.25
+        ).collect()
+    }
+    assert base == pruned
+    # both true pairs present (incl. the one whose docs carry the
+    # shared passage — its est is high, the prune keeps it)
+    assert {(a, b) for a, b, _ in base} >= {(400, 401), (402, 403)}
+    spark.catalog.clearCache()
+
+
+def test_minhash_max_bucket_drops_hot_and_reports(spark):
+    """A mega-bucket of exact clones is dropped at max_bucket with its
+    counts surfaced in stats; pairs outside hot buckets survive."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(3000)]
+    clone = " ".join(rng.choices(vocab, k=40))
+    pair = " ".join(rng.choices(vocab, k=40))
+    rows = [(i, clone) for i in range(50)]  # 50 exact clones: hot bucket
+    rows += [(100, pair), (101, pair + " zz")]  # isolated true pair
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    stats: dict = {}
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", 0.7, max_bucket=10, stats=stats
+        ).collect()
+    }
+    assert got == {(100, 101)}
+    assert stats["hot_buckets_dropped"] >= 1
+    assert stats["banded_rows_dropped"] >= 50
+    # without the cap the clone pairs are all there
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", 0.7).collect()
+    }
+    assert len(full) == 50 * 49 // 2 + 1
+    spark.catalog.clearCache()
+
+
+def test_minhash_incremental_est_margin(spark, tmp_path):
+    """est_margin on the index path: identical verified pairs, and a
+    legacy index without sigs.parquet fails with a clear message."""
+    import shutil as _shutil
+
+    import pytest
+
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.dedup_text import (
+        build_minhash_index,
+        minhash_dedup_incremental,
+    )
+
+    corpus = _boilerplate_corpus(spark, n=200)
+    batch = corpus.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    build_minhash_index(corpus, str(tmp_path / "idx"))
+    base = {
+        (r["doc_new"], r["doc_corpus"], r["jac"])
+        for r in minhash_dedup_incremental(
+            batch, str(tmp_path / "idx"), threshold=0.7
+        ).collect()
+    }
+    pruned = {
+        (r["doc_new"], r["doc_corpus"], r["jac"])
+        for r in minhash_dedup_incremental(
+            batch, str(tmp_path / "idx"), threshold=0.7, est_margin=0.25
+        ).collect()
+    }
+    assert base == pruned and len(base) >= 60  # every clone-of-corpus doc
+    _shutil.rmtree(tmp_path / "idx" / "sigs.parquet")
+    with pytest.raises(ValueError, match="sigs.parquet"):
+        minhash_dedup_incremental(
+            batch, str(tmp_path / "idx"), threshold=0.7, est_margin=0.25
+        )
+    spark.catalog.clearCache()

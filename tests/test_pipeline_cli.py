@@ -587,3 +587,34 @@ def test_corpus_report_cli(spark, tmp_path, capsys):
     assert len(disk["top_trigrams"]) == 10
     md = (out / "corpus_report.md").read_text()
     assert "# Corpus report" in md and "TOO_FEW_WORDS" in md
+
+
+def test_corpus_cli_lsh_guard_flags(spark, tmp_path, capsys):
+    """--lsh-est-margin/--lsh-max-bucket reach the near-dedup stage:
+    output matches the unguarded build (the guards only prune work,
+    not verified pairs, on this corpus) and drop accounting lands in
+    the summary."""
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+
+    src = tmp_path / "docs.parquet"
+    _write_corpus(spark, src)
+    rc = cli.main(
+        ["corpus", "--input", str(src), "--output", str(tmp_path / "g"),
+         "--near-dedup", "--near-threshold", "0.7",
+         "--lsh-est-margin", "0.25", "--lsh-max-bucket", "100000"]
+    )  # fmt: skip
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["lsh_est_margin"] == 0.25
+    assert summary["lsh_max_bucket"] == 100000
+    assert summary["lsh_hot_buckets_dropped"] == 0  # nothing hot here
+    assert summary["n_near_dups_removed"] > 0
+    base = build_corpus(
+        spark, str(src), str(tmp_path / "b"), seed="epoch-0",
+        near_dedup=True, near_threshold=0.7,
+    )  # fmt: skip
+    assert summary["n_near_dups_removed"] == base["n_near_dups_removed"]
+    assert summary["n_docs_kept"] == base["n_docs_kept"]
+    spark.catalog.clearCache()
