@@ -11,7 +11,7 @@ The driver's CORRECTNESS snapshot covers the FIRST 50 entries of
 rotation schedule: gates that have not yet appeared in a driver
 CORRECTNESS_r*.json are ordered first, backfilled with a sample of
 already-snapshotted gates; later rounds rotate again so every gate
-eventually carries a driver-recorded green row.  All 95 gates stay
+eventually carries a driver-recorded green row.  All 98 gates stay
 present regardless of order.
 """
 
@@ -130,7 +130,7 @@ def oracle_sql() -> dict[str, str]:
     probabilistic operators (MinHash-LSH, SimHash, LSH-ANN), whose
     oracles replay the exact seeded hash algebra in SQL, and the
     multimodal Python stages, whose oracles recompute the Arrow-batch
-    features from the raw bytes.  95/95 value-hash-checkable."""
+    features from the raw bytes.  98/98 value-hash-checkable."""
     return _rotated(
         {
             **inventory.ORACLE,

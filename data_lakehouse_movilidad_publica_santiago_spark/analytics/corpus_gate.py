@@ -1029,3 +1029,199 @@ ORDER BY score DESC, doc_id LIMIT 10
 
 QUERIES["bm25_topk"] = q_bm25_topk
 ORACLE["bm25_topk"] = ORACLE_BM25_TOPK
+
+
+# ── C4 cleaning battery (Raffel et al. 2020, §2.2) ──────────────────
+
+# The synthetic corpus is single-line and unpunctuated, so the gate
+# first synthesizes line structure IN-PLAN on both engines: words are
+# re-chunked into 7-word lines, two of every three lines get a
+# terminal period, and a deterministic sprinkle of docs receives an
+# extra marker line ("lorem ipsum" / "{" / a blocklisted word) so
+# every page-level rule branch is exercised by the differential.
+_C4_PAGE_SPARK = """
+concat(
+  array_join(transform(
+    sequence(0, CAST(floor((size(filter(split(text, ' '), x -> x != '')) - 1) / 7.0) AS INT)),
+    i -> concat(
+      array_join(slice(filter(split(text, ' '), x -> x != ''), i * 7 + 1, 7), ' '),
+      CASE WHEN i % 3 < 2 THEN '.' ELSE '' END)), chr(10)),
+  CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'they sprinkled lorem ipsum here.' ELSE '' END,
+  CASE WHEN doc_id % 89 = 5 THEN chr(10) || 'code sample with { brace here.' ELSE '' END,
+  CASE WHEN doc_id % 83 = 7 THEN chr(10) || 'see the badword appear now.' ELSE '' END)
+"""
+
+_C4_PAGE_SQL = """
+array_to_string(list_transform(
+    generate_series(0, CAST(floor((len(list_filter(string_split(text, ' '), x -> x != '')) - 1) / 7.0) AS INT)),
+    i -> array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x != ''), i * 7 + 1, i * 7 + 7), ' ')
+         || CASE WHEN i % 3 < 2 THEN '.' ELSE '' END), chr(10))
+  || CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'they sprinkled lorem ipsum here.' ELSE '' END
+  || CASE WHEN doc_id % 89 = 5 THEN chr(10) || 'code sample with { brace here.' ELSE '' END
+  || CASE WHEN doc_id % 83 = 7 THEN chr(10) || 'see the badword appear now.' ELSE '' END
+"""
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page C4 verdict: first failing page rule (after the line
+    filters) or NULL, plus line/sentence accounting. Map-only — the
+    battery is pure Column expressions; the one-file scan is spread
+    first (no-op at cluster scale), as with the Gopher gate."""
+    from ..functions.c4 import c4_kept_lines, c4_reason
+    from ..operators.spread import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    page = F.expr(_C4_PAGE_SPARK)
+    lined = docs.select("doc_id", page.alias("page"))
+    kept = c4_kept_lines(F.col("page"))
+    reason = c4_reason(F.col("page"), blocklist=("badword",))
+    return lined.select(
+        "doc_id",
+        reason.alias("c4_reason"),
+        reason.isNull().alias("pass"),
+        F.size(kept).alias("n_kept_lines"),
+        F.size(
+            F.regexp_extract_all(
+                F.array_join(kept, "\n"), F.lit(r"[.!?]"), 0
+            )
+        ).alias("n_sentences"),
+    )
+
+
+ORACLE_C4_RULES = f"""
+WITH pages AS (
+  SELECT doc_id, {_C4_PAGE_SQL} AS page FROM documents),
+kept AS (
+  SELECT doc_id, page,
+         list_filter(string_split(page, chr(10)), ln ->
+           right(rtrim(ln), 1) IN ('.', '!', '?', '"')
+           AND len(list_filter(string_split(trim(ln), ' '), w -> w != '')) >= 3
+           AND NOT contains(lower(ln), 'javascript')) AS kl
+  FROM pages),
+m AS (
+  SELECT doc_id, page, len(kl) AS n_kept,
+         len(regexp_extract_all(array_to_string(kl, chr(10)), '[.!?]')) AS n_sent,
+         contains(lower(page), 'lorem ipsum') AS lorem,
+         contains(page, '{{') AS curly,
+         len(list_filter(string_split_regex(lower(page), '\\s+'),
+                         w -> w = 'badword')) > 0 AS blocked
+  FROM kept)
+SELECT doc_id,
+       CASE WHEN lorem THEN 'LOREM_IPSUM'
+            WHEN curly THEN 'CURLY_BRACE'
+            WHEN blocked THEN 'BLOCKLIST_WORD'
+            WHEN n_sent < 5 THEN 'TOO_FEW_SENTENCES'
+            ELSE NULL END AS c4_reason,
+       NOT (lorem OR curly OR blocked OR n_sent < 5) AS pass,
+       CAST(n_kept AS INT) AS n_kept_lines,
+       CAST(n_sent AS INT) AS n_sentences
+FROM m
+"""
+
+QUERIES["c4_rules"] = q_c4_rules
+ORACLE["c4_rules"] = ORACLE_C4_RULES
+
+
+# ── BPE vocabulary training (Sennrich et al. 2016) ──────────────────
+
+
+def _bpe_oracle_ctes(num_merges: int, source: str = "documents") -> str:
+    """DuckDB replay of the exact merge loop: per iteration, pair
+    counts (p{i}) → winning pair by (freq DESC, l, r) (b{i}) → greedy
+    left-to-right merge applied via a list_reduce fold over the same
+    unit-separator encoding the Spark operator uses (w{i+1})."""
+    d = "\x1f"
+    parts = [
+        f"""w0 AS (
+  SELECT word, cnt,
+         list_append(list_transform(generate_series(1, length(word)),
+                                    i -> substr(word, i, 1)), '</w>') AS syms
+  FROM (SELECT w AS word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+              FROM {source})
+        WHERE w != '' GROUP BY w))"""
+    ]
+    for it in range(num_merges):
+        parts.append(
+            f"""p{it} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt) AS freq
+  FROM w{it}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""b{it} AS (
+  SELECT {it + 1} AS rank, l, r, CAST(freq AS BIGINT) AS freq FROM p{it}
+  ORDER BY freq DESC, l, r LIMIT 1)"""
+        )
+        parts.append(
+            f"""w{it + 1} AS (
+  SELECT word, cnt,
+    list_filter(string_split(list_reduce(list_prepend('', syms),
+      (acc, x) -> CASE WHEN x = b.r AND ends_with(acc, '{d}' || b.l)
+           THEN substr(acc, 1, length(acc) - length(b.l) - 1) || '{d}' || b.l || b.r
+           ELSE acc || '{d}' || x END), '{d}'), s -> s != '') AS syms
+  FROM w{it}, b{it} b)"""
+        )
+    return ",\n".join(parts)
+
+
+_BPE_MERGES = 8
+# the driver imports __spark_entry__ cold and may call each gate more
+# than once — train once per sf_dir (skill-note pattern, like the
+# persisted IVF index)
+_BPE_CACHE: dict[str, tuple] = {}
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _BPE_CACHE:
+        from ..operators.bpe import bpe_train
+
+        _BPE_CACHE[sf_dir] = bpe_train(
+            t(spark, sf_dir, "documents"), num_merges=_BPE_MERGES
+        )
+    return _BPE_CACHE[sf_dir]
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge list: (rank, left_sym, right_sym, freq) for
+    ``_BPE_MERGES`` iterations over the documents corpus — one
+    vocab-sized pair-count aggregation + one driver row per merge."""
+    from ..operators.bpe import merge_table
+
+    merges, _ = _bpe_trained(spark, sf_dir)
+    return merge_table(spark, merges)
+
+
+ORACLE_BPE_TRAIN = f"""
+WITH {_bpe_oracle_ctes(_BPE_MERGES)}
+SELECT rank, l AS left_sym, r AS right_sym, freq
+FROM ({' UNION ALL '.join(f'SELECT * FROM b{i}' for i in range(_BPE_MERGES))})
+"""
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts via the trained vocabulary join
+    (never per-character work over the corpus): (doc_id, n_words,
+    n_bpe_tokens) after ``_BPE_MERGES`` merges."""
+    from ..operators.bpe import bpe_encode_counts
+
+    _, words = _bpe_trained(spark, sf_dir)
+    return bpe_encode_counts(t(spark, sf_dir, "documents"), words)
+
+
+ORACLE_BPE_ENCODE = f"""
+WITH {_bpe_oracle_ctes(_BPE_MERGES)}
+SELECT d.doc_id, COUNT(*) AS n_words,
+       CAST(SUM(COALESCE(len(w.syms), length(d.word) + 1)) AS BIGINT)
+         AS n_bpe_tokens
+FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents) d
+LEFT JOIN w{_BPE_MERGES} w USING (word)
+WHERE d.word != ''
+GROUP BY d.doc_id
+"""
+
+QUERIES["bpe_train"] = q_bpe_train
+ORACLE["bpe_train"] = ORACLE_BPE_TRAIN
+QUERIES["bpe_encode"] = q_bpe_encode
+ORACLE["bpe_encode"] = ORACLE_BPE_ENCODE
