@@ -133,6 +133,25 @@ def main(argv: list[str] | None = None) -> int:
         "filter instead of the heuristic score",
     )
     cp.add_argument(
+        "--c4",
+        action="store_true",
+        help="run the C4 structural cleaning battery first (Raffel "
+        "et al. 2020): line filters rewrite each doc, then pages "
+        "failing the page rules are dropped",
+    )
+    cp.add_argument(
+        "--c4-min-sentences",
+        type=int,
+        default=5,
+        help="C4 page rule: minimum sentences surviving line filters",
+    )
+    cp.add_argument(
+        "--c4-blocklist",
+        default=None,
+        metavar="W1,W2,...",
+        help="comma-separated C4 page blocklist (default: rule off)",
+    )
+    cp.add_argument(
         "--quality-model",
         default=None,
         metavar="LABEL_EXPR",
@@ -288,6 +307,13 @@ def main(argv: list[str] | None = None) -> int:
             lsh_max_bucket=args.lsh_max_bucket,
             span_mask_window=args.span_mask_window,
             ppl_threshold=args.ppl_threshold,
+            c4=args.c4,
+            c4_min_sentences=args.c4_min_sentences,
+            c4_blocklist=(
+                tuple(w for w in args.c4_blocklist.split(",") if w)
+                if args.c4_blocklist
+                else ()
+            ),
             gopher=args.gopher,
             quality_model_label=args.quality_model,
             quality_model_min=args.quality_model_min,

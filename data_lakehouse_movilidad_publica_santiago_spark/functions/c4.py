@@ -82,8 +82,11 @@ def c4_reason(
     n_sentences = F.size(
         F.regexp_extract_all(F.array_join(kept, "\n"), F.lit(r"[.!?]"), 0)
     )
-    has_blocked = F.exists(
-        F.split(F.lower(col), r"\s+"), lambda w: w.isin(*words)
+    # empty blocklist = rule disabled (not "everything blocked")
+    has_blocked = (
+        F.exists(F.split(F.lower(col), r"\s+"), lambda w: w.isin(*words))
+        if words
+        else F.lit(False)
     )
     return (
         F.when(F.contains(F.lower(col), F.lit("lorem ipsum")), C4_REASONS[0])

@@ -55,6 +55,9 @@ def build_corpus(
     lsh_max_bucket: int | None = None,
     span_mask_window: int | None = None,
     ppl_threshold: float | None = None,
+    c4: bool = False,
+    c4_min_sentences: int = 5,
+    c4_blocklist: tuple[str, ...] = (),
     gopher: bool = False,
     quality_model_label: str | None = None,
     quality_model_min: float = 0.5,
@@ -81,6 +84,14 @@ def build_corpus(
     verification (precision 1.0) with ~5e-6 recall loss per true
     pair at margin 0.25/num_perm 64; dropped-hot-bucket counts land
     in the summary (``lsh_hot_buckets_dropped``) — never silent.
+
+    ``c4=True`` runs the C4 structural cleaning battery (Raffel et
+    al. 2020, gated as `c4_rules`) FIRST: line filters rewrite each
+    document (unterminated / <3-word / javascript lines dropped),
+    then pages failing the ordered reason chain (lorem ipsum, curly
+    brace, ``c4_blocklist`` word, fewer than ``c4_min_sentences``
+    sentences) are dropped — so every later stage sees the cleaned
+    text. Map-only; drops land in ``n_docs_dropped_by_c4``.
 
     ``span_mask_window=N`` adds ExactSubstr masking (Lee et al.
     2022) after dedup: every N-token window occurring more than once
@@ -151,6 +162,33 @@ def build_corpus(
     docs = ensure_parallelism(spark.read.parquet(input_path))
     n_raw = docs.count()
     t = _mark("scan_count", t0)
+
+    n_c4_dropped = 0
+    if c4:
+        # C4 structural cleaning (Raffel et al. 2020) FIRST: the line
+        # filters rewrite the text (drop unterminated/short/javascript
+        # lines), then pages failing the ordered reason chain are
+        # dropped — so every later stage (gopher stats, dedup
+        # fingerprints, shingles, perplexity) sees the cleaned text,
+        # the order production C4-style pipelines use. Map-only: one
+        # filter + one rewrite, no shuffle.
+        from .functions.c4 import c4_kept_lines, c4_reason
+
+        docs = (
+            docs.filter(
+                c4_reason(
+                    F.col(text_col),
+                    min_sentences=c4_min_sentences,
+                    blocklist=c4_blocklist,
+                ).isNull()
+            )
+            .withColumn(
+                text_col,
+                F.array_join(c4_kept_lines(F.col(text_col)), "\n"),
+            )
+        )
+        n_c4_dropped = n_raw - docs.count()
+        t = _mark("c4_clean", t)
 
     stage_pins: list = []  # persisted intermediates released at the end
 
@@ -483,6 +521,8 @@ def build_corpus(
         "input": str(input_path),
         "n_docs_raw": n_raw,
         "n_docs_kept": n_kept,
+        "c4": c4,
+        "n_docs_dropped_by_c4": int(n_c4_dropped),
         "near_dedup": near_dedup,
         "n_near_dups_removed": int(n_near_removed),
         "lsh_est_margin": lsh_est_margin if near_dedup else None,

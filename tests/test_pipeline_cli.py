@@ -618,3 +618,63 @@ def test_corpus_cli_lsh_guard_flags(spark, tmp_path, capsys):
     assert summary["n_near_dups_removed"] == base["n_near_dups_removed"]
     assert summary["n_docs_kept"] == base["n_docs_kept"]
     spark.catalog.clearCache()
+
+
+def test_corpus_cli_c4_stage(spark, tmp_path, capsys):
+    """--c4 cleans line structure FIRST: failing pages drop with
+    summary accounting, surviving pages' dropped lines never reach
+    the chunker."""
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+
+    good_lines = "\n".join(
+        f"the quick brown fox number {i} jumps over the lazy dog today."
+        for i in range(6)
+    )
+    rows = [
+        # 8 clean pages (distinct bodies -> survive dedup too)
+        *[
+            (i, good_lines.replace("today.", f"on day {i}."))
+            for i in range(8)
+        ],
+        # lorem-ipsum page, curly-brace page, blocklist page
+        (100, "lorem ipsum dolor sit amet.\n" + good_lines),
+        (101, "broken { markup } here.\n" + good_lines),
+        (102, "mentions blockedword sadly here.\n" + good_lines),
+        # too few sentences after line filters
+        (103, "one good line is not enough."),
+        # page whose unterminated line is dropped but page survives
+        (104, "this line has no terminal punctuation\n" + good_lines),
+    ]
+    src = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    rc = cli.main(
+        ["corpus", "--input", str(src), "--output", str(tmp_path / "g"),
+         "--c4", "--c4-blocklist", "blockedword"]
+    )  # fmt: skip
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["c4"] is True
+    assert summary["n_docs_dropped_by_c4"] == 4  # 100-103
+    assert summary["n_docs_kept"] == 9  # 8 clean + doc 104
+    # without --c4 nothing is dropped structurally
+    base = build_corpus(spark, str(src), str(tmp_path / "b"), seed="epoch-0")
+    assert base["n_docs_dropped_by_c4"] == 0 and base["c4"] is False
+
+    def _md5s(out_dir, doc):
+        df = spark.read.parquet(str(out_dir / "chunks.parquet"))
+        return {
+            r["chunk_md5"]
+            for r in df.filter(F.col("doc_id") == doc).collect()
+        }
+
+    # doc 104's unpunctuated line was rewritten away before chunking
+    # (different tokens -> different chunk hashes vs the un-cleaned
+    # build); doc 0 is untouched by the line filters -> identical
+    assert _md5s(tmp_path / "g", 104) != _md5s(tmp_path / "b", 104)
+    assert _md5s(tmp_path / "g", 0) == _md5s(tmp_path / "b", 0)
+    spark.catalog.clearCache()
