@@ -198,6 +198,13 @@ def main(argv: list[str] | None = None) -> int:
     crp.add_argument("--input", required=True, type=Path,
                      help="parquet with (doc_id, text, ...) columns")
     crp.add_argument("--out", required=True, type=Path)
+    crp.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=None,
+        help="also train an N-merge BPE vocabulary and report the "
+        "subword token total (corpus-sizing figure)",
+    )
 
     ep = sub.add_parser("export-sqlite", help="export the DW to one .db file")
     ep.add_argument("--lake", required=True, type=Path)
@@ -333,7 +340,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "corpus-report":
         from .corpus_report import build_corpus_report, write_corpus_report
 
-        report = build_corpus_report(spark, str(args.input))
+        report = build_corpus_report(
+            spark, str(args.input), bpe_merges=args.bpe_merges
+        )
         jp, mp = write_corpus_report(report, args.out)
         print(json.dumps(report, sort_keys=True))
 

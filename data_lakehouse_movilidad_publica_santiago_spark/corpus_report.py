@@ -31,8 +31,16 @@ def build_corpus_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     topk_ngrams: int = 10,
+    bpe_merges: int | None = None,
 ) -> dict:
-    """Compute the report dict (see module docstring for contents)."""
+    """Compute the report dict (see module docstring for contents).
+
+    ``bpe_merges=N`` additionally trains an N-merge BPE vocabulary on
+    the corpus (``operators/bpe``) and reports the resulting subword
+    token total next to the whitespace total — the compression an
+    N-merge tokenizer would achieve, a standard corpus-sizing figure.
+    Cost: one vocab-sized pair aggregation per merge plus one
+    vocabulary-join encode pass."""
     docs = ensure_parallelism(spark.read.parquet(input_path))
     has_lang = "lang" in docs.columns
     has_source = "source" in docs.columns
@@ -120,6 +128,16 @@ def build_corpus_report(
         "source_distribution": _dist("source") if has_source else None,
         "top_trigrams": top_ngrams,
     }
+    if bpe_merges is not None:
+        from .operators.bpe import bpe_encode_counts, bpe_train
+
+        merges, words = bpe_train(enriched, text_col="text", num_merges=bpe_merges)
+        bpe_total = bpe_encode_counts(enriched, words, id_col="doc_id").agg(
+            F.sum("n_bpe_tokens").alias("s")
+        ).collect()[0]["s"]
+        report["bpe_merges"] = bpe_merges
+        report["bpe_total_tokens"] = int(bpe_total or 0)
+        report["bpe_merge_list"] = [f"{l}+{r}" for _, l, r, _ in merges]
     enriched.unpersist()
     return report
 
@@ -145,6 +163,14 @@ def write_corpus_report(report: dict, out_dir: str | Path) -> tuple[Path, Path]:
         f"- Gopher pass rate: {report['gopher_pass']:,}/{report['n_docs']:,}",
         f"- PII: {report['total_pii_matches']:,} matches in "
         f"{report['docs_with_pii']:,} docs",
+        *(
+            [
+                f"- BPE ({report['bpe_merges']} merges): "
+                f"{report['bpe_total_tokens']:,} subword tokens"
+            ]
+            if report.get("bpe_merges") is not None
+            else []
+        ),
         "",
         "## Gopher outcomes",
         "",

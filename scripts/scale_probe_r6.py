@@ -191,6 +191,34 @@ def main() -> None:
                     "cache_manager_empty_at_exit": bool(cache_empty),
                 },
             )
+        # ── BPE training over a web-scale vocabulary ────────────────
+        if mode == "bpe":
+            from data_lakehouse_movilidad_publica_santiago_spark.operators.bpe import (
+                bpe_encode_counts,
+                bpe_train,
+                word_counts,
+            )
+
+            corpus = spark.read.parquet(src)
+            n_vocab = word_counts(corpus).count()
+            t0 = time.perf_counter()
+            merges, words = bpe_train(corpus, num_merges=8)
+            train_wall = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            n_enc = bpe_encode_counts(corpus, words).count()
+            probe(
+                "bpe_train_encode",
+                {
+                    "n_docs": n_docs,
+                    "n_vocab": n_vocab,
+                    "train_8_merges_sec": train_wall,
+                    "encode_sec": round(time.perf_counter() - t0, 2),
+                    "n_encoded_docs": n_enc,
+                    "merges": [m[1] + "+" + m[2] for m in merges],
+                },
+            )
+            return
+
         if mode not in ("index", "all"):
             return
 

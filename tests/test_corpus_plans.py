@@ -212,3 +212,58 @@ def test_kmeans_assign_stage_is_map_side(spark):
     plan = explain_str(scored)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_c4_battery_is_map_only(spark):
+    """The whole C4 line+page battery is pure Column expressions: no
+    Exchange, no Python stage — it streams at 100 TB."""
+    from data_lakehouse_movilidad_publica_santiago_spark.functions.c4 import (
+        c4_kept_lines,
+        c4_reason,
+    )
+
+    plan = explain_str(
+        _docs(spark).select(
+            "doc_id",
+            c4_reason(F.col("text")).alias("r"),
+            F.array_join(c4_kept_lines(F.col("text")), "\n").alias("t"),
+        )
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_bpe_pair_counts_partial_agg_vocab_shuffle(spark):
+    """BPE's per-merge cost contract: pair counting plans a partial
+    (map-side) HashAggregate before the exchange, and the exchange
+    keys on the pair — the shuffle carries (l, r, partial sum) rows,
+    vocab-bounded, never corpus rows."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.bpe import (
+        _init_syms,
+        _pair_counts,
+        word_counts,
+    )
+
+    plan = explain_str(_pair_counts(_init_syms(word_counts(_docs(spark)))))
+    # partial_sum before the pair exchange = map-side combine
+    assert re.search(r"partial_sum", plan)
+    assert re.search(r"hashpartitioning\(l#\d+, r#\d+", plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_encode_is_broadcast_vocab_join(spark):
+    """Encoding never re-derives symbols from text: one broadcast
+    join against the trained word table + one aggregate."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.bpe import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    _, words = bpe_train(_docs(spark).limit(50), num_merges=2)
+    plan = explain_str(bpe_encode_counts(_docs(spark), words))
+    assert "BroadcastHashJoin" in plan
+    # the corpus side does no per-character transform: no posexplode
+    # of character sequences, only the word split
+    assert "substring(word" not in plan
+    spark.catalog.clearCache()

@@ -678,3 +678,35 @@ def test_corpus_cli_c4_stage(spark, tmp_path, capsys):
     assert _md5s(tmp_path / "g", 104) != _md5s(tmp_path / "b", 104)
     assert _md5s(tmp_path / "g", 0) == _md5s(tmp_path / "b", 0)
     spark.catalog.clearCache()
+
+
+def test_corpus_report_bpe_accounting(spark, tmp_path, capsys):
+    """--bpe-merges adds subword-token accounting: the merge list and
+    the encoded total, consistent with a direct bpe_encode_counts run."""
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.bpe import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    src = tmp_path / "docs.parquet"
+    _write_corpus(spark, src)
+    rc = cli.main(
+        ["corpus-report", "--input", str(src), "--out",
+         str(tmp_path / "rep"), "--bpe-merges", "3"]
+    )  # fmt: skip
+    assert rc == 0
+    disk = _json.loads((tmp_path / "rep" / "corpus_report.json").read_text())
+    assert disk["bpe_merges"] == 3 and len(disk["bpe_merge_list"]) == 3
+    docs = spark.read.parquet(str(src))
+    _, words = bpe_train(docs, num_merges=3)
+    expect = (
+        bpe_encode_counts(docs, words)
+        .agg(F.sum("n_bpe_tokens").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert disk["bpe_total_tokens"] == int(expect)
+    assert "BPE (3 merges)" in (tmp_path / "rep" / "corpus_report.md").read_text()
+    spark.catalog.clearCache()
