@@ -291,10 +291,11 @@ def stream_dedup_against_index(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
+        mh_pins: list = []
         try:
             pairs = minhash_dedup_incremental(
                 batch_df, index_dir, threshold, id_col=id_col,
-                text_col=text_col, est_margin=est_margin,
+                text_col=text_col, est_margin=est_margin, pins=mh_pins,
             ).persist()  # fmt: skip
             pairs.write.mode("overwrite").parquet(
                 f"{pairs_dir}/batch_id={batch_id}"
@@ -307,6 +308,8 @@ def stream_dedup_against_index(
             ).parquet(f"{accepted_dir}/batch_id={batch_id}")
             pairs.unpersist()
         finally:
+            for p in mh_pins:
+                p.unpersist()
             batch_df.unpersist()
 
     return (
