@@ -36,11 +36,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return inventory.q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-6 rotation: every gate that had no row in CORRECTNESS_r01..r05
-# (verified against the artifacts), ordered first so the driver's
-# 50-entry window finally records them.  43 never-snapshotted gates +
-# 7 proven backfills = exactly 50; the remaining 43 previously-green
-# gates follow and stay runnable by tests/scripts.
+# Round-7 rotation: every gate that had no row in CORRECTNESS_r01..r05
+# (verified against the artifacts; the driver wrote no r06 snapshot),
+# ordered first so the driver's 50-entry window finally records them.
+# 43 never-snapshotted round-5 gates + the 5 round-6 additions
+# (c4_rules / bpe_train / bpe_encode / pack_sequences /
+# temperature_mix) + 2 of the round-7 additions = exactly 50; the
+# other 4 round-7 gates follow immediately after the window, then the
+# previously-green gates — all runnable by tests/scripts regardless.
 _ROTATION_FIRST: tuple[str, ...] = (
     # lake / transactional table format (3)
     "txn_merge_upsert",
@@ -89,14 +92,20 @@ _ROTATION_FIRST: tuple[str, ...] = (
     "biz_q13_coverage_audit",
     "biz_q14_daily_lag",
     "biz_q15_efficiency_profile",
-    # proven backfill (7) — already green in r1-r5 snapshots
-    "pricing_summary",
-    "scd2_timeline",
-    "asof_resolve",
-    "star_join_revenue",
-    "minhash_lsh_near_dup",
-    "ivf_knn_indexed",
-    "tumbling_window_30m",
+    # round-6 additions, never snapshotted (5)
+    "c4_rules",
+    "bpe_train",
+    "bpe_encode",
+    "pack_sequences",
+    "temperature_mix",
+    # round-7 additions (first 2 of 6; the rest follow the window)
+    "tfidf_topk",
+    "sentence_dedup",
+    # round-7 overflow — positions 51-54
+    "soft_dedup",
+    "contamination_matrix",
+    "trigram_ppl",
+    "zipf_spectrum",
 )
 
 

@@ -27,7 +27,9 @@ from ..functions.text import (
 from ..operators.chunking import chunk_documents, global_shuffle
 from ..operators.pii import PII_PATTERNS, pii_count, redact_pii
 from ..operators.windows import sessionize
+from ..operators.dedup_text import _md5_hex8_bigint_sql
 from .inventory import t
+from .inventory_llm import _SQL_NORM
 
 # Deterministic PII augmentation: ~1/3 of docs get an email, 3/4 an
 # IPv4, 2/5 a phone — plus every selected doc's values vary with its
@@ -1225,3 +1227,325 @@ QUERIES["bpe_train"] = q_bpe_train
 ORACLE["bpe_train"] = ORACLE_BPE_TRAIN
 QUERIES["bpe_encode"] = q_bpe_encode
 ORACLE["bpe_encode"] = ORACLE_BPE_ENCODE
+
+
+# ── round-7 wave: tf-idf retrieval, soft dedup, sentence dedup, ────
+#    contamination matrix, trigram stupid backoff, zipf spectrum
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf cosine top-10 for {vector, merge, window} — the
+    vector-space retrieval twin of the BM25 gate: same tokenization,
+    but the score needs every document's FULL weight norm, so the
+    plan builds the corpus vocabulary (idf relation) instead of
+    per-term literal tf columns."""
+    from ..operators.retrieval import tfidf_topk
+    from ..operators.spread import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return tfidf_topk(docs, ["vector", "merge", "window"], top_k=10)
+
+
+ORACLE_TFIDF_TOPK = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+idf AS (
+  SELECT term, ln((1.0 + n_docs) / (1.0 + CAST(COUNT(*) AS DOUBLE))) + 1.0 AS idf
+  FROM tf CROSS JOIN nd GROUP BY term, n_docs),
+w AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) * idf.idf AS w, idf.idf
+  FROM tf JOIN idf USING (term)),
+pd AS (
+  SELECT doc_id, SUM(w * w) AS norm2,
+         SUM(CASE WHEN term IN ('vector', 'merge', 'window')
+                  THEN w * idf ELSE 0.0 END) AS dot
+  FROM w GROUP BY doc_id),
+qn AS (
+  SELECT SUM(qidf * qidf) AS qnorm2 FROM (
+    SELECT COALESCE(idf.idf, ln(1.0 + n_docs) + 1.0) AS qidf
+    FROM (VALUES ('vector'), ('merge'), ('window')) q(term)
+    LEFT JOIN idf USING (term) CROSS JOIN nd))
+SELECT doc_id,
+       ROUND(dot / (sqrt(norm2) * sqrt(qnorm2)), 4) AS score,
+       ROUND(dot, 4) AS dot, ROUND(sqrt(norm2), 4) AS norm
+FROM pd CROSS JOIN qn
+WHERE dot > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+QUERIES["tfidf_topk"] = q_tfidf_topk
+ORACLE["tfidf_topk"] = ORACLE_TFIDF_TOPK
+
+
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDedup reweighting over the corpus: word-trigram commonness
+    → per-doc dup_score/weight + the seeded deterministic keep/drop.
+    The corpus' planted near-duplicates are exactly the docs whose
+    shared trigrams push dup_score up."""
+    from ..operators.soft_dedup import soft_dedup
+    from ..operators.spread import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return soft_dedup(docs, n=3, passthrough=["lang"])
+
+
+ORACLE_SOFT_DEDUP = f"""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(l[pos:pos + 2], ' ') AS gram
+  FROM d, LATERAL (
+    SELECT unnest(range(1, greatest(len(l) - 2, 0) + 1)) AS pos)),
+f AS (SELECT gram, COUNT(*) AS cf FROM g GROUP BY gram),
+s AS (
+  SELECT doc_id, COUNT(*) AS n_grams, AVG(ln(cf)) AS raw
+  FROM g JOIN f USING (gram) GROUP BY doc_id),
+w AS (
+  SELECT d.doc_id, d.lang,
+         CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams, s.raw,
+         CASE WHEN s.raw IS NULL THEN 1.0
+              ELSE greatest(1.0 / (1.0 + s.raw), 0.1) END AS wt,
+         md5('softdedup-v1:' || CAST(d.doc_id AS VARCHAR)) AS h
+  FROM d LEFT JOIN s USING (doc_id))
+SELECT doc_id, lang, n_grams, ROUND(raw, 4) AS dup_score,
+       ROUND(wt, 4) AS weight,
+       (CAST(({_md5_hex8_bigint_sql()}) AS DOUBLE) / 4294967296.0) < wt
+         AS kept
+FROM w
+"""
+
+QUERIES["soft_dedup"] = q_soft_dedup
+ORACLE["soft_dedup"] = ORACLE_SOFT_DEDUP
+
+
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global keep-first sentence dedup. The word-soup
+    corpus has no punctuation, so pseudo-sentences are fixed-width
+    word groups whose width varies per doc (5 + doc_id % 4) — both
+    engines derive the identical segmentation, then the operator's
+    global keep-first decision and reassembly run on the Spark side
+    only. Cleaned text is hashed (md5) so the gate compares
+    reassembly byte-for-byte without hauling full texts."""
+    from ..operators.sentence_dedup import (
+        fixed_width_sentences,
+        sentence_dedup,
+    )
+    from ..operators.spread import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    width = (F.lit(5) + F.col("doc_id") % 4).cast("int")
+    out = sentence_dedup(docs, fixed_width_sentences(F.col("text"), width))
+    return out.select(
+        "doc_id",
+        "n_sentences",
+        "n_removed",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
+ORACLE_SENTENCE_DEDUP = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         5 + doc_id % 4 AS w
+  FROM documents),
+s AS (
+  SELECT doc_id, g AS pos,
+         array_to_string(l[(g * w + 1):(g * w + w)], ' ') AS sentence
+  FROM d, LATERAL (
+    SELECT unnest(range(0, greatest(CAST(ceil(CAST(len(l) AS DOUBLE) / w)
+                                    AS BIGINT), 1))) AS g)),
+tagged AS (
+  SELECT doc_id, pos, sentence,
+         ROW_NUMBER() OVER (PARTITION BY md5(sentence)
+                            ORDER BY doc_id, pos) = 1 AS keep
+  FROM s WHERE sentence <> '')
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN sentence END, ' '
+                               ORDER BY pos), '')) AS clean_md5
+FROM tagged GROUP BY doc_id
+"""
+
+QUERIES["sentence_dedup"] = q_sentence_dedup
+ORACLE["sentence_dedup"] = ORACLE_SENTENCE_DEDUP
+
+
+def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark decontamination audit: three synthetic eval
+    suites (doc_id % 10 = 0; doc_id % 7 = 0; source = 'src0') probed
+    against the disjoint train remainder in one pass — the release
+    report published next to the single-set decontamination filter."""
+    from ..operators.data_mix import contamination_matrix
+
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(
+        (F.col("doc_id") % 10 != 0)
+        & (F.col("doc_id") % 7 != 0)
+        & (F.col("source") != "src0")
+    )
+    evals = {
+        "mod10": docs.filter(F.col("doc_id") % 10 == 0),
+        "mod7": docs.filter(F.col("doc_id") % 7 == 0),
+        "src0": docs.filter(F.col("source") == "src0"),
+    }
+    return contamination_matrix(train, evals, k=16)
+
+
+ORACLE_CONTAMINATION_MATRIX = f"""
+WITH d AS (
+  SELECT doc_id, source, {_SQL_NORM} AS nrm FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         md5(substr(nrm, CAST(pos AS INTEGER), 16)) AS shingle
+  FROM d, LATERAL (
+    SELECT unnest(range(1, greatest(length(nrm) - 15, 1) + 1)) AS pos)),
+trs AS (
+  SELECT DISTINCT doc_id, shingle FROM sh
+  WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0 AND source <> 'src0'),
+evs AS (
+  SELECT 'mod10' AS benchmark, shingle FROM
+    (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+  UNION ALL
+  SELECT 'mod7' AS benchmark, shingle FROM
+    (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0)
+  UNION ALL
+  SELECT 'src0' AS benchmark, shingle FROM
+    (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')),
+hits AS (
+  SELECT benchmark, doc_id, COUNT(*) AS n_sh
+  FROM trs JOIN evs USING (shingle)
+  GROUP BY benchmark, doc_id),
+agg AS (
+  SELECT benchmark, COUNT(*) AS n_contaminated,
+         SUM(n_sh) AS shared_occurrences
+  FROM hits GROUP BY benchmark)
+SELECT b.benchmark,
+       CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(shared_occurrences, 0) AS BIGINT)
+         AS shared_occurrences
+FROM (VALUES ('mod10'), ('mod7'), ('src0')) b(benchmark)
+LEFT JOIN agg USING (benchmark)
+"""
+
+QUERIES["contamination_matrix"] = q_contamination_matrix
+ORACLE["contamination_matrix"] = ORACLE_CONTAMINATION_MATRIX
+
+
+def q_trigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram cross-entropy: train on the English
+    slice, score every document. Non-English docs fall through the
+    backoff chain to the unigram floor — measurably worse scores,
+    which is the screen's whole point. Extends the bigram CCNet gate
+    with the backoff CASE over five model joins."""
+    from ..operators.lm_filter import (
+        score_stupid_backoff,
+        train_trigram_lm,
+    )
+    from ..operators.spread import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    model = train_trigram_lm(docs.filter(F.col("lang") == "en"))
+    return score_stupid_backoff(docs, model, passthrough=["lang"])
+
+
+ORACLE_TRIGRAM_PPL = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+ref AS (SELECT l FROM toks WHERE lang = 'en'),
+uni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT unnest(l) AS w FROM ref) GROUP BY w),
+big AS (
+  SELECT array_to_string(l[pos:pos + 1], ' ') AS gram, COUNT(*) AS c12
+  FROM ref, LATERAL (
+    SELECT unnest(range(1, greatest(len(l) - 1, 0) + 1)) AS pos)
+  GROUP BY gram),
+tri AS (
+  SELECT array_to_string(l[pos:pos + 2], ' ') AS gram, COUNT(*) AS c123
+  FROM ref, LATERAL (
+    SELECT unnest(range(1, greatest(len(l) - 2, 0) + 1)) AS pos)
+  GROUP BY gram),
+tot AS (
+  SELECT CAST(SUM(c1) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS v
+  FROM uni),
+g AS (
+  SELECT doc_id, array_to_string(l[pos:pos + 2], ' ') AS g123
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(l) - 2, 0) + 1)) AS pos)),
+k AS (
+  SELECT doc_id, g123,
+         split_part(g123, ' ', 1) || ' ' || split_part(g123, ' ', 2) AS g12,
+         split_part(g123, ' ', 2) || ' ' || split_part(g123, ' ', 3) AS g23,
+         split_part(g123, ' ', 2) AS w2, split_part(g123, ' ', 3) AS w3
+  FROM g),
+sc AS (
+  SELECT doc_id,
+         CASE WHEN COALESCE(tri.c123, 0) > 0
+                THEN CAST(tri.c123 AS DOUBLE) / CAST(b12.c12 AS DOUBLE)
+              WHEN COALESCE(b23.c12, 0) > 0
+                THEN 0.4 * CAST(b23.c12 AS DOUBLE) / CAST(u2.c1 AS DOUBLE)
+              ELSE 0.4 * 0.4 * (CAST(COALESCE(u3.c1, 0) AS DOUBLE) + 1.0)
+                   / (t + v) END AS s
+  FROM k
+  LEFT JOIN tri ON k.g123 = tri.gram
+  LEFT JOIN big b12 ON k.g12 = b12.gram
+  LEFT JOIN big b23 ON k.g23 = b23.gram
+  LEFT JOIN uni u2 ON k.w2 = u2.w
+  LEFT JOIN uni u3 ON k.w3 = u3.w
+  CROSS JOIN tot),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_trigrams, AVG(-ln(s)) AS ce
+  FROM sc GROUP BY doc_id)
+SELECT d.doc_id, d.lang,
+       CAST(COALESCE(per.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       ROUND(per.ce, 4) AS cross_entropy
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+QUERIES["trigram_ppl"] = q_trigram_ppl
+ORACLE["trigram_ppl"] = ORACLE_TRIGRAM_PPL
+
+
+def q_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf rank–frequency OLS fit over the top-100
+    tokens — the cheap corpus-health probe next to the per-document
+    screens. Rank ties (constant in word soup) break on token text so
+    both engines fit the identical point set."""
+    from ..operators.corpus_stats import zipf_spectrum
+    from ..operators.spread import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return zipf_spectrum(docs, group_col="lang", top_r=100)
+
+
+ORACLE_ZIPF_SPECTRUM = """
+WITH ex AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+freq AS (
+  SELECT lang, token, COUNT(*) AS freq
+  FROM ex WHERE token <> '' GROUP BY lang, token),
+totals AS (
+  SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM freq GROUP BY lang),
+ranked AS (
+  SELECT lang,
+         ln(CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY freq DESC, token) AS DOUBLE))
+           AS lr,
+         ln(CAST(freq AS DOUBLE)) AS lf
+  FROM freq QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY freq DESC, token) <= 100),
+fit AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS top_r,
+         ROUND(regr_slope(lf, lr), 4) AS zipf_slope,
+         ROUND(regr_r2(lf, lr), 4) AS zipf_r2
+  FROM ranked GROUP BY lang)
+SELECT totals.lang, n_tokens, vocab, top_r, zipf_slope, zipf_r2
+FROM totals JOIN fit USING (lang)
+"""
+
+QUERIES["zipf_spectrum"] = q_zipf_spectrum
+ORACLE["zipf_spectrum"] = ORACLE_ZIPF_SPECTRUM

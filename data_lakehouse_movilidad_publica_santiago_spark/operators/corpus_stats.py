@@ -1,0 +1,75 @@
+"""Corpus-level token statistics: Zipf rank–frequency spectrum.
+
+A natural-language corpus follows Zipf's law: the r-th most frequent
+token has frequency ∝ r^(-s) with s ≈ 1. Synthetic, templated, or
+heavily duplicated corpora deviate sharply, so the fitted slope (and
+its goodness of fit) is a standard cheap corpus-health probe next to
+the per-document quality screens (Gopher/C4/perplexity): fit
+
+    ln f(r) = intercept + slope · ln r       over the top-R tokens
+
+by ordinary least squares per group (e.g. language). Piantadosi,
+"Zipf's word frequency law in natural language", Psychon Bull Rev
+2014, reviews the law and its diagnostic use.
+
+Execution shape at 100 TB: one (group, token) count shuffle with
+map-side partial aggregation; ranking is a window over the
+VOCABULARY relation (bounded — millions of rows, not corpus-sized),
+partitioned by group; the OLS fit is Spark's built-in ``regr_*``
+aggregates over ≤ R rows per group. The document text never leaves
+its scan.
+
+Reference parity note: the reference repo has no corpus statistics —
+beyond-reference LLM-data-pipeline suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zipf_spectrum(
+    docs: DataFrame,
+    group_col: str | None = None,
+    top_r: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Zipf OLS fit over the top-``top_r`` tokens.
+
+    Rank is total and deterministic: frequency descending, token
+    ascending on ties (word-soup corpora tie constantly). Output one
+    row per group: [group], ``n_tokens`` (all token occurrences),
+    ``vocab`` (distinct tokens), ``top_r`` (tokens actually fitted —
+    min(top_r, vocab)), ``zipf_slope`` and ``zipf_r2`` (OLS over
+    (ln rank, ln freq), rounded to 4)."""
+    gcols = [group_col] if group_col else []
+    freq = (
+        docs.select(
+            *gcols, F.explode(F.split(F.col(text_col), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy(*gcols, "token")
+        .agg(F.count("*").alias("freq"))
+    )
+    totals = freq.groupBy(*gcols).agg(
+        F.sum("freq").alias("n_tokens"), F.count("*").alias("vocab")
+    )
+    w = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    ).orderBy(F.desc("freq"), F.asc("token"))
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_r)
+        .select(
+            *gcols,
+            F.log(F.col("rank").cast("double")).alias("__lr"),
+            F.log(F.col("freq").cast("double")).alias("__lf"),
+        )
+    )
+    fit = ranked.groupBy(*gcols).agg(
+        F.count("*").alias("top_r"),
+        F.round(F.regr_slope("__lf", "__lr"), 4).alias("zipf_slope"),
+        F.round(F.regr_r2("__lf", "__lr"), 4).alias("zipf_r2"),
+    )
+    return totals.join(fit, gcols) if gcols else totals.crossJoin(fit)

@@ -374,3 +374,86 @@ def split_assign(
     return df.withColumn(
         out_col, last if expr is None else expr.otherwise(last)
     )
+
+
+def contamination_matrix(
+    train: DataFrame,
+    eval_sets: dict[str, DataFrame],
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+) -> DataFrame:
+    """Per-benchmark decontamination accounting: for each eval set in
+    ``eval_sets`` (benchmark name → DataFrame), how many train
+    documents share at least one normalized char-``k``-gram with it —
+    optionally broken down by a train-side ``group_col`` (e.g.
+    source/domain), the report a release audit publishes next to the
+    single-set :func:`contamination_pairs` filter.
+
+    Output: one row per (benchmark[, group]) —
+    ``benchmark``, [group], ``n_contaminated`` (train docs with ≥1
+    shared shingle), ``shared_occurrences`` (total distinct
+    (doc, shingle) hits). Ungrouped, benchmarks with zero overlap
+    still appear (n_contaminated = 0) so a clean audit is
+    distinguishable from a missing one; grouped, absent
+    (benchmark, group) combinations mean zero.
+
+    Scale: train shingles are computed ONCE and reused across
+    benchmarks; eval shingle sets are distinct-ed, tagged with the
+    benchmark name, and unioned — the probe join carries (32-hex,
+    name) rows against (doc_id, 32-hex), i.e. eval-suite-sized ×
+    corpus-shingle-sized on the hash key; eval suites are tiny next
+    to training corpora, so Catalyst broadcasts the union."""
+    from .spread import ensure_parallelism
+
+    gcols = [group_col] if group_col else []
+    base = ensure_parallelism(train)
+    norm_cols = base.select(
+        F.col(id_col).alias("doc_id"), *gcols, F.col(text_col)
+    )
+    train_sh = (
+        _shingle_hashes(norm_cols, "doc_id", text_col, k)
+        .distinct()
+        .join(norm_cols.select("doc_id", *gcols), "doc_id")
+        if gcols
+        else _shingle_hashes(norm_cols, "doc_id", text_col, k).distinct()
+    )
+    tagged = None
+    for name in sorted(eval_sets):
+        sh = (
+            _shingle_hashes(
+                ensure_parallelism(eval_sets[name]), id_col, text_col, k
+            )
+            .select("shingle")
+            .distinct()
+            .select(F.lit(name).alias("benchmark"), "shingle")
+        )
+        tagged = sh if tagged is None else tagged.unionByName(sh)
+    if tagged is None:
+        raise ValueError("contamination_matrix requires ≥1 eval set")
+    hits = (
+        train_sh.join(F.broadcast(tagged), "shingle")
+        .groupBy("benchmark", *gcols, "doc_id")
+        .agg(F.count("*").alias("__n_sh"))
+        .groupBy("benchmark", *gcols)
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.sum("__n_sh").alias("shared_occurrences"),
+        )
+    )
+    if gcols:
+        return hits
+    names = train.sparkSession.createDataFrame(
+        [(n,) for n in sorted(eval_sets)], ["benchmark"]
+    )
+    return (
+        names.join(hits, "benchmark", "left")
+        .select(
+            "benchmark",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.coalesce("shared_occurrences", F.lit(0)).alias(
+                "shared_occurrences"
+            ),
+        )
+    )

@@ -328,3 +328,170 @@ def dsir_select_rank(
         .filter((F.col("__offset") + F.col("__lr")) <= F.lit(top_k))
         .select("doc_id", *(passthrough or []), "n_bigrams", "logratio")
     )
+
+
+class TrigramLM:
+    """A trained word-trigram model with the count tables stupid
+    backoff needs: trigram counts (gram "w1 w2 w3" → c123), bigram
+    counts (gram "w1 w2" → c12), unigram counts (w → c1), and a
+    one-row totals relation (n_tokens, vocab). All plain LAZY
+    DataFrames — persist or write once per reference-corpus revision
+    and reuse across scoring runs, like :class:`BigramLM`."""
+
+    def __init__(
+        self,
+        trigrams: DataFrame,
+        bigrams: DataFrame,
+        unigrams: DataFrame,
+        totals: DataFrame,
+    ):
+        self.trigrams = trigrams  # (gram "w1 w2 w3", c123 bigint)
+        self.bigrams = bigrams    # (gram "w1 w2",    c12 bigint)
+        self.unigrams = unigrams  # (w,               c1 bigint)
+        self.totals = totals      # one row: (n_tokens, vocab)
+
+
+def train_trigram_lm(
+    reference: DataFrame, text_col: str = "text"
+) -> TrigramLM:
+    """Count word tri/bi/unigrams over the reference corpus — three
+    explode+groupBy passes over one tokenization (each a (short
+    string, long) shuffle with map-side combine; nothing else)."""
+    toks = F.split(F.col(text_col), " ")
+    words = reference.select(F.explode(toks).alias("w"))
+    unigrams = words.groupBy("w").agg(F.count("*").alias("c1"))
+    bigrams = (
+        reference.select(
+            F.explode(word_ngrams_raw(F.col(text_col), 2)).alias("gram")
+        )
+        .filter(F.size(F.split("gram", " ")) == 2)
+        .groupBy("gram")
+        .agg(F.count("*").alias("c12"))
+    )
+    trigrams = (
+        reference.select(
+            F.explode(word_ngrams_raw(F.col(text_col), 3)).alias("gram")
+        )
+        .filter(F.size(F.split("gram", " ")) == 3)
+        .groupBy("gram")
+        .agg(F.count("*").alias("c123"))
+    )
+    totals = unigrams.agg(
+        F.sum("c1").alias("n_tokens"), F.count("*").alias("vocab")
+    )
+    return TrigramLM(trigrams, bigrams, unigrams, totals)
+
+
+def score_stupid_backoff(
+    docs: DataFrame,
+    model: TrigramLM,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Per-document cross-entropy under stupid backoff (Brants et al.,
+    "Large Language Models in Machine Translation", EMNLP 2007) — the
+    web-scale scoring rule that skips normalized discounting because
+    at corpus scale the backoff chain rarely bottoms out:
+
+        S(w3 | w1 w2) = c123/c12            if c123 > 0
+                      = α · c23/c2          elif c23 > 0
+                      = α² · (c3+1)/(T+V)   otherwise (add-one floor
+                                            so OOV words stay finite)
+
+    Scoring is explode → five LEFT equi-joins against the model count
+    tables (trigram on "w1 w2 w3", bigram on "w1 w2" and "w2 w3",
+    unigram on w2 and w3) → one per-doc combine carrying (doc_id,
+    -ln S) pairs. With a pruned/broadcast model the whole pass is
+    map-side; the totals ride in as a broadcast scalar. Documents
+    shorter than 3 tokens have no trigram evidence: n_trigrams=0,
+    cross_entropy NULL.
+
+    Output: doc_id, passthrough, ``n_trigrams``, ``cross_entropy``
+    (mean -ln S per trigram occurrence, rounded to 4)."""
+    extra = list(passthrough or [])
+    reserved = {"doc_id", "n_trigrams", "cross_entropy"}
+    bad = [c for c in extra if c in reserved or c.startswith("__")]
+    if bad:
+        raise ValueError(
+            f"passthrough columns {bad} collide with score_stupid_backoff "
+            f"output columns {sorted(reserved)} or the __-internal prefix"
+        )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *extra,
+        F.explode(word_ngrams_raw(F.col(text_col), 3)).alias("__g"),
+    ).filter(F.size(F.split("__g", " ")) == 3)
+    parts = F.split("__g", " ")
+    keyed = grams.select(
+        "doc_id",
+        *extra,
+        F.concat_ws(
+            " ", F.element_at(parts, 1), F.element_at(parts, 2)
+        ).alias("__g12"),
+        F.concat_ws(
+            " ", F.element_at(parts, 2), F.element_at(parts, 3)
+        ).alias("__g23"),
+        F.element_at(parts, 2).alias("__w2"),
+        F.element_at(parts, 3).alias("__w3"),
+        F.col("__g").alias("__g123"),
+    )
+    tri = model.trigrams.select(
+        F.col("gram").alias("__g123"), F.col("c123").alias("__c123")
+    )
+    bi12 = model.bigrams.select(
+        F.col("gram").alias("__g12"), F.col("c12").alias("__c12")
+    )
+    bi23 = model.bigrams.select(
+        F.col("gram").alias("__g23"), F.col("c12").alias("__c23")
+    )
+    uni2 = model.unigrams.select(
+        F.col("w").alias("__w2"), F.col("c1").alias("__c2")
+    )
+    uni3 = model.unigrams.select(
+        F.col("w").alias("__w3"), F.col("c1").alias("__c3")
+    )
+    totals = model.totals.select(
+        F.col("n_tokens").alias("__t"), F.col("vocab").alias("__v")
+    )
+    joined = (
+        keyed.join(tri, "__g123", "left")
+        .join(bi12, "__g12", "left")
+        .join(bi23, "__g23", "left")
+        .join(uni2, "__w2", "left")
+        .join(uni3, "__w3", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    a = F.lit(float(alpha))
+    score = (
+        F.when(
+            F.coalesce(F.col("__c123"), F.lit(0)) > 0,
+            F.col("__c123").cast("double") / F.col("__c12").cast("double"),
+        )
+        .when(
+            F.coalesce(F.col("__c23"), F.lit(0)) > 0,
+            a * F.col("__c23").cast("double") / F.col("__c2").cast("double"),
+        )
+        .otherwise(
+            a
+            * a
+            * (F.coalesce(F.col("__c3"), F.lit(0)).cast("double") + F.lit(1.0))
+            / (F.col("__t").cast("double") + F.col("__v").cast("double"))
+        )
+    )
+    scored = joined.select(
+        "doc_id", *extra, (-F.log(score)).alias("__nll")
+    ).groupBy("doc_id", *extra).agg(
+        F.count("*").alias("n_trigrams"),
+        F.avg("__nll").alias("__ce"),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), *extra)
+    return base.join(
+        scored.select("doc_id", "n_trigrams", "__ce"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        *extra,
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+        F.round(F.col("__ce"), 4).alias("cross_entropy"),
+    )

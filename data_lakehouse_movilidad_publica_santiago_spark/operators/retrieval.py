@@ -133,3 +133,105 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(top_k)
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` documents by tf-idf cosine similarity to the
+    bag-of-words query — the vector-space twin of :func:`bm25_topk`
+    (Salton & Buckley, "Term-weighting approaches in automatic text
+    retrieval", IP&M 1988; smoothed idf as in scikit-learn):
+
+        idf(t)    = ln((1 + N) / (1 + df(t))) + 1
+        w(d, t)   = tf(t, d) · idf(t)
+        score     = Σ_{t∈q} w(d,t)·idf(t) / (‖w(d,·)‖ · ‖idf(q,·)‖)
+
+    Unlike BM25 (whose per-doc evidence is only the query terms'
+    tf), the cosine denominator needs each document's FULL weight
+    norm, so the plan builds the corpus vocabulary:
+
+    - one (doc_id, term) count shuffle (map-side partial agg);
+    - one df/idf aggregate per term (the vocabulary relation; with
+      standard top-M pruning it broadcasts — unpruned the idf join
+      hash-partitions on term, rows are (term, double));
+    - one (doc_id) combine computing ‖w‖² and the query dot product
+      in the SAME aggregate pass (query terms are literals, so the
+      numerator is a conditional sum — no second join);
+    - TakeOrderedAndProject top-k, never a global sort.
+
+    Ties (after rounding to 4 decimals) break on ascending doc_id.
+    Output: (doc_id, score, dot, norm) — dot/norm rounded to 4 for
+    explainability."""
+    if not query_terms:
+        raise ValueError("tfidf_topk requires at least one query term")
+    terms = list(dict.fromkeys(query_terms))
+    toks = F.split(F.col(text_col), " ")
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.select(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            (
+                F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df")))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+    weighted = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf").cast("double") * F.col("idf")).alias("w"),
+        "idf",
+    )
+    is_q = F.col("term").isin(*terms)
+    per_doc = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("norm2"),
+        F.sum(F.when(is_q, F.col("w") * F.col("idf")).otherwise(F.lit(0.0))).alias(
+            "dot"
+        ),
+    )
+    # query norm: idf of each distinct query term; terms absent from
+    # the corpus carry the max idf ln(1+N)+1 (df = 0)
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame([(t,) for t in terms], ["term"])
+    qnorm = (
+        qterms.join(F.broadcast(idf.filter(is_q)), "term", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.coalesce(
+                F.col("idf"), F.log(F.lit(1.0) + F.col("n_docs")) + F.lit(1.0)
+            ).alias("qidf")
+        )
+        .agg(F.sum(F.col("qidf") * F.col("qidf")).alias("qnorm2"))
+    )
+    return (
+        per_doc.filter(F.col("dot") > 0)
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot") / (F.sqrt("norm2") * F.sqrt("qnorm2")), 4
+            ).alias("score"),
+            F.round("dot", 4).alias("dot"),
+            F.round(F.sqrt("norm2"), 4).alias("norm"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+    )
