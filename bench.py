@@ -127,6 +127,30 @@ HEADLINE = [
     # DSIR data selection: two broadcast-model LM scoring passes over
     # one gram-explode shape + TakeOrdered
     "dsir_selection",
+    # round-6 cleaning/tokenizer ops: C4 rule battery (map-only
+    # line-level reason chain) and BPE corpus encoding (the warm-up
+    # pass pays the one-time 8-merge vocabulary training; timed
+    # passes measure the online encode — corpus word explode + one
+    # vocabulary join).  bpe_train itself is excluded: its timed
+    # passes would measure an 8-row cached merge-table lookup, not
+    # the training loop (probed instead in SCALE.md round 7).
+    "c4_rules",
+    "bpe_encode",
+    # round-7 corpus ops: tf-idf cosine retrieval (corpus idf
+    # relation + broadcast query weights), SoftDeDup trigram
+    # commonness reweighting, C4-style global keep-first sentence
+    # dedup, stupid-backoff trigram LM scoring (five model joins
+    # over one gram-explode shape), per-language Zipf OLS fit.
+    # contamination_matrix is excluded: the GATE's eval sets are
+    # corpus-fractions by construction (mod10/mod7/src0 slices), so
+    # its wall time measures three corpus-sized shingle DISTINCTs —
+    # an unrealistic shape (real eval suites are tiny); the train-
+    # side one-scan shingle shape is benched via decontamination.
+    "tfidf_topk",
+    "soft_dedup",
+    "sentence_dedup",
+    "trigram_ppl",
+    "zipf_spectrum",
     # semantic_dedup is correctness-gated but excluded here for the
     # same reason as dedup_clusters: at these SFs its wall time is
     # ~95% fixed per-round scheduling overhead of the components loop

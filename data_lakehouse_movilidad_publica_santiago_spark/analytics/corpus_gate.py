@@ -1549,3 +1549,147 @@ FROM totals JOIN fit USING (lang)
 
 QUERIES["zipf_spectrum"] = q_zipf_spectrum
 ORACLE["zipf_spectrum"] = ORACLE_ZIPF_SPECTRUM
+
+
+# ── round-7 wave 2: containment, DoReMi-lite mixing, novelty ────────
+
+# shared shingle CTEs: distinct normalized word-3-gram shingles per
+# doc — the DuckDB twin of functions.text.word_shingles(k=3)
+_SQL_SHINGLES_3 = f"""
+d0 AS (SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS toks
+       FROM documents),
+dsh AS (SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(toks) - 2, 1) + 1),
+            i -> array_to_string(toks[i:least(i + 2, len(toks))], ' ')))
+            AS sh
+        FROM d0)"""
+
+
+def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (Broder 1997) at C >= 0.8 over
+    word-3-gram shingles: catches the subset duplicate (short doc
+    quoted inside a long one) that symmetric Jaccard misses. The
+    candidate space is the shared-shingle self-join (id, 32-hex rows),
+    never all pairs; the oracle replays exact set containment."""
+    from ..operators.containment import containment_pairs
+    from ..operators.spread import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return containment_pairs(docs, threshold=0.8, k=3)
+
+
+ORACLE_CONTAINMENT = f"""
+WITH {_SQL_SHINGLES_3},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) AS n_shared,
+         len(a.sh) AS n_a, len(b.sh) AS n_b
+  FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(n_shared * 1.0 / n_a, 6) AS c_ab,
+       ROUND(n_shared * 1.0 / n_b, 6) AS c_ba
+FROM pairs
+WHERE n_shared > 0
+  AND greatest(n_shared * 1.0 / n_a, n_shared * 1.0 / n_b) >= 0.8
+"""
+
+QUERIES["containment_near_dup"] = q_containment_near_dup
+ORACLE["containment_near_dup"] = ORACLE_CONTAINMENT
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain mixture weights over the language domains:
+    closed-form unigram-KL excess loss + 3 exponentiated-gradient
+    steps (eta 0.5, smoothing 0.2). The oracle replays the identical
+    update with unrolled CTEs."""
+    from ..operators.data_mix import doremi_weights
+
+    docs = t(spark, sf_dir, "documents")
+    return doremi_weights(
+        docs, domain_col="lang", iters=3, eta=0.5, smoothing=0.2
+    )
+
+
+def _doremi_update_ctes(iters: int, eta: float, smoothing: float) -> str:
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"""a{i + 1} AS (
+  SELECT domain, n_docs, n_tokens, share, excess, kk,
+         {1.0 - smoothing} * (a * exp({eta} * excess))
+           / SUM(a * exp({eta} * excess)) OVER ()
+         + {smoothing} / kk AS a
+  FROM a{i})"""
+        )
+    return ",\n".join(steps)
+
+
+ORACLE_DOREMI = f"""
+WITH ex AS (
+  SELECT lang AS domain, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+dw AS (SELECT domain, w, COUNT(*) AS cd FROM ex WHERE w <> ''
+       GROUP BY 1, 2),
+cw AS (SELECT w, SUM(cd) AS cc FROM dw GROUP BY w),
+td AS (SELECT domain, SUM(cd) AS tdn FROM dw GROUP BY domain),
+tot AS (SELECT CAST(SUM(cd) AS DOUBLE) AS t FROM dw),
+nd AS (SELECT lang AS domain, COUNT(*) AS n_docs FROM documents
+       GROUP BY 1),
+kl AS (
+  SELECT dw.domain,
+         SUM(cd * (ln(CAST(cd AS DOUBLE) / tdn)
+                   - ln(CAST(cc AS DOUBLE) / t))) / tdn AS excess,
+         CAST(tdn AS DOUBLE) / t AS share, tdn AS n_tokens
+  FROM dw JOIN cw USING (w) JOIN td USING (domain) CROSS JOIN tot
+  GROUP BY dw.domain, tdn, t),
+k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS kk FROM kl),
+a0 AS (
+  SELECT kl.domain, nd.n_docs, kl.n_tokens, kl.share, kl.excess,
+         k.kk, 1.0 / k.kk AS a
+  FROM kl JOIN nd USING (domain) CROSS JOIN k),
+{_doremi_update_ctes(3, 0.5, 0.2)}
+SELECT domain, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(share, 6) AS base_share,
+       ROUND(excess, 4) AS excess_loss,
+       ROUND(a, 4) AS weight
+FROM a3
+"""
+
+QUERIES["doremi_weights"] = q_doremi_weights
+ORACLE["doremi_weights"] = ORACLE_DOREMI
+
+
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus n-gram novelty: even doc_ids play the at-rest
+    reference corpus, odd doc_ids are the arriving snapshot — per-doc
+    fraction of distinct word-3-grams unseen in the reference (the
+    keep-what's-new selection signal; decontamination's shuffle shape
+    with the verdict inverted)."""
+    from ..operators.corpus_stats import novelty_scores
+    from ..operators.spread import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return novelty_scores(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        n=3,
+    )
+
+
+ORACLE_NOVELTY = f"""
+WITH {_SQL_SHINGLES_3},
+ref AS (SELECT DISTINCT unnest(sh) AS g FROM dsh WHERE doc_id % 2 = 0),
+cand AS (SELECT doc_id, unnest(sh) AS g FROM dsh WHERE doc_id % 2 = 1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(SUM(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS novelty
+FROM cand LEFT JOIN ref USING (g)
+GROUP BY doc_id
+"""
+
+QUERIES["novelty_scores"] = q_novelty_scores
+ORACLE["novelty_scores"] = ORACLE_NOVELTY

@@ -457,3 +457,111 @@ def contamination_matrix(
             ),
         )
     )
+
+
+def doremi_weights(
+    docs: DataFrame,
+    domain_col: str,
+    iters: int = 3,
+    eta: float = 0.5,
+    smoothing: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al., "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    NeurIPS 2023), with a closed-form excess loss in place of the
+    proxy-model training loop: the per-domain excess of the
+    corpus-average unigram LM over the domain's own unigram LM,
+
+        excess(d) = CE_d(corpus LM) - CE_d(domain LM)
+                  = KL( unigram(d) || unigram(corpus) ),
+
+    which is >= 0, zero iff the domain matches the corpus average, and
+    large for domains the shared model fits worst -- the quantity
+    DoReMi's multiplicative-weights player upweights. The weights then
+    follow the paper's exponentiated-gradient update with uniform
+    smoothing, run for a fixed ``iters``:
+
+        u_t(d)   = a_{t-1}(d) * exp(eta * excess(d))
+        a_t(d)   = (1 - smoothing) * u_t(d) / sum(u_t) + smoothing / K
+
+    Determinism: excess is a pure aggregate of the corpus (no RNG, no
+    model init); the update is a fixed-point-free finite loop -- any
+    partitioning, retry, or cluster size reproduces identical weights.
+
+    Execution shape at 100 TB: ONE (domain, word) count shuffle with
+    map-side combine builds both LMs (the corpus LM is the domain
+    marginal -- no second pass over the text); KL is one aggregate
+    over the (domain, word) relation; the update loop runs on the
+    K-row domain frame (K = #domains, bounded and tiny), where the
+    per-step normalization is a window over that K-row frame --
+    single-partition BY DESIGN, like the NTILE-over-25-nations
+    business shape. The document text is scanned once.
+
+    Output: one row per domain -- ``n_docs``, ``n_tokens``,
+    ``base_share`` (token share, rounded 6), ``excess_loss`` (nats,
+    rounded 4), ``weight`` (final a_T, rounded 4; sums to ~1)."""
+    from pyspark.sql import Window
+
+    dw = (
+        docs.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+        )
+        .filter(F.col("__w") != "")
+        .groupBy("domain", "__w")
+        .agg(F.count("*").alias("__cd"))
+    )
+    # corpus counts are the domain marginals of the SAME relation
+    cw = dw.groupBy("__w").agg(F.sum("__cd").alias("__cc"))
+    tot = dw.agg(F.sum("__cd").alias("__t")).select("__t")
+    td = dw.groupBy("domain").agg(F.sum("__cd").alias("__td"))
+    ndocs = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs")
+    )
+    kl = (
+        dw.join(cw, "__w")
+        .join(td, "domain")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("domain")
+        .agg(
+            F.sum(
+                F.col("__cd")
+                * (
+                    F.log(F.col("__cd") / F.col("__td"))
+                    - F.log(F.col("__cc") / F.col("__t"))
+                )
+            ).alias("__kl_sum"),
+            F.first("__td").alias("n_tokens"),
+            F.first("__t").alias("__t"),
+        )
+        .select(
+            "domain",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("__t")).alias("__share"),
+            (F.col("__kl_sum") / F.col("n_tokens")).alias("__excess"),
+        )
+    )
+    # multiplicative-weights loop on the K-row domain frame
+    w_all = Window.partitionBy()
+    cur = kl.withColumn(
+        "__a", F.lit(1.0) / F.count("*").over(w_all)
+    ).withColumn("__k", F.count("*").over(w_all))
+    s = float(smoothing)
+    for _ in range(iters):
+        cur = cur.withColumn(
+            "__u", F.col("__a") * F.exp(F.lit(float(eta)) * F.col("__excess"))
+        ).withColumn(
+            "__a",
+            F.lit(1.0 - s) * F.col("__u") / F.sum("__u").over(w_all)
+            + F.lit(s) / F.col("__k"),
+        )
+    out = cur.join(ndocs, "domain").select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("__share"), 6).alias("base_share"),
+        F.round(F.col("__excess"), 4).alias("excess_loss"),
+        F.round(F.col("__a"), 4).alias("weight"),
+    )
+    return out

@@ -6,23 +6,24 @@ repeated occurrence of a sentence span across the WHOLE corpus,
 keeping exactly one — the first. ``functions/c4.py`` covers C4's
 per-document line filters; this module is the corpus-wide half:
 
-- explode documents into (doc_id, pos, sentence) rows;
+- explode documents into narrow (doc_id, pos, md5) decision rows;
 - a single corpus-wide decision: per distinct sentence hash, the
   occurrence with the smallest (doc_id, pos) survives;
 - reassemble each document from its surviving sentences in original
   order (documents may shrink, possibly to the empty string — the
   caller's length filters decide their fate, never this operator).
 
-Execution shape at 100 TB: sentence text rides exactly two shuffles —
-one hash-partitioned exchange for the keep-first decision (rows are
-(md5, doc_id, pos, sentence)) and one doc_id-partitioned combine for
-reassembly. The decision itself needs only the hash triple; the text
-rides along because reassembly needs it back anyway, so a
-decision-only variant would pay the same exchange twice. Skewed
-sentences (empty/boilerplate present millions of times) are bounded:
-``row_number`` over a hash partition is a partial sort, and the
-keep-first winner per hash is unique, so downstream rows per hash
-collapse to ≤1 survivor plus drop counts.
+Execution shape at 100 TB: sentence TEXT never crosses an exchange.
+The keep-first decision runs over (doc_id, pos, 32-hex) rows as a
+``min(struct(doc_id, pos))`` aggregate — partial aggregation combines
+map-side, so a boilerplate sentence occurring 100M times collapses to
+one partial per task instead of one 100M-row sort partition (the
+window formulation's straggler; measured and replaced in round 7).
+Winner positions fold to one bounded per-doc position list, which
+joins back to the documents on doc_id — the only exchange that
+carries document text, and reassembly is a pure array expression over
+the original row (no re-explode, no doc_id re-shuffle: the combine
+that the window formulation needed is gone entirely).
 
 Reference parity note: the reference repo has no corpus-global text
 dedup — beyond-reference LLM-data-pipeline suite.
@@ -30,7 +31,7 @@ dedup — beyond-reference LLM-data-pipeline suite.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -81,38 +82,39 @@ def sentence_dedup(
     # any select that re-aliases id_col — Spark 4 otherwise resolves
     # the lambda's id_col as a lateral column alias and trips an
     # internal LateralColumnAliasReference error inside posexplode
-    sent = (
-        docs.withColumn("__sents", sentences)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode("__sents").alias("pos", "sentence"),
+    base = docs.withColumn("__sents", sentences).select(
+        F.col(id_col).alias("doc_id"), "__sents"
+    )
+    decision = (
+        base.select("doc_id", F.posexplode("__sents").alias("pos", "__s"))
+        .filter(F.col("__s") != "")
+        .select("doc_id", "pos", F.md5("__s").alias("__h"))
+    )
+    winners = decision.groupBy("__h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("__w")
+    )
+    keeps = (
+        winners.select(
+            F.col("__w.doc_id").alias("doc_id"),
+            F.col("__w.pos").alias("pos"),
         )
-        .filter(F.col("sentence") != "")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("__keep_pos"))
     )
-    w = Window.partitionBy(F.md5("sentence")).orderBy("doc_id", "pos")
-    tagged = sent.withColumn(
-        "__keep", F.row_number().over(w) == 1
+    joined = base.join(keeps, "doc_id", "left").withColumn(
+        "__kp",
+        F.coalesce(
+            "__keep_pos", F.expr("CAST(array() AS array<int>)")
+        ),
     )
-    return tagged.groupBy("doc_id").agg(
-        F.count("*").alias("n_sentences"),
-        F.sum((~F.col("__keep")).cast("bigint")).alias("n_removed"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.filter(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "pos",
-                                F.when(F.col("__keep"), F.col("sentence"))
-                                .otherwise(F.lit(None))
-                                .alias("s"),
-                            )
-                        )
-                    ),
-                    lambda x: x["s"].isNotNull(),
-                ),
-                lambda x: x["s"],
-            ),
-        ).alias("text_clean"),
+    n_sentences = F.size(F.filter("__sents", lambda s: s != ""))
+    kept = F.filter(
+        "__sents",
+        lambda s, i: (s != "") & F.array_contains(F.col("__kp"), i),
+    )
+    return joined.select(
+        "doc_id",
+        n_sentences.cast("bigint").alias("n_sentences"),
+        (n_sentences - F.size("__kp")).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text_clean"),
     )

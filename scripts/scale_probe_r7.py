@@ -1,0 +1,279 @@
+"""Round-7 scale probes (local[32]) for the operators added in rounds
+6-7 that have no SCALE.md row yet:
+
+  bpe         BPE vocabulary training + corpus encode (the r6 script
+              has the same mode; kept here so round-7 probes are one
+              entry point)
+  sentence    C4 global sentence dedup — corpus-wide sentence-hash
+              shuffle + keep-first + per-doc reassembly
+  softdedup   SoftDeDup reweighting — (gram, count) shuffle + gram
+              re-join + per-doc combine
+  trigram     stupid-backoff trigram scoring — LM count tables over
+              the English slice + five LEFT equi-joins over one gram
+              explode
+  tfidf       TF-IDF cosine top-k — corpus idf relation + per-doc
+              norms + TakeOrdered
+  containment shared-shingle self-join with the max_df hot-shingle
+              guard — the shape most at risk of hot-key candidate
+              explosion (10% of docs carry a shared passage, exactly
+              the r6 composed-probe trap)
+  novelty     cross-corpus n-gram novelty — candidate shingles probed
+              against a DISTINCT at-rest vocabulary
+  doremi      DoReMi-lite — one (domain, word) shuffle + K-row update
+
+Corpus: the round-6 generator (~50 words/doc, 5% planted near-dups,
+10% carry a shared 16-token passage). ``containment`` additionally
+plants every doc_id % 25 == 7 as a PREFIX-SUBSET of its neighbor
+(wholly contained, Jaccard well below any symmetric threshold).
+
+Run:  python scripts/scale_probe_r7.py [n_docs] [mode|all]
+Emits one JSON line per probe; summarize into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scale_probe_r6 import gen_corpus  # noqa: E402
+from data_lakehouse_movilidad_publica_santiago_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def probe(name: str, payload: dict) -> None:
+    print(json.dumps({"probe": name, **payload}), flush=True)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    mode = sys.argv[2] if len(sys.argv) > 2 else "all"
+    spark = get_spark(
+        app_name="scale-probe-r7",
+        extra_conf={"spark.network.timeout": "600s"},
+    )
+    work = Path(tempfile.mkdtemp(prefix="probe_r7_"))
+    try:
+        src = str(work / "corpus.parquet")
+        gen_wall = gen_corpus(spark, n_docs, src)
+        probe("gen_corpus", {"n_docs": n_docs, "sec": gen_wall})
+        corpus = spark.read.parquet(src)
+
+        if mode in ("bpe", "all"):
+            from data_lakehouse_movilidad_publica_santiago_spark.operators.bpe import (
+                bpe_encode_counts,
+                bpe_train,
+                word_counts,
+            )
+
+            n_vocab = word_counts(corpus).count()
+            t0 = time.perf_counter()
+            merges, words = bpe_train(corpus, num_merges=8)
+            train_wall = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            n_enc = bpe_encode_counts(corpus, words).count()
+            probe(
+                "bpe_train_encode",
+                {
+                    "n_docs": n_docs,
+                    "n_vocab": n_vocab,
+                    "train_8_merges_sec": train_wall,
+                    "encode_sec": round(time.perf_counter() - t0, 2),
+                    "n_encoded_docs": n_enc,
+                },
+            )
+
+        if mode in ("sentence", "all"):
+            from data_lakehouse_movilidad_publica_santiago_spark.operators.sentence_dedup import (
+                fixed_width_sentences,
+                sentence_dedup,
+            )
+
+            t0 = time.perf_counter()
+            out = sentence_dedup(
+                corpus, fixed_width_sentences(F.col("text"), F.lit(10))
+            )
+            agg = out.agg(
+                F.count("*").alias("docs"),
+                F.sum("n_sentences").alias("sentences"),
+                F.sum("n_removed").alias("removed"),
+            ).collect()[0]
+            probe(
+                "sentence_dedup",
+                {
+                    "n_docs": n_docs,
+                    "sec": round(time.perf_counter() - t0, 2),
+                    "n_sentences": agg["sentences"],
+                    "n_removed": agg["removed"],
+                },
+            )
+
+        if mode in ("softdedup", "all"):
+            from data_lakehouse_movilidad_publica_santiago_spark.operators.soft_dedup import (
+                soft_dedup,
+            )
+
+            t0 = time.perf_counter()
+            agg = (
+                soft_dedup(corpus, n=3)
+                .agg(
+                    F.count("*").alias("docs"),
+                    F.sum(F.col("kept").cast("int")).alias("kept"),
+                    F.round(F.avg("weight"), 4).alias("avg_weight"),
+                )
+                .collect()[0]
+            )
+            probe(
+                "soft_dedup",
+                {
+                    "n_docs": n_docs,
+                    "sec": round(time.perf_counter() - t0, 2),
+                    "kept": agg["kept"],
+                    "avg_weight": agg["avg_weight"],
+                },
+            )
+
+        if mode in ("trigram", "all"):
+            from data_lakehouse_movilidad_publica_santiago_spark.operators.lm_filter import (
+                score_stupid_backoff,
+                train_trigram_lm,
+            )
+
+            # English slice proxy: even doc_ids train, all docs scored
+            ref = corpus.filter(F.col("doc_id") % 2 == 0)
+            t0 = time.perf_counter()
+            model = train_trigram_lm(ref)
+            agg = (
+                score_stupid_backoff(corpus, model)
+                .agg(
+                    F.count("*").alias("docs"),
+                    F.sum("n_trigrams").alias("trigrams"),
+                    F.round(F.avg("cross_entropy"), 4).alias("avg_ce"),
+                )
+                .collect()[0]
+            )
+            probe(
+                "trigram_backoff",
+                {
+                    "n_docs": n_docs,
+                    "sec": round(time.perf_counter() - t0, 2),
+                    "n_trigrams": agg["trigrams"],
+                    "avg_ce": agg["avg_ce"],
+                },
+            )
+
+        if mode in ("tfidf", "all"):
+            from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+                tfidf_topk,
+            )
+
+            # query terms that actually occur: stopwords + one hex word
+            t0 = time.perf_counter()
+            rows = tfidf_topk(corpus, ["the", "and", "of"], top_k=10).collect()
+            probe(
+                "tfidf_topk",
+                {
+                    "n_docs": n_docs,
+                    "sec": round(time.perf_counter() - t0, 2),
+                    "rows": len(rows),
+                },
+            )
+
+        if mode in ("containment", "all"):
+            from data_lakehouse_movilidad_publica_santiago_spark.operators.containment import (
+                containment_pairs,
+            )
+
+            # plant subset docs: doc_id % 25 == 7 becomes the 15-word
+            # prefix of its own text — contained in the original with
+            # C(short -> long) = 1 after the generator's near-dup of
+            # doc_id-1... simpler: truncate the text of those docs so
+            # the (doc, doc-1) near-dup pair becomes containment-only
+            planted = corpus.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 25 == 7,
+                    F.array_join(
+                        F.slice(F.split("text", " "), 1, 15), " "
+                    ),
+                ).otherwise(F.col("text")),
+            )
+            # max_df kills the shared-passage hot shingles (10% of the
+            # corpus carries them) BEFORE the self-join — without it
+            # this shape is the r6 hot-bucket trap
+            t0 = time.perf_counter()
+            n_pairs = containment_pairs(
+                planted, threshold=0.9, k=3, max_df=1000
+            ).count()
+            probe(
+                "containment_pairs",
+                {
+                    "n_docs": n_docs,
+                    "max_df": 1000,
+                    "sec": round(time.perf_counter() - t0, 2),
+                    "pairs": n_pairs,
+                },
+            )
+
+        if mode in ("novelty", "all"):
+            from data_lakehouse_movilidad_publica_santiago_spark.operators.corpus_stats import (
+                novelty_scores,
+            )
+
+            t0 = time.perf_counter()
+            agg = (
+                novelty_scores(
+                    corpus.filter(F.col("doc_id") % 2 == 1),
+                    corpus.filter(F.col("doc_id") % 2 == 0),
+                    n=3,
+                )
+                .agg(
+                    F.count("*").alias("docs"),
+                    F.round(F.avg("novelty"), 4).alias("avg_novelty"),
+                )
+                .collect()[0]
+            )
+            probe(
+                "novelty_scores",
+                {
+                    "n_docs": n_docs,
+                    "sec": round(time.perf_counter() - t0, 2),
+                    "scored_docs": agg["docs"],
+                    "avg_novelty": agg["avg_novelty"],
+                },
+            )
+
+        if mode in ("doremi", "all"):
+            from data_lakehouse_movilidad_publica_santiago_spark.operators.data_mix import (
+                doremi_weights,
+            )
+
+            domains = corpus.withColumn(
+                "domain", F.concat(F.lit("d"), F.col("doc_id") % 8)
+            )
+            t0 = time.perf_counter()
+            rows = doremi_weights(domains, "domain").collect()
+            probe(
+                "doremi_weights",
+                {
+                    "n_docs": n_docs,
+                    "n_domains": len(rows),
+                    "sec": round(time.perf_counter() - t0, 2),
+                },
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
