@@ -11,7 +11,7 @@ The driver's CORRECTNESS snapshot covers the FIRST 50 entries of
 rotation schedule: gates that have not yet appeared in a driver
 CORRECTNESS_r*.json are ordered first, backfilled with a sample of
 already-snapshotted gates; later rounds rotate again so every gate
-eventually carries a driver-recorded green row.  All 98 gates stay
+eventually carries a driver-recorded green row.  All 107 gates stay
 present regardless of order.
 """
 
@@ -101,11 +101,14 @@ _ROTATION_FIRST: tuple[str, ...] = (
     # round-7 additions (first 2 of 6; the rest follow the window)
     "tfidf_topk",
     "sentence_dedup",
-    # round-7 overflow — positions 51-54
+    # round-7 overflow — positions 51-57 (wave 2 included)
     "soft_dedup",
     "contamination_matrix",
     "trigram_ppl",
     "zipf_spectrum",
+    "containment_near_dup",
+    "doremi_weights",
+    "novelty_scores",
 )
 
 

@@ -67,6 +67,10 @@ HEADLINE = [
     # (train + partitioned write); timed passes measure the online
     # query — a file-pruned scan of n_probe/n_cells of the corpus
     "ivf_knn_indexed",
+    # scalar-quantized ANN: the warm-up pass pays the one-time
+    # min/max parameter aggregate; timed passes measure the
+    # two-phase query (int8 dequantized-dot screen + exact rescore)
+    "sq8_knn",
     # simhash_near_dup is correctness-gated at sf0.01 but excluded
     # here: at sf0.1 its RESULT is ~2.5M pairs (the corpus is
     # duplicate-riddled), so wall time measures row transport, not

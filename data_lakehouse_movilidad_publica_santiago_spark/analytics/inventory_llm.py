@@ -1016,3 +1016,65 @@ ORACLE: dict[str, str] = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "tumbling_window_30m": ORACLE_TUMBLING_WINDOW,
 }
+
+
+# ── round-7: scalar-quantized (int8) ANN ────────────────────────────
+
+
+def q_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SQ8 ANN: int8 dequantized-dot screen over the
+    4x-smaller code representation, exact rescore of the top-40
+    candidates, final top-10. The oracle replays the identical
+    algorithm (min/max params, floor-half-up codes, affine approx
+    score with the same left-to-right fold, candidate cut, exact
+    rescore) — and the result equals exact brute-force top-10 on this
+    corpus (recall 1.0, pinned by tests/test_sq8.py)."""
+    from ..operators.similarity import sq8_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, _query_vec(spark, sf_dir), k=10, overfetch=4)
+
+
+def _sq8_oracle_sql(dim: int = 64, k: int = 10, overfetch: int = 4) -> str:
+    los = ", ".join(
+        f"min(CAST(embedding[{i + 1}] AS DOUBLE)) AS lo{i},"
+        f" max(CAST(embedding[{i + 1}] AS DOUBLE)) AS hi{i}"
+        for i in range(dim)
+    )
+    scales = ", ".join(
+        f"CASE WHEN hi{i} > lo{i} THEN (hi{i} - lo{i}) / 255.0"
+        f" ELSE 1.0 END AS s{i}"
+        for i in range(dim)
+    )
+    code = (
+        "least(floor((CAST(e.embedding[{j}] AS DOUBLE) - s.lo{i})"
+        " / s.s{i} + 0.5), 255.0)"
+    )
+    terms = " + ".join(
+        "(" + code.format(i=i, j=i + 1) + f" * (s.s{i} * q.qv[{i + 1}]))"
+        for i in range(dim)
+    )
+    offset = " + ".join(f"(s.lo{i} * q.qv[{i + 1}])" for i in range(dim))
+    return f"""
+WITH p AS (SELECT {los} FROM embeddings),
+s AS (SELECT p.*, {scales} FROM p),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0),
+ap AS (
+  SELECT e.vec_id, ({terms} + ({offset})) AS approx
+  FROM embeddings e CROSS JOIN s CROSS JOIN q),
+cand AS (SELECT vec_id FROM ap
+         ORDER BY approx DESC, vec_id LIMIT {k * overfetch}),
+resc AS (
+  SELECT e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      q.qv), 6) AS cos_sim
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q)
+SELECT vec_id, cos_sim,
+       ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+FROM resc QUALIFY rank <= {k}
+"""
+
+
+QUERIES["sq8_knn"] = q_sq8_knn
+ORACLE["sq8_knn"] = _sq8_oracle_sql()

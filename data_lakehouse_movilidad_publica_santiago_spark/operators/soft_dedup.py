@@ -21,9 +21,19 @@ recipe as ``data_mix.sample_mix`` — partitioning/retry-invariant).
 Execution shape at 100 TB:
 - gram counting is ONE (gram, count) shuffle with map-side partial
   aggregation; gram rows are short strings + a long;
-- scoring re-joins the exploded gram occurrences to the count table
-  on ``gram`` (equi-join; with standard top-M frequency pruning the
-  model side broadcasts — unpruned it hash-partitions, still narrow);
+- the scoring join re-joins the exploded gram occurrences to the
+  count table on ``gram``. Both subtrees are identical, so Catalyst
+  REUSES the count shuffle for the join's gram side (one 240M-row
+  exchange at the 5M-doc probe, not two — visible as ReusedExchange
+  in the plan);
+- measured negative result, for the record (SCALE.md round 7): a
+  cf >= 2 prune of the count table (sound — unique grams add
+  ln(1) = 0) with a separate map-side denominator pass ran 28 %
+  SLOWER at 5M docs (381 s vs 297 s). The pruned model side is only
+  broadcastable on nearly-dup-free corpora (here 15 % planted dup
+  content → 12M dup grams → sort-merge either way), and the extra
+  denominator pass re-evaluates the gram array over every document.
+  The unpruned avg-join with exchange reuse wins; kept;
 - the per-document combine carries (doc_id, ln cf) pairs only; the
   document text never leaves its scan.
 

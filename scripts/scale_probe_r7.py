@@ -26,7 +26,7 @@ Corpus: the round-6 generator (~50 words/doc, 5% planted near-dups,
 plants every doc_id % 25 == 7 as a PREFIX-SUBSET of its neighbor
 (wholly contained, Jaccard well below any symmetric threshold).
 
-Run:  python scripts/scale_probe_r7.py [n_docs] [mode|all]
+Run:  python scripts/scale_probe_r7.py [n_docs] [mode[,mode...]|all]
 Emits one JSON line per probe; summarize into SCALE.md.
 """
 
@@ -57,6 +57,7 @@ def probe(name: str, payload: dict) -> None:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
     mode = sys.argv[2] if len(sys.argv) > 2 else "all"
+    modes = set(mode.split(","))
     spark = get_spark(
         app_name="scale-probe-r7",
         extra_conf={"spark.network.timeout": "600s"},
@@ -68,7 +69,7 @@ def main() -> None:
         probe("gen_corpus", {"n_docs": n_docs, "sec": gen_wall})
         corpus = spark.read.parquet(src)
 
-        if mode in ("bpe", "all"):
+        if modes & {"bpe", "all"}:
             from data_lakehouse_movilidad_publica_santiago_spark.operators.bpe import (
                 bpe_encode_counts,
                 bpe_train,
@@ -92,7 +93,7 @@ def main() -> None:
                 },
             )
 
-        if mode in ("sentence", "all"):
+        if modes & {"sentence", "all"}:
             from data_lakehouse_movilidad_publica_santiago_spark.operators.sentence_dedup import (
                 fixed_width_sentences,
                 sentence_dedup,
@@ -117,7 +118,7 @@ def main() -> None:
                 },
             )
 
-        if mode in ("softdedup", "all"):
+        if modes & {"softdedup", "all"}:
             from data_lakehouse_movilidad_publica_santiago_spark.operators.soft_dedup import (
                 soft_dedup,
             )
@@ -142,7 +143,7 @@ def main() -> None:
                 },
             )
 
-        if mode in ("trigram", "all"):
+        if modes & {"trigram", "all"}:
             from data_lakehouse_movilidad_publica_santiago_spark.operators.lm_filter import (
                 score_stupid_backoff,
                 train_trigram_lm,
@@ -171,7 +172,7 @@ def main() -> None:
                 },
             )
 
-        if mode in ("tfidf", "all"):
+        if modes & {"tfidf", "all"}:
             from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
                 tfidf_topk,
             )
@@ -188,22 +189,31 @@ def main() -> None:
                 },
             )
 
-        if mode in ("containment", "all"):
+        if modes & {"containment", "all"}:
             from data_lakehouse_movilidad_publica_santiago_spark.operators.containment import (
                 containment_pairs,
             )
 
-            # plant subset docs: doc_id % 25 == 7 becomes the 15-word
-            # prefix of its own text — contained in the original with
-            # C(short -> long) = 1 after the generator's near-dup of
-            # doc_id-1... simpler: truncate the text of those docs so
-            # the (doc, doc-1) near-dup pair becomes containment-only
+            # plant containment-ONLY pairs: doc_id % 25 == 7 becomes
+            # the 15-word PREFIX of its predecessor's body, i.e. a
+            # subset document — C(short → long) = 1.0 while Jaccard
+            # ≈ 13/48, invisible to any symmetric threshold. (CRT:
+            # % 25 == 7 never hits the generator's % 20 == 19
+            # near-dups, so these 200k pairs are all NEW; the 250k
+            # suffix-extension near-dups are containment pairs too.)
+            from scale_probe_r6 import _gen_text
+
             planted = corpus.withColumn(
                 "text",
                 F.when(
                     F.col("doc_id") % 25 == 7,
                     F.array_join(
-                        F.slice(F.split("text", " "), 1, 15), " "
+                        F.slice(
+                            F.split(_gen_text(F.col("doc_id") - 1), " "),
+                            1,
+                            15,
+                        ),
+                        " ",
                     ),
                 ).otherwise(F.col("text")),
             )
@@ -224,7 +234,7 @@ def main() -> None:
                 },
             )
 
-        if mode in ("novelty", "all"):
+        if modes & {"novelty", "all"}:
             from data_lakehouse_movilidad_publica_santiago_spark.operators.corpus_stats import (
                 novelty_scores,
             )
@@ -252,7 +262,7 @@ def main() -> None:
                 },
             )
 
-        if mode in ("doremi", "all"):
+        if modes & {"doremi", "all"}:
             from data_lakehouse_movilidad_publica_santiago_spark.operators.data_mix import (
                 doremi_weights,
             )
