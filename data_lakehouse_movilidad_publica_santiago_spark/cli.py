@@ -120,6 +120,22 @@ def main(argv: list[str] | None = None) -> int:
         "occurs more than once in the corpus (Lee et al. 2022)",
     )
     cp.add_argument(
+        "--sentence-dedup",
+        action="store_true",
+        help="C4 corpus-global sentence dedup: cut every repeated "
+        "sentence occurrence across the corpus, keep the first; "
+        "docs deduplicated to nothing are dropped",
+    )
+    cp.add_argument(
+        "--soft-dedup-n",
+        type=int,
+        default=None,
+        metavar="N",
+        help="SoftDeDup sampling stage: weight docs by word-N-gram "
+        "corpus commonness and keep/drop with the seeded hash "
+        "(down-samples boilerplate without a hard threshold)",
+    )
+    cp.add_argument(
         "--ppl-threshold",
         type=float,
         default=None,
@@ -312,6 +328,8 @@ def main(argv: list[str] | None = None) -> int:
             near_threshold=args.near_threshold,
             lsh_est_margin=args.lsh_est_margin,
             lsh_max_bucket=args.lsh_max_bucket,
+            sentence_dedup=args.sentence_dedup,
+            soft_dedup_n=args.soft_dedup_n,
             span_mask_window=args.span_mask_window,
             ppl_threshold=args.ppl_threshold,
             c4=args.c4,

@@ -51,6 +51,8 @@ def build_corpus(
     redact: bool = True,
     near_dedup: bool = False,
     near_threshold: float = 0.85,
+    sentence_dedup: bool = False,
+    soft_dedup_n: int | None = None,
     lsh_est_margin: float | None = None,
     lsh_max_bucket: int | None = None,
     span_mask_window: int | None = None,
@@ -92,6 +94,24 @@ def build_corpus(
     brace, ``c4_blocklist`` word, fewer than ``c4_min_sentences``
     sentences) are dropped — so every later stage sees the cleaned
     text. Map-only; drops land in ``n_docs_dropped_by_c4``.
+
+    ``sentence_dedup=True`` adds C4's corpus-global sentence dedup
+    (Raffel et al. 2020 §2.2, gated as `sentence_dedup`) after the
+    document-level dedups: every repeated occurrence of a sentence
+    across the whole surviving corpus is cut, keeping the first
+    (minimal (doc_id, position)); documents deduplicated to nothing
+    are dropped. Sentences are terminal-punctuation splits
+    (``split_sentences``) — the text never crosses an exchange (see
+    the operator's 100 TB notes).
+
+    ``soft_dedup_n=N`` adds SoftDeDup reweighting (He et al. 2024,
+    gated as `soft_dedup`) as a SAMPLING stage: per-document word
+    N-gram commonness → weight 1/(1+score) → seeded deterministic
+    keep/drop realizes the weight, down-sampling boilerplate-heavy
+    documents without the cliff edge of a hard near-dup threshold.
+    Use it INSTEAD of ``near_dedup`` when coverage matters more than
+    strict dedup (both compose if asked). Drops land in
+    ``n_docs_dropped_by_soft_dedup``; the mean weight is reported.
 
     ``span_mask_window=N`` adds ExactSubstr masking (Lee et al.
     2022) after dedup: every N-token window occurring more than once
@@ -277,6 +297,70 @@ def build_corpus(
         if checkpoint_stages:
             del pairs, comps, scored, survivors, deduped
             kept = _stage_ckpt(kept, "near_dedup")
+    n_sent_removed = 0
+    n_sent_emptied = 0
+    if sentence_dedup:
+        from .operators.sentence_dedup import (
+            sentence_dedup as _sentence_dedup,
+            split_sentences,
+        )
+
+        kept = kept.persist()
+        kept.count()
+        cleaned = _sentence_dedup(
+            kept, split_sentences(F.col(text_col)), id_col=id_col
+        )
+        resent = (
+            kept.drop(text_col)
+            .join(cleaned.withColumnRenamed("doc_id", id_col), id_col)
+            .withColumnRenamed("text_clean", text_col)
+            .persist()
+        )
+        stage_pins.append(resent)
+        srow = resent.agg(
+            F.sum("n_removed").alias("r"),
+            F.sum((F.length(F.col(text_col)) == 0).cast("int")).alias("e"),
+        ).collect()[0]
+        n_sent_removed = int(srow["r"] or 0)
+        n_sent_emptied = int(srow["e"] or 0)
+        t = _mark("sentence_dedup", t)
+        kept.unpersist()
+        kept = resent.filter(F.length(F.col(text_col)) > 0).drop(
+            "n_sentences", "n_removed"
+        )
+        if checkpoint_stages:
+            del cleaned, resent
+            kept = _stage_ckpt(kept, "sentence_dedup")
+    n_soft_dropped = 0
+    soft_avg_weight = None
+    if soft_dedup_n is not None:
+        from .operators.soft_dedup import soft_dedup as _soft_dedup
+
+        kept = kept.persist()
+        n_presoft = kept.count()
+        verdicts = _soft_dedup(
+            kept,
+            n=soft_dedup_n,
+            seed=f"softdedup:{seed}",
+            id_col=id_col,
+            text_col=text_col,
+        ).persist()
+        soft_avg_weight = float(
+            round(verdicts.agg(F.avg("weight")).collect()[0][0] or 1.0, 4)
+        )
+        keep_ids = verdicts.filter(F.col("kept")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        softened = kept.join(keep_ids, id_col, "inner").persist()
+        stage_pins.append(softened)
+        n_soft_dropped = n_presoft - softened.count()
+        t = _mark("soft_dedup", t)
+        verdicts.unpersist()
+        kept.unpersist()
+        kept = softened
+        if checkpoint_stages:
+            del verdicts, keep_ids, softened
+            kept = _stage_ckpt(kept, "soft_dedup")
     n_mask_emptied = 0
     if span_mask_window is not None:
         from .operators.span_dedup import mask_duplicated_spans
@@ -529,6 +613,12 @@ def build_corpus(
         "lsh_max_bucket": lsh_max_bucket if near_dedup else None,
         "lsh_hot_buckets_dropped": lsh_stats.get("hot_buckets_dropped"),
         "lsh_banded_rows_dropped": lsh_stats.get("banded_rows_dropped"),
+        "sentence_dedup": sentence_dedup,
+        "n_sentences_removed": int(n_sent_removed),
+        "n_docs_emptied_by_sentence_dedup": int(n_sent_emptied),
+        "soft_dedup_n": soft_dedup_n,
+        "soft_dedup_avg_weight": soft_avg_weight,
+        "n_docs_dropped_by_soft_dedup": int(n_soft_dropped),
         "span_mask_window": span_mask_window,
         "n_docs_emptied_by_mask": int(n_mask_emptied),
         "ppl_threshold": ppl_threshold,

@@ -710,3 +710,84 @@ def test_corpus_report_bpe_accounting(spark, tmp_path, capsys):
     assert disk["bpe_total_tokens"] == int(expect)
     assert "BPE (3 merges)" in (tmp_path / "rep" / "corpus_report.md").read_text()
     spark.catalog.clearCache()
+
+
+def test_build_corpus_sentence_dedup(spark, tmp_path):
+    """--sentence-dedup cuts corpus-repeated sentences, keeps the
+    first occurrence (minimal doc_id, pos), and drops docs
+    deduplicated to nothing; summary accounts exactly."""
+    shared = "It is a fine day in the park with a friend today."
+    rows = [
+        (
+            i,
+            f"The document number {i} talks about the topic of it "
+            f"with many good words here. " + shared,
+        )
+        for i in range(20)
+    ]
+    rows.append((50, shared))  # only a repeat → emptied → dropped
+    src = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        str(src)
+    )
+    summary = build_corpus(
+        spark,
+        str(src),
+        str(tmp_path / "out"),
+        seed="s1",
+        quality_min=0.0,
+        sentence_dedup=True,
+    )
+    assert summary["sentence_dedup"] is True
+    # the shared sentence survives once (doc 0) — 19 in-doc repeats
+    # cut plus doc 50's sole sentence
+    assert summary["n_sentences_removed"] == 20
+    assert summary["n_docs_emptied_by_sentence_dedup"] == 1
+    assert summary["n_docs_kept"] == 20
+    spark.catalog.clearCache()
+
+
+def test_build_corpus_soft_dedup(spark, tmp_path):
+    """--soft-dedup-n down-samples the boilerplate-heavy fixture
+    (every doc shares the tripled base text → high trigram
+    commonness → weights well below 1) deterministically."""
+    src = tmp_path / "docs.parquet"
+    _write_corpus(spark, src)
+    plain = build_corpus(spark, str(src), str(tmp_path / "plain"), seed="s1")
+    soft = build_corpus(
+        spark, str(src), str(tmp_path / "soft"), seed="s1", soft_dedup_n=3
+    )
+    assert soft["soft_dedup_n"] == 3
+    assert 0.0 < soft["soft_dedup_avg_weight"] < 1.0
+    assert soft["n_docs_dropped_by_soft_dedup"] > 0
+    assert (
+        soft["n_docs_kept"]
+        == plain["n_docs_kept"] - soft["n_docs_dropped_by_soft_dedup"]
+    )
+    # deterministic: same seed reproduces the identical sample
+    again = build_corpus(
+        spark, str(src), str(tmp_path / "soft2"), seed="s1", soft_dedup_n=3
+    )
+    assert (
+        again["n_docs_dropped_by_soft_dedup"]
+        == soft["n_docs_dropped_by_soft_dedup"]
+    )
+    spark.catalog.clearCache()
+
+
+def test_corpus_cli_dedup_stage_flags(spark, tmp_path, capsys):
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+
+    src = tmp_path / "docs.parquet"
+    _write_corpus(spark, src)
+    rc = cli.main(
+        ["corpus", "--input", str(src), "--output", str(tmp_path / "o"),
+         "--sentence-dedup", "--soft-dedup-n", "3"]
+    )  # fmt: skip
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["sentence_dedup"] is True
+    assert summary["soft_dedup_n"] == 3
+    assert summary["n_docs_dropped_by_soft_dedup"] > 0
