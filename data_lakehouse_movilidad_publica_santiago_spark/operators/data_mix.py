@@ -466,6 +466,7 @@ def doremi_weights(
     eta: float = 0.5,
     smoothing: float = 0.2,
     text_col: str = "text",
+    pins: list | None = None,
 ) -> DataFrame:
     """DoReMi-style domain reweighting (Xie et al., "DoReMi:
     Optimizing Data Mixtures Speeds Up Language Model Pretraining",
@@ -496,7 +497,16 @@ def doremi_weights(
     K-row domain frame (K = #domains, bounded and tiny), where the
     per-step normalization is a window over that K-row frame --
     single-partition BY DESIGN, like the NTILE-over-25-nations
-    business shape. The document text is scanned once.
+    business shape. The (domain, word) relation has FOUR consumers
+    (corpus marginal, domain totals, grand total, the KL join): pass
+    ``pins`` to persist it so the text is scanned once -- without a
+    pin Catalyst re-evaluates the token explode per consumer. Pin
+    when vocab << corpus (real language); measured counterpoint
+    (SCALE.md r7): on a word-per-doc hex-soup corpus the pin ran
+    1.5x SLOWER than four columnar re-scans, because the cached
+    relation is itself corpus-sized. The plan pin in
+    tests/test_corpus_plans.py locks the pinned shape to one
+    Generate. The caller releases the pins.
 
     Output: one row per domain -- ``n_docs``, ``n_tokens``,
     ``base_share`` (token share, rounded 6), ``excess_loss`` (nats,
@@ -512,6 +522,9 @@ def doremi_weights(
         .groupBy("domain", "__w")
         .agg(F.count("*").alias("__cd"))
     )
+    if pins is not None:
+        dw = dw.persist()
+        pins.append(dw)
     # corpus counts are the domain marginals of the SAME relation
     cw = dw.groupBy("__w").agg(F.sum("__cd").alias("__cc"))
     tot = dw.agg(F.sum("__cd").alias("__t")).select("__t")

@@ -51,3 +51,35 @@ def has_nested_loop_join(df: DataFrame) -> bool:
     return "BroadcastNestedLoopJoin" in explain_str(df) or "CartesianProduct" in (
         explain_str(df)
     )
+
+
+def exchange_input_cols(df: DataFrame) -> list[str]:
+    """Column list (the ``Input [n]: [...]`` line) of every
+    hash-partitioned Exchange node in the FORMATTED plan — what
+    actually crosses each shuffle. Formatted mode never prints
+    ``Exchange hashpartitioning(...)`` on one line, so regexes over
+    that shape match nothing; use this instead."""
+    text = explain_str(df)
+    return [
+        m.group(1)
+        for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+            r"Arguments: hashpartitioning",
+            text,
+        )
+    ]
+
+
+def window_partition_specs(df: DataFrame) -> list[str]:
+    """The partition-spec list (second bracket of ``Arguments:``) of
+    every Window node in the FORMATTED plan; '' = unpartitioned
+    (single-task) window."""
+    text = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(
+        r"\(\d+\) Window\nInput [^\n]*\n"
+        r"Arguments: \[.*\], \[([^\]]*)\], \[",
+        text,
+    ):
+        out.append(m.group(1))
+    return out

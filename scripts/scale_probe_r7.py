@@ -270,16 +270,22 @@ def main() -> None:
             domains = corpus.withColumn(
                 "domain", F.concat(F.lit("d"), F.col("doc_id") % 8)
             )
+            # pinned (domain, word) relation: one text scan feeds the
+            # four consumers (plan pin in tests/test_corpus_plans.py)
+            pins: list = []
             t0 = time.perf_counter()
-            rows = doremi_weights(domains, "domain").collect()
+            rows = doremi_weights(domains, "domain", pins=pins).collect()
             probe(
                 "doremi_weights",
                 {
                     "n_docs": n_docs,
                     "n_domains": len(rows),
                     "sec": round(time.perf_counter() - t0, 2),
+                    "pinned": True,
                 },
             )
+            for p in pins:
+                p.unpersist()
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

@@ -40,8 +40,14 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
         joined = bucketed_trip_leg_join(spark)
         plan = explain_str(joined)
         assert "SortMergeJoin" in plan, plan
-        # bucketed co-location: no hash-partition shuffle on either side
-        assert "Exchange hashpartitioning" not in plan, plan
+        # bucketed co-location: no hash-partition shuffle on either
+        # side (formatted mode splits node name and arguments across
+        # lines, so check the parsed exchange list, not a substring)
+        from data_lakehouse_movilidad_publica_santiago_spark.plans.checks import (
+            exchange_input_cols,
+        )
+
+        assert exchange_input_cols(joined) == [], plan
         assert joined.count() == 5
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

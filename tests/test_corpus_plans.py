@@ -20,8 +20,10 @@ from data_lakehouse_movilidad_publica_santiago_spark.operators.pii import (
     redact_pii,
 )
 from data_lakehouse_movilidad_publica_santiago_spark.plans.checks import (
+    exchange_input_cols,
     explain_str,
     pushed_filters,
+    window_partition_specs,
 )
 
 from conftest import SF_CORRECTNESS
@@ -63,15 +65,12 @@ def test_rollup_cube_single_expand_single_scan(spark):
 def test_session_window_is_single_key_shuffle(spark):
     """Sessionization shuffles once on the key; no global (empty
     partition spec) window drags the stream to one task."""
-    plan = explain_str(
-        corpus_gate.q_session_windows(spark, SF_CORRECTNESS)
-    )
-    # no unpartitioned Window node (empty partition-spec group) may
-    # appear — session_window should plan as aggregate, not window
-    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
-        assert m.group(2).strip(), "unpartitioned window in session_windows"
-    # session_window plans as (partial) aggregate + exchange on key
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    q = corpus_gate.q_session_windows(spark, SF_CORRECTNESS)
+    plan = explain_str(q)
+    # session_window plans as aggregate, never as a window operator
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
+    # ...with at most two key-hash exchanges
+    assert len(exchange_input_cols(q)) <= 2
 
 
 def test_resample_pushes_key_filter_to_scan(spark):
@@ -96,11 +95,9 @@ def test_global_shuffle_no_single_partition_window(spark):
     )
 
     out = global_shuffle(_docs(spark), seed="plan-probe", n_parts=4)
-    plan = explain_str(out)
-    assert "windowspartitionspec" not in plan.lower()
-    # every Window operator carries a partition spec
-    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
-        assert m.group(2).strip(), "unpartitioned window in global_shuffle"
+    specs = window_partition_specs(out)
+    # the rank window exists AND carries a partition spec
+    assert specs and all(sp.strip() for sp in specs), specs
     out.sparkSession.catalog.clearCache()
 
 
@@ -141,9 +138,10 @@ def test_span_dedup_corpus_shuffle_carries_hashes_only(spark):
         duplicated_spans,
     )
 
-    plan = explain_str(duplicated_spans(_docs(spark), window=8))
-    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        assert "text" not in m.group(1)
+    cols = exchange_input_cols(duplicated_spans(_docs(spark), window=8))
+    assert cols  # the corpus dup-hash shuffle is real, not vacuous
+    for c in cols:
+        assert "text#" not in c, c
 
 
 def test_dsir_one_gram_shape_broadcast_models(spark):
@@ -267,3 +265,151 @@ def test_bpe_encode_is_broadcast_vocab_join(spark):
     # of character sequences, only the word split
     assert "substring(word" not in plan
     spark.catalog.clearCache()
+
+
+def test_sentence_dedup_no_window_no_sentence_text_in_exchanges(spark):
+    """Round-7 rework contract: the keep-first decision is a
+    min(struct) partial aggregate, NOT a window (a hot boilerplate
+    sentence must never sort its whole partition on one task), and no
+    hash Exchange carries exploded sentence text — decision rows are
+    (doc_id, pos, md5) only; the single doc-row join is the only
+    place document content moves."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.sentence_dedup import (
+        fixed_width_sentences,
+        sentence_dedup,
+    )
+
+    docs = _docs(spark)
+    out = sentence_dedup(
+        docs, fixed_width_sentences(F.col("text"), F.lit(5))
+    )
+    plan = explain_str(out)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
+    cols = exchange_input_cols(out)
+    assert cols
+    for c in cols:
+        assert "__s#" not in c, c  # exploded sentence text never shuffles
+
+
+def test_soft_dedup_gram_explode_and_exchange_shape(spark):
+    """SoftDeDup's scoring join re-reads the SAME exploded-gram
+    subtree as the frequency aggregation. At gate scale the count
+    table broadcasts (map-side join); in the sort-merge regime the
+    gram occurrences cross ONE full exchange (the join side) while
+    the count side partial-aggregates map-side BEFORE its (much
+    smaller) exchange. Pin both regimes: the explode never runs more
+    than twice, and the count side keeps its skew-safe partial
+    aggregate."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.soft_dedup import (
+        soft_dedup,
+    )
+
+    plan = explain_str(soft_dedup(_docs(spark), n=3))
+    assert "SortMergeJoin" not in plan  # broadcast regime
+    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 2
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = soft_dedup(_docs(spark), n=3)
+        plan_big = explain_str(big)
+        assert len(re.findall(r"\(\d+\) Generate", plan_big)) <= 2
+        # the count side's exchange carries (gram, partial count):
+        # aggregation happened map-side BEFORE the shuffle (skew-safe)
+        assert any(
+            "__gram#" in c and "count#" in c
+            for c in exchange_input_cols(big)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_trigram_backoff_single_gram_shape(spark):
+    """Stupid-backoff scoring explodes the CORPUS once; the 7-Generate
+    pin decomposes as 1 corpus scoring explode + reference-slice model
+    subtrees re-evaluated per consumer (trigram 1, bigram ×2 joins,
+    unigram ×2 joins, totals chains off unigrams = 6) — all reference-
+    sized, broadcastable, and collapsible by persisting the model
+    frames at scale. A regression that re-explodes the CORPUS per
+    model join would push the count past 7."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.lm_filter import (
+        score_stupid_backoff,
+        train_trigram_lm,
+    )
+
+    docs = _docs(spark)
+    model = train_trigram_lm(docs.filter(F.col("lang") == "en"))
+    plan = explain_str(score_stupid_backoff(docs, model))
+    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 7
+
+
+def test_tfidf_ranking_is_takeordered(spark):
+    """tf-idf top-k never global-sorts the scored corpus."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+        tfidf_topk,
+    )
+
+    plan = explain_str(tfidf_topk(_docs(spark), ["dup", "spark"], top_k=10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sq8_screen_takeordered_rescore_broadcast(spark):
+    """SQ8 contract: the int8 screen ranks via TakeOrdered (local
+    top-k per partition, no global sort) and the exact rescore joins
+    the k*overfetch candidate ids by BROADCAST — a sort-merge join
+    there would shuffle the whole corpus for 40 ids."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+        sq8_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+    q = [float(x) for x in
+         emb.filter("vec_id = 0").collect()[0]["embedding"]]  # fmt: skip
+    plan = explain_str(sq8_topk(emb, q, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_containment_and_novelty_exchanges_carry_hashes_only(spark):
+    """Both shingle-probe operators shuffle (id, 32-hex) rows — no
+    hash Exchange may carry the text column."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.containment import (
+        containment_pairs,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.corpus_stats import (
+        novelty_scores,
+    )
+
+    docs = _docs(spark)
+    for df in (
+        containment_pairs(docs, threshold=0.8, k=3, max_df=100),
+        novelty_scores(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+        ),
+    ):
+        cols = exchange_input_cols(df)
+        assert cols
+        for c in cols:
+            assert "text#" not in c, c
+
+
+def test_doremi_one_token_explode_no_text_exchange(spark):
+    """DoReMi-lite with the (domain, word) relation pinned scans the
+    corpus text once (one Generate feeding the cached relation's four
+    consumers), and the KL/update chain shuffles (domain, word)
+    counts only."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.data_mix import (
+        doremi_weights,
+    )
+
+    pins: list = []
+    try:
+        out = doremi_weights(_docs(spark), "lang", pins=pins)
+        plan = explain_str(out)
+        assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+        for c in exchange_input_cols(out):
+            assert "text#" not in c, c
+    finally:
+        for p in pins:
+            p.unpersist()
