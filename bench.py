@@ -71,6 +71,9 @@ HEADLINE = [
     # min/max parameter aggregate; timed passes measure the
     # two-phase query (int8 dequantized-dot screen + exact rescore)
     "sq8_knn",
+    # MMR diversified retrieval: k map-only scored scans, each a
+    # TakeOrdered(1) with the selected vectors inlined as literals
+    "mmr_topk",
     # simhash_near_dup is correctness-gated at sf0.01 but excluded
     # here: at sf0.1 its RESULT is ~2.5M pairs (the corpus is
     # duplicate-riddled), so wall time measures row transport, not

@@ -1078,3 +1078,69 @@ FROM resc QUALIFY rank <= {k}
 
 QUERIES["sq8_knn"] = q_sq8_knn
 ORACLE["sq8_knn"] = _sq8_oracle_sql()
+
+
+# ── round-7: MMR diversified retrieval ──────────────────────────────
+
+
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-5 for the vec_id=0 query (lam=0.7): greedy
+    selection maximizing relevance minus max-similarity-to-selected.
+    vec_id 0 itself anchors rank 1 (cos 1.0); later ranks trade
+    relevance against redundancy. The oracle replays every greedy
+    step with unrolled CTEs; scores round to 6 before each argmax so
+    fold-order noise cannot flip a selection on either engine."""
+    from ..operators.retrieval import mmr_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return mmr_topk(emb, _query_vec(spark, sf_dir), k=5, lam=0.7)
+
+
+def _mmr_oracle_sql(k: int = 5, lam: float = 0.7) -> str:
+    cos = (
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), {v})"
+    )
+    parts = [
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings"
+        " WHERE vec_id = 0)"
+    ]
+    for i in range(1, k + 1):
+        prev = [f"s{j}" for j in range(1, i)]
+        pen = (
+            "greatest("
+            + ", ".join(
+                cos.format(v=f"CAST({s}.embedding AS DOUBLE[])")
+                for s in prev
+            )
+            + ")"
+            if prev
+            else "0.0"
+        )
+        joins = " ".join(f"CROSS JOIN {s}" for s in prev)
+        excl = (
+            "WHERE e.vec_id NOT IN ("
+            + " UNION ALL ".join(f"SELECT vec_id FROM {s}" for s in prev)
+            + ")"
+            if prev
+            else ""
+        )
+        parts.append(
+            f"""s{i} AS (
+  SELECT e.vec_id, e.embedding,
+         {cos.format(v='q.qv')} AS rel, {pen} AS pen,
+         ROUND({lam} * {cos.format(v='q.qv')} - {1.0 - lam} * {pen}, 6)
+           AS mmr
+  FROM embeddings e CROSS JOIN q {joins}
+  {excl}
+  ORDER BY mmr DESC, e.vec_id LIMIT 1)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, ROUND(rel, 6) AS relevance,"
+        f" ROUND(pen, 6) AS redundancy, mmr AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
+QUERIES["mmr_topk"] = q_mmr_topk
+ORACLE["mmr_topk"] = _mmr_oracle_sql()

@@ -235,3 +235,98 @@ def tfidf_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(top_k)
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified retrieval (Carbonell &
+    Goldstein, SIGIR 1998): greedily select ``k`` vectors maximizing
+
+        MMR(d) = lam * cos(d, q) - (1 - lam) * max_{s in S} cos(d, s)
+
+    where S is the already-selected set -- the standard de-redundancy
+    re-ranker for RAG context assembly and diverse example selection
+    (lam = 1 degenerates to plain top-k; lam -> 0 maximizes spread).
+
+    Execution shape at 100 TB: k DISTRIBUTED passes, each a map-only
+    scored scan + TakeOrdered(1) -- the selected vectors ride along as
+    LITERALS (same driver-literal pattern as the k-means centroids:
+    one (id, vector) row collected per iteration, never a candidate
+    pool). No shuffle anywhere; per-pass cost is one corpus scan, and
+    k is small by construction. Ranking determinism: scores are
+    ROUNDed to 6 before the argmax and ties break on id, so the
+    engine's float fold order cannot flip a selection.
+
+    Output: one row per selected vector, in selection order --
+    ``rank`` (1-based), id, ``relevance`` (cos to the query),
+    ``redundancy`` (max cos to earlier selections; 0.0 for rank 1),
+    ``mmr_score`` (all rounded 6)."""
+    from .similarity import _dot_q_sql, _fold_norm, _norm_sql_name
+
+    dim = len(query_vec)
+    qnorm = _fold_norm(query_vec)
+    rel_sql = (
+        f"({_dot_q_sql(vec_col, query_vec, dim)} / "
+        f"({_norm_sql_name(vec_col, dim)} * {qnorm!r}D))"
+    )
+    spark = embeddings.sparkSession
+    selected: list[tuple] = []  # (id, vec, relevance, redundancy, mmr)
+    for rank in range(1, k + 1):
+        pen_terms = []
+        for _, svec, _, _, _ in selected:
+            snorm = _fold_norm(svec)
+            pen_terms.append(
+                f"({_dot_q_sql(vec_col, svec, dim)} / "
+                f"({_norm_sql_name(vec_col, dim)} * {snorm!r}D))"
+            )
+        # Spark's greatest() requires >= 2 args (DuckDB accepts 1)
+        if not pen_terms:
+            pen_sql = "0.0D"
+        elif len(pen_terms) == 1:
+            pen_sql = pen_terms[0]
+        else:
+            pen_sql = "greatest(" + ", ".join(pen_terms) + ")"
+        score = F.round(
+            F.lit(float(lam)) * F.expr(rel_sql)
+            - F.lit(float(1.0 - lam)) * F.expr(pen_sql),
+            6,
+        )
+        pool = embeddings
+        if selected:
+            chosen = [s[0] for s in selected]
+            pool = pool.filter(~F.col(id_col).isin(chosen))
+        row = (
+            pool.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.expr(rel_sql).alias("__rel"),
+                F.expr(pen_sql).alias("__pen"),
+                score.alias("__mmr"),
+            )
+            .orderBy(F.desc("__mmr"), F.asc(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(
+            (
+                row[id_col],
+                [float(x) for x in row[vec_col]],
+                round(float(row["__rel"]), 6),
+                round(float(row["__pen"]), 6),
+                float(row["__mmr"]),
+            )
+        )
+    return spark.createDataFrame(
+        [
+            (i + 1, s[0], s[2], s[3], s[4])
+            for i, s in enumerate(selected)
+        ],
+        f"rank INT, {id_col} BIGINT, relevance DOUBLE, "
+        "redundancy DOUBLE, mmr_score DOUBLE",
+    )

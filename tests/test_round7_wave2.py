@@ -203,3 +203,83 @@ def test_novelty_normalizes_text(spark):
     cand = _docs(spark, [(1, "the quick brown fox jumps")])
     r = novelty_scores(cand, ref, n=3).collect()[0]
     assert r["novelty"] == 0.0
+
+
+# ── MMR ─────────────────────────────────────────────────────────────
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        ["vec_id", "embedding"],
+    )
+
+
+def test_mmr_lambda_one_is_plain_topk(spark):
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+        mmr_topk,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [float(x) for x in
+         emb.filter("vec_id = 0").collect()[0]["embedding"]]  # fmt: skip
+    plain = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    mmr = [r["vec_id"] for r in mmr_topk(emb, q, k=5, lam=1.0).collect()]
+    assert mmr == plain
+
+
+def test_mmr_skips_redundant_near_duplicate(spark):
+    """Vectors 1 and 2 are nearly identical and most query-relevant;
+    vector 3 is less relevant but orthogonal to them. Plain top-3
+    keeps both near-twins; MMR at lam=0.5 selects one twin, then the
+    diverse vector 3 ahead of the second twin."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+        mmr_topk,
+    )
+
+    # query NOT parallel to the top hit, else penalty ≡ relevance for
+    # every candidate and the comparison degenerates
+    rows = [
+        (1, [0.9, 0.3, 0.0]),
+        (2, [0.89, 0.32, 0.0]),  # near-twin of 1
+        (3, [0.8, -0.55, 0.0]),  # diverse, still query-relevant
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = _vecs(spark, rows)
+    out = mmr_topk(emb, [1.0, 0.0, 0.0], k=2, lam=0.5).collect()
+    assert [r["vec_id"] for r in out] == [1, 3]
+    assert out[0]["rank"] == 1 and out[0]["redundancy"] == 0.0
+
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(y * y for y in b))
+        )
+
+    assert out[1]["redundancy"] == pytest.approx(
+        cos(rows[2][1], rows[0][1]), abs=1e-4
+    )
+    # and the twin would have scored LOWER than the diverse pick
+    mmr2 = 0.5 * cos(rows[1][1], [1, 0, 0]) - 0.5 * cos(
+        rows[1][1], rows[0][1]
+    )
+    assert out[1]["mmr_score"] > mmr2
+
+
+def test_mmr_partitioning_invariant(spark):
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+        mmr_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [float(x) for x in
+         emb.filter("vec_id = 7").collect()[0]["embedding"]]  # fmt: skip
+    a = [tuple(r) for r in mmr_topk(emb.coalesce(1), q, k=4).collect()]
+    b = [tuple(r) for r in mmr_topk(emb.repartition(16), q, k=4).collect()]
+    assert a == b
