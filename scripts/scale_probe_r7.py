@@ -291,5 +291,86 @@ def main() -> None:
         spark.stop()
 
 
+
+
+# appended: ANN probes (brute vs SQ8 vs MMR) over generated vectors.
+# Invoked via mode "ann"; kept out of main()'s corpus flow because the
+# input is an embeddings table, not documents.
+def ann_probe(n_vecs: int = 5_000_000, dim: int = 64) -> None:
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+        mmr_topk,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+        cosine_topk,
+        sq8_params,
+        sq8_topk,
+    )
+
+    spark = get_spark(
+        app_name="scale-probe-r7-ann",
+        extra_conf={"spark.network.timeout": "600s"},
+    )
+    work = Path(tempfile.mkdtemp(prefix="probe_r7_ann_"))
+    try:
+        # deterministic pseudo-random vectors: 16 md5 words -> 64
+        # uniform floats in [-1, 1); fully in-plan
+        comps = []
+        for w in range(16):
+            h = F.md5(F.concat(F.lit(f"v{w}:"), F.col("id").cast("string")))
+            for c in range(4):
+                nib = F.conv(F.substring(h, 1 + 8 * c, 8), 16, 10).cast(
+                    "double"
+                )
+                comps.append(nib / F.lit(2147483648.0) - F.lit(1.0))
+        src = str(work / "vecs.parquet")
+        t0 = time.perf_counter()
+        spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.array(*comps).cast("array<float>").alias("embedding"),
+        ).write.parquet(src)
+        probe("gen_vectors", {
+            "n_vecs": n_vecs, "dim": dim,
+            "sec": round(time.perf_counter() - t0, 2),
+        })  # fmt: skip
+        emb = spark.read.parquet(src)
+        q = [float(x) for x in
+             emb.filter("vec_id = 0").collect()[0]["embedding"]]  # fmt: skip
+
+        t0 = time.perf_counter()
+        exact = [(r["vec_id"], r["cos_sim"])
+                 for r in cosine_topk(emb, q, k=10).collect()]  # fmt: skip
+        probe("brute_cosine_topk", {
+            "n_vecs": n_vecs, "sec": round(time.perf_counter() - t0, 2),
+        })  # fmt: skip
+
+        t0 = time.perf_counter()
+        params = sq8_params(emb, dim=dim)
+        params_wall = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        sq = [(r["vec_id"], r["cos_sim"])
+              for r in sq8_topk(emb, q, k=10, params=params).collect()]  # fmt: skip
+        probe("sq8_topk", {
+            "n_vecs": n_vecs, "params_sec": params_wall,
+            "query_sec": round(time.perf_counter() - t0, 2),
+            "recall_vs_exact": round(
+                len({i for i, _ in sq} & {i for i, _ in exact}) / 10, 2
+            ),
+        })  # fmt: skip
+
+        t0 = time.perf_counter()
+        rows = mmr_topk(emb, q, k=5, lam=0.7).collect()
+        probe("mmr_topk", {
+            "n_vecs": n_vecs, "k": 5,
+            "sec": round(time.perf_counter() - t0, 2),
+            "rows": len(rows),
+        })  # fmt: skip
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[2] == "ann":
+        ann_probe(int(sys.argv[1]))
+    else:
+        main()
