@@ -1144,3 +1144,27 @@ def _mmr_oracle_sql(k: int = 5, lam: float = 0.7) -> str:
 
 QUERIES["mmr_topk"] = q_mmr_topk
 ORACLE["mmr_topk"] = _mmr_oracle_sql()
+
+
+def q_sq8_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN over the at-rest codes layout: the screen scans an
+    sq8_encode codes table, the rescore reads the float vectors for
+    k*overfetch ids only. Same algorithm, same code values, same
+    fold — bit-identical to sq8_knn, so the same replayed-algorithm
+    oracle applies (the ivf_knn_indexed pattern)."""
+    from ..operators.similarity import (
+        sq8_encode,
+        sq8_params,
+        sq8_topk_indexed,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    params = sq8_params(emb, dim=64)
+    codes = sq8_encode(emb, params)
+    return sq8_topk_indexed(
+        codes, emb, _query_vec(spark, sf_dir), params, k=10, overfetch=4
+    )
+
+
+QUERIES["sq8_knn_indexed"] = q_sq8_knn_indexed
+ORACLE["sq8_knn_indexed"] = _sq8_oracle_sql()

@@ -799,3 +799,55 @@ def sq8_topk(
     return rescored.withColumn(
         "rank", F.row_number().over(Window.orderBy(*order))
     )
+
+
+def sq8_topk_indexed(
+    codes: DataFrame,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    params: list[tuple[float, float]],
+    k: int = 10,
+    overfetch: int = 4,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The at-rest form of :func:`sq8_topk`: the screen scans a
+    PERSISTED ``sq8_encode`` codes table instead of re-quantizing the
+    float column — this is where the scan saving actually lives
+    (byte-range ints dictionary/ZSTD-compress far below float32;
+    measured in SCALE.md r7), while :func:`sq8_topk` pays the float
+    scan twice. The approximate score is the identical affine fold
+    over the identical code values (same term order, same literals),
+    so results are bit-for-bit the same as the inline path — one
+    algorithm, two storage layouts (the ivf_knn / ivf_knn_indexed
+    pattern)."""
+    dim = len(query_vec)
+    terms = []
+    offset = 0.0
+    for i, (lo, scale) in enumerate(params):
+        w = scale * float(query_vec[i])
+        terms.append(f"(CAST({codes_col}[{i}] AS DOUBLE) * {w!r}D)")
+        offset += lo * float(query_vec[i])
+    approx_sql = "(" + " + ".join(terms) + f" + {offset!r}D)"
+    cand = (
+        codes.select(F.col(id_col), F.expr(approx_sql).alias("__approx"))
+        .orderBy(F.desc("__approx"), F.asc(id_col))
+        .limit(k * overfetch)
+        .select(id_col)
+    )
+    qnorm = _fold_norm(query_vec)
+    score_sql = (
+        f"ROUND({_dot_q_sql(vec_col, query_vec, dim)} / "
+        f"({_norm_sql_name(vec_col, dim)} * {qnorm!r}D), 6)"
+    )
+    order = [F.desc("cos_sim"), F.asc(id_col)]
+    rescored = (
+        embeddings.join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), F.expr(score_sql).alias("cos_sim"))
+        .orderBy(*order)
+        .limit(k)
+    )
+    return rescored.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )

@@ -357,6 +357,37 @@ def ann_probe(n_vecs: int = 5_000_000, dim: int = 64) -> None:
             ),
         })  # fmt: skip
 
+        # at-rest codes layout: the screen scans the persisted int8
+        # codes (dictionary/ZSTD-friendly), rescore reads 40 vectors
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+            sq8_encode,
+            sq8_topk_indexed,
+        )
+
+        codes_path = str(work / "codes.parquet")
+        t0 = time.perf_counter()
+        sq8_encode(emb, params).write.parquet(codes_path)
+        encode_wall = round(time.perf_counter() - t0, 2)
+        codes = spark.read.parquet(codes_path)
+
+        def _dir_mb(p):
+            return round(
+                sum(f.stat().st_size for f in Path(p).rglob("*.parquet"))
+                / 1e6,
+                1,
+            )
+
+        t0 = time.perf_counter()
+        idx = [(r["vec_id"], r["cos_sim"])
+               for r in sq8_topk_indexed(codes, emb, q, params, k=10).collect()]  # fmt: skip
+        probe("sq8_topk_indexed", {
+            "n_vecs": n_vecs, "encode_sec": encode_wall,
+            "query_sec": round(time.perf_counter() - t0, 2),
+            "codes_mb": _dir_mb(codes_path),
+            "vectors_mb": _dir_mb(src),
+            "same_as_inline": idx == sq,
+        })  # fmt: skip
+
         t0 = time.perf_counter()
         rows = mmr_topk(emb, q, k=5, lam=0.7).collect()
         probe("mmr_topk", {

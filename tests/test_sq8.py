@@ -101,3 +101,25 @@ def test_sq8_rank_and_self_hit(spark):
     assert rows[0]["vec_id"] == 3
     assert rows[0]["cos_sim"] == pytest.approx(1.0)
     assert [r["rank"] for r in rows] == [1, 2, 3]
+
+
+def test_sq8_indexed_equals_inline(spark):
+    """The at-rest codes layout reproduces the inline path
+    bit-for-bit: same code values, same affine fold, same result."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+        sq8_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    q = [
+        float(x)
+        for x in emb.filter("vec_id = 5").collect()[0]["embedding"]
+    ]
+    params = sq8_params(emb, dim=64)
+    codes = sq8_encode(emb, params)
+    inline = [tuple(r) for r in sq8_topk(emb, q, k=7, params=params).collect()]
+    indexed = [
+        tuple(r)
+        for r in sq8_topk_indexed(codes, emb, q, params, k=7).collect()
+    ]
+    assert indexed == inline
