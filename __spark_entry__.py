@@ -56,6 +56,8 @@ _ROTATION_FIRST: tuple[str, ...] = (
     "mmr_topk",
     "sq8_knn",
     "sq8_knn_indexed",
+    # round-8 additions (never snapshotted)
+    "mmr_topk_pooled",
 )
 
 

@@ -263,10 +263,14 @@ def mmr_topk(
     ROUNDed to 6 before the argmax and ties break on id, so the
     engine's float fold order cannot flip a selection.
 
+    If the corpus holds fewer than ``k`` vectors the selection stops
+    when the pool is exhausted and the shorter result is returned.
+
     Output: one row per selected vector, in selection order --
     ``rank`` (1-based), id, ``relevance`` (cos to the query),
     ``redundancy`` (max cos to earlier selections; 0.0 for rank 1),
-    ``mmr_score`` (all rounded 6)."""
+    ``mmr_score`` (all rounded 6).  The id column keeps the input's
+    type (not hardcoded BIGINT)."""
     from .similarity import _dot_q_sql, _fold_norm, _norm_sql_name
 
     dim = len(query_vec)
@@ -301,7 +305,7 @@ def mmr_topk(
         if selected:
             chosen = [s[0] for s in selected]
             pool = pool.filter(~F.col(id_col).isin(chosen))
-        row = (
+        rows = (
             pool.select(
                 F.col(id_col),
                 F.col(vec_col),
@@ -311,8 +315,11 @@ def mmr_topk(
             )
             .orderBy(F.desc("__mmr"), F.asc(id_col))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:  # corpus exhausted before k selections
+            break
+        row = rows[0]
         selected.append(
             (
                 row[id_col],
@@ -327,6 +334,160 @@ def mmr_topk(
             (i + 1, s[0], s[2], s[3], s[4])
             for i, s in enumerate(selected)
         ],
-        f"rank INT, {id_col} BIGINT, relevance DOUBLE, "
-        "redundancy DOUBLE, mmr_score DOUBLE",
+        _mmr_schema(embeddings, id_col),
     )
+
+
+def _mmr_schema(embeddings: DataFrame, id_col: str):
+    """Output schema for the MMR operators; the id field keeps the
+    input column's type so non-BIGINT ids (strings, ints) round-trip."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField(id_col, embeddings.schema[id_col].dataType),
+            StructField("relevance", DoubleType()),
+            StructField("redundancy", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+
+
+def _round_half_up6(x: float) -> float:
+    """Spark's ROUND(x, 6) on DOUBLE: exact BigDecimal of the binary
+    double, setScale(6, HALF_UP), back to double.  Python's built-in
+    round() is half-even on the binary value and can differ on exact
+    .5 boundaries, so the driver-side greedy replays Spark's rule."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def mmr_topk_pooled(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.7,
+    pool_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    return_certificate: bool = False,
+):
+    """:func:`mmr_topk` re-ranked over a bounded relevance pool — the
+    100 TB execution shape.  One distributed relevance pass (the same
+    ``TakeOrderedAndProject`` scan as ``cosine_topk``, overfetched to
+    ``pool_size``) collects a bounded candidate pool WITH vectors;
+    the greedy MMR loop then runs driver-side over ≤ ``pool_size``
+    rows with arithmetic bit-identical to the distributed path (same
+    left-to-right float folds, same HALF_UP round-to-6 before each
+    argmax, same id tiebreak).
+
+    Versus ``mmr_topk``'s k full-corpus scans this is ONE scan + k
+    in-memory loops: at 100 TB the corpus is read once (or the pool
+    comes from an ANN index — ``ivf_topk_indexed`` / ``sq8_topk_indexed``
+    with overfetch — making it sub-scan), and per-step cost no longer
+    touches the cluster at all.
+
+    Exactness: the output equals ``mmr_topk`` whenever the pool
+    contains every vector the exact greedy would select.  Because the
+    pool is the relevance top-``pool_size``, a sufficient certificate
+    is that each step's chosen (rounded) score is ≥ the best score any
+    out-of-pool vector could reach, ``lam·rel_pool_min + (1-lam)``
+    (redundancy ≥ −1; returned when ``return_certificate=True``).  The gate
+    additionally pins pooled == exact via the full-corpus oracle.
+    ``pool_size`` defaults to ``max(64·k, 256)``, covered by the
+    equality tests.
+
+    If the corpus holds fewer than ``k`` vectors the shorter selection
+    is returned (same contract as ``mmr_topk``)."""
+    from .similarity import _dot_q_sql, _fold_norm, _norm_sql_name
+
+    if pool_size is None:
+        pool_size = max(64 * k, 256)
+    if pool_size < k:
+        raise ValueError(f"pool_size={pool_size} must be >= k={k}")
+    dim = len(query_vec)
+    qnorm = _fold_norm(query_vec)
+    rel_sql = (
+        f"({_dot_q_sql(vec_col, query_vec, dim)} / "
+        f"({_norm_sql_name(vec_col, dim)} * {qnorm!r}D))"
+    )
+    spark = embeddings.sparkSession
+    # pass 1: distributed relevance top-pool (per-partition top-k +
+    # driver merge; never a global sort), vectors ride along
+    pool_rows = (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col), F.expr(rel_sql).alias("__rel")
+        )
+        .orderBy(F.desc("__rel"), F.asc(id_col))
+        .limit(pool_size)
+        .collect()
+    )
+
+    def _fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    cand = [
+        (
+            r[id_col],
+            [float(x) for x in r[vec_col]],
+            float(r["__rel"]),  # already the SQL-fold double
+        )
+        for r in pool_rows
+    ]
+    norms = {cid: _fold_norm(vec) for cid, vec, _ in cand}
+    selected: list[tuple] = []  # (id, vec, rel6, pen6, mmr6)
+    remaining = list(cand)
+    sel_norms: list[float] = []
+    for _ in range(k):
+        if not remaining:
+            break
+        scored = []
+        for cid, vec, rel in remaining:
+            if selected:
+                pens = [
+                    _fold_dot(vec, svec) / (norms[cid] * sel_norms[j])
+                    for j, (sid, svec, _r, _p, _m) in enumerate(selected)
+                ]
+                pen = max(pens)
+            else:
+                pen = 0.0
+            mmr = _round_half_up6(
+                float(lam) * rel - float(1.0 - lam) * pen
+            )
+            scored.append((cid, vec, rel, pen, mmr))
+        best = min(scored, key=lambda s: (-s[4], s[0]))
+        selected.append(
+            (best[0], best[1], round(best[2], 6), round(best[3], 6), best[4])
+        )
+        sel_norms.append(norms[best[0]])
+        remaining = [c for c in remaining if c[0] != best[0]]
+    out = spark.createDataFrame(
+        [(i + 1, s[0], s[2], s[3], s[4]) for i, s in enumerate(selected)],
+        _mmr_schema(embeddings, id_col),
+    )
+    if not return_certificate:
+        return out
+    # Conservative pool-sufficiency certificate: any vector OUTSIDE the
+    # relevance top-pool has rel <= rel_pool_min and redundancy >= -1,
+    # so its MMR score is <= lam*rel_pool_min + (1-lam).  If every
+    # chosen step scored strictly above that bound, no out-of-pool
+    # vector could have displaced a selection — pooled == exact,
+    # certified without touching the full corpus again.  (The pool not
+    # covering the corpus is required for the bound to mean anything;
+    # when pool >= corpus the result is exact by construction.)
+    if len(cand) < pool_size:
+        return out, True  # pool held the whole corpus
+    rel_pool_min = cand[-1][2]
+    bound = float(lam) * rel_pool_min + float(1.0 - lam)
+    certified = all(s[4] > bound for s in selected)
+    return out, certified
