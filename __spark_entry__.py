@@ -58,6 +58,8 @@ _ROTATION_FIRST: tuple[str, ...] = (
     "sq8_knn_indexed",
     # round-8 additions (never snapshotted)
     "mmr_topk_pooled",
+    "pq_knn",
+    "pq_knn_indexed",
 )
 
 

@@ -1189,3 +1189,158 @@ def q_sq8_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sq8_knn_indexed"] = q_sq8_knn_indexed
 ORACLE["sq8_knn_indexed"] = _sq8_oracle_sql()
+
+
+# ── round-8: product-quantization (PQ) ANN ──────────────────────────
+
+_PQ_CODEBOOK_CACHE: dict[str, list] = {}
+
+
+def _pq_codebooks_for(spark: SparkSession, sf_dir: str) -> list:
+    """Train-once-per-process codebooks (the lazy prebuilt-state
+    pattern the IVF/MinHash index gates use): pq_knn and
+    pq_knn_indexed share one training run per sf_dir."""
+    if sf_dir not in _PQ_CODEBOOK_CACHE:
+        from ..operators.pq import pq_train
+
+        _PQ_CODEBOOK_CACHE[sf_dir] = pq_train(
+            t(spark, sf_dir, "embeddings"), m=8, ksub=16, iters=2
+        )
+    return _PQ_CODEBOOK_CACHE[sf_dir]
+
+
+def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase product-quantization ANN (m=8 subspaces, ksub=16,
+    2 Lloyd iterations, deterministic smallest-id init): ADC screen on
+    the norm-corrected approximate cosine over 8 int codes per vector
+    (~32x smaller at rest than float32), exact rescore of the top-160
+    candidates, final top-10. The oracle replays the ENTIRE algorithm
+    relationally — both training iterations, the per-subspace argmin
+    encoding, the ADC lookup tables, the rounded approximate-cosine
+    cut, and the exact rescore — and the result equals exact
+    brute-force top-10 on this corpus (recall 1.0 at overfetch=16,
+    pinned by tests/test_pq.py)."""
+    from ..operators.pq import pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=10,
+        overfetch=16,
+        codebooks=_pq_codebooks_for(spark, sf_dir),
+    )
+
+
+def q_pq_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN over the at-rest codes layout: the ADC screen scans a
+    pq_encode codes relation (8 small ints per vector), the rescore
+    reads float vectors for 160 ids only. Identical code values,
+    lookup tables and folds as the inline path — bit-for-bit the same
+    results (the ivf/sq8 two-layout pattern), so the same
+    replayed-algorithm oracle applies."""
+    from ..operators.pq import pq_encode, pq_topk_indexed
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks_for(spark, sf_dir)
+    codes = pq_encode(emb, cb)
+    return pq_topk_indexed(
+        codes, emb, _query_vec(spark, sf_dir), cb, k=10, overfetch=16
+    )
+
+
+def _pq_oracle_sql(
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    k: int = 10,
+    overfetch: int = 16,
+) -> str:
+    """Full relational replay of pq_topk: subspace split, smallest-id
+    distinct init, assignment iteration (rounded dists, lowest-cid
+    ties), rounded centroid update, final encoding, ADC lookup tables
+    (same left-to-right folds), rounded approximate-cosine candidate
+    cut, exact rescore. DuckDB lists are 1-based; every fold is
+    written left-associative to match the Spark/Python folds."""
+    dsub = dim // m
+
+    def sq(i: int) -> str:  # (sv[i] - c.v[i])^2, 1-based
+        return f"(s.sv[{i}] - c.v[{i}]) * (s.sv[{i}] - c.v[{i}])"
+
+    dist = " + ".join(sq(t + 1) for t in range(dsub))
+    lut_dq = " + ".join(
+        f"c1.v[{t + 1}] * q.qv[c1.j * {dsub} + {t + 1}]" for t in range(dsub)
+    )
+    lut_n2 = " + ".join(
+        f"c1.v[{t + 1}] * c1.v[{t + 1}]" for t in range(dsub)
+    )
+    qnorm = " + ".join(f"q.qv[{i + 1}] * q.qv[{i + 1}]" for i in range(dim))
+    kcols = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN cid END) AS k{j}" for j in range(m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut l{j} ON l{j}.j = {j} AND l{j}.cid = p.k{j}"
+        for j in range(m)
+    )
+    adc_dot = " + ".join(f"l{j}.dq" for j in range(m))
+    adc_n2 = " + ".join(f"l{j}.n2" for j in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+sub AS (
+  SELECT e.vec_id, dims.j,
+         list_slice(e.v, dims.j * {dsub} + 1, dims.j * {dsub} + {dsub}) AS sv
+  FROM e CROSS JOIN dims),
+c0 AS (
+  SELECT j, CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY mid) - 1 AS INT)
+           AS cid, sv AS v
+  FROM (SELECT j, sv, MIN(vec_id) AS mid FROM sub GROUP BY j, sv)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY j ORDER BY mid) <= {ksub}),
+d0 AS (
+  SELECT s.vec_id, s.j, c.cid, ROUND({dist}, 6) AS d
+  FROM sub s JOIN c0 c ON s.j = c.j),
+a0 AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+    FROM d0) WHERE rn = 1),
+u1 AS (
+  SELECT a0.j, a0.cid, ts.t, ROUND(AVG(s.sv[ts.t]), 6) AS cv
+  FROM a0 JOIN sub s ON a0.vec_id = s.vec_id AND a0.j = s.j
+  CROSS JOIN (SELECT unnest(generate_series(1, {dsub})) AS t) ts
+  GROUP BY a0.j, a0.cid, ts.t),
+c1 AS (SELECT j, cid, array_agg(cv ORDER BY t) AS v FROM u1 GROUP BY j, cid),
+d1 AS (
+  SELECT s.vec_id, s.j, c.cid, ROUND({dist}, 6) AS d
+  FROM sub s JOIN c1 c ON s.j = c.j),
+enc AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+    FROM d1) WHERE rn = 1),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0),
+lut AS (
+  SELECT c1.j, c1.cid, ({lut_dq}) AS dq, ({lut_n2}) AS n2
+  FROM c1 CROSS JOIN q),
+qn AS (SELECT SQRT({qnorm}) AS qnorm FROM q),
+p AS (SELECT vec_id, {kcols} FROM enc GROUP BY vec_id),
+ap AS (
+  SELECT p.vec_id,
+         ROUND(({adc_dot}) / (SQRT({adc_n2}) * qn.qnorm), 6) AS approx
+  FROM p {lut_joins} CROSS JOIN qn),
+cand AS (SELECT vec_id FROM ap
+         ORDER BY approx DESC, vec_id LIMIT {k * overfetch}),
+resc AS (
+  SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+  FROM e JOIN cand USING (vec_id) CROSS JOIN q)
+SELECT vec_id, cos_sim,
+       ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+FROM resc QUALIFY rank <= {k}
+"""
+
+
+QUERIES["pq_knn"] = q_pq_knn
+ORACLE["pq_knn"] = _pq_oracle_sql()
+QUERIES["pq_knn_indexed"] = q_pq_knn_indexed
+ORACLE["pq_knn_indexed"] = _pq_oracle_sql()

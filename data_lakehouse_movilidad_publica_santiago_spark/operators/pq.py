@@ -1,0 +1,449 @@
+"""Product-quantization (PQ) ANN over an embedding column.
+
+Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011): split each dim-``D`` vector into ``m``
+contiguous subvectors of ``D/m`` dims, k-means each subspace to
+``ksub`` centroids, and store only the per-subspace centroid ids —
+``m`` small ints per vector.  At ``m=8`` over float32 dim-64 input
+that is 8 bytes vs 256: ~32× smaller at rest (vs SQ8's 4×), the
+standard billion-scale at-rest ANN format.  Queries screen with
+Asymmetric Distance Computation (ADC): a per-query lookup table of
+``m × ksub`` centroid·query partial dots, so the approximate score of
+a vector is ``m`` table lookups — no float vector is touched until
+the exact rescore of the top ``k·overfetch`` candidates.
+
+Execution shape, built for the 100 TB corpus:
+
+- **Training** is Lloyd's over all ``m`` subspaces JOINTLY: one
+  map-only pass computes every subspace's argmin against driver-held
+  literal centroids (the k-means centroid-literal pattern,
+  ``operators/kmeans.py``), and ONE ``posexplode`` shuffle per
+  iteration updates all ``m × ksub × dsub`` centroid components —
+  not ``m`` separate k-means jobs.
+- **Encoding** is map-only: the argmin expressions fold into one
+  whole-stage-codegen projection; codes persist as ``array<int>``
+  (``build_pq_index``) and dictionary/ZSTD-compress far below the
+  float column.
+- **Query** reads only the codes relation for the screen (ADC via
+  ``element_at`` on ``m`` literal lookup arrays), TakeOrdered cuts
+  ``k·overfetch`` ids per partition, and the rescore joins the float
+  vectors for those ids only (broadcast semi-join).
+
+Screen score: unlike the SQ8 screen (raw dequantized dot — biased
+toward large-norm vectors when rescoring by cosine), the PQ screen is
+a norm-corrected approximate COSINE: the reconstruction's squared
+norm is itself a code lookup (``Σ_j ‖c_{j,code_j}‖²`` — subspace
+cross-terms vanish because reconstructions are blockwise), so
+
+    approx_cos(v) = Σ_j lut_dot[j][code_j]
+                    / (sqrt(Σ_j lut_norm2[j][code_j]) · ‖q‖)
+
+costs the same ``m`` lookups and removes the norm bias.
+
+Determinism contract (what the differential gate replays):
+
+- centroid init per subspace = the ``ksub`` DISTINCT subvectors with
+  the smallest ids (duplicate-safe, no sampling);
+- squared-L2 assignment distances are fixed left-to-right folds,
+  ROUNDed to 6 before the argmin; ties break on the lowest code;
+- centroid updates (averages) are ROUNDed to 6, so both engines
+  iterate from identical doubles; ``iters`` is pinned ≤ 2 for the
+  same empty-cluster-semantics reason as ``_kmeans_ctes``;
+- ADC lookup values are folded left-to-right driver-side with the
+  same op order as the oracle's SQL folds (bit-identical doubles);
+  the approximate cosine is ROUNDed to 6 before the candidate cut and
+  ties break on id.
+
+Reference behavioral parity: the reference engine exposes only exact
+scans (`src/webapp/query_service.py`); PQ extends the repo's ANN
+ladder (brute → LSH → IVF → SQ8 → PQ) for the training-data pipeline
+suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .kmeans import _dlit
+
+
+def _fold_dot_py(a: list[float], b: list[float]) -> float:
+    """Left-to-right Python fold, same op order as the SQL unrolls."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _sub_dist_sql(vec_col: str, centroid: list[float], j: int, dsub: int) -> str:
+    """Unrolled squared-L2 of subspace ``j``'s slice against a literal
+    centroid: left-to-right fold over the dsub dims, ROUND 6 (the
+    argmin then compares identical doubles on both engines)."""
+    base = j * dsub
+    terms = [
+        f"(CAST({vec_col}[{base + t}] AS DOUBLE) - ({_dlit(centroid[t])}))"
+        f" * (CAST({vec_col}[{base + t}] AS DOUBLE) - ({_dlit(centroid[t])}))"
+        for t in range(dsub)
+    ]
+    return f"ROUND({' + '.join(terms)}, 6)"
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Train the ``m`` subspace codebooks; returns
+    ``codebooks[j][c] = dsub-vector`` (rounded doubles after the last
+    update; iteration-0 centroids are raw data values).
+
+    One init shuffle (per-subspace distinct subvectors, smallest-id
+    wins), then per iteration: one map-only assign pass + one
+    ``posexplode`` shuffle whose rows are (subspace, code, dim,
+    partial-sum) — ``m·ksub·dsub`` rounded doubles back to the driver
+    (8·16·8 = 1k for the defaults: bounded, like the k-means and IVF
+    trainers)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    if iters < 1 or iters > 2:
+        raise ValueError(
+            "pq_train is pinned to 1 <= iters <= 2 (oracle parity: the "
+            "relational replay drops empty clusters, the operator keeps "
+            "stale centroids; provably identical only through iter 2)"
+        )
+    dsub = dim // m
+    vec = F.col(vec_col)
+    # init: for every subspace, the ksub DISTINCT subvectors with the
+    # smallest ids — ONE query over an exploded (subspace, subvector)
+    # relation instead of m separate scans
+    sub_slices = F.array(*[F.slice(vec, j * dsub + 1, dsub) for j in range(m)])
+    init_rows = (
+        embeddings.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(sub_slices).alias("__j", "__sv"),
+        )
+        .groupBy("__j", "__sv")
+        .agg(F.min("__id").alias("__minid"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__j").orderBy("__minid")
+            ),
+        )
+        .filter(F.col("__rn") <= ksub)
+        .collect()
+    )
+    codebooks: list[list[list[float] | None]] = [
+        [None] * ksub for _ in range(m)
+    ]
+    counts = [0] * m
+    for r in init_rows:
+        codebooks[r["__j"]][r["__rn"] - 1] = [float(x) for x in r["__sv"]]
+        counts[r["__j"]] += 1
+    short = [j for j, c in enumerate(counts) if c < ksub]
+    if short:
+        raise ValueError(
+            f"subspaces {short} have fewer than ksub={ksub} distinct "
+            "subvectors; lower ksub"
+        )
+
+    for it in range(iters - 1):
+        # update all m subspaces in ONE shuffle: explode vector
+        # positions, derive (subspace, code, in-subspace dim), average
+        upd = (
+            _with_codes(
+                embeddings, codebooks, dsub, keep=[vec_col], vec_col=vec_col
+            )
+            .select(
+                F.posexplode(F.col(vec_col)).alias("__i", "__x"),
+                F.array(*[F.col(f"__code{j}") for j in range(m)]).alias("__cs"),
+            )
+            .select(
+                (F.col("__i") / dsub).cast("int").alias("__j"),
+                F.element_at(
+                    "__cs", ((F.col("__i") / dsub).cast("int") + 1)
+                ).alias("__c"),
+                (F.col("__i") % dsub).alias("__t"),
+                F.col("__x").cast("double").alias("__x"),
+            )
+            .groupBy("__j", "__c", "__t")
+            .agg(F.round(F.avg("__x"), 6).alias("__v"))
+            .collect()
+        )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in upd:
+            new.setdefault((r["__j"], r["__c"]), {})[r["__t"]] = r["__v"]
+        codebooks = [
+            [
+                [new[(j, c)][t] for t in range(dsub)]
+                if (j, c) in new
+                else codebooks[j][c]
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+    return codebooks  # type: ignore[return-value]
+
+
+def _with_codes(
+    df: DataFrame,
+    codebooks,
+    dsub: int,
+    keep: list[str],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``keep`` columns + one ``__code{j}`` INT column per subspace.
+
+    Three STAGED projections (dists → argmin-as-attribute-compares),
+    mirroring ``kmeans_fit_assign``: naming the m·ksub distance
+    expressions keeps every later reference an attribute, so the plan
+    stays ~m·ksub·dsub nodes.  A single-expression argmin (``least``
+    re-inlined inside each ``when`` branch) squares that to a tree
+    whole-stage codegen cannot compile at m=8/ksub=16 (observed
+    driver-heap OOM — the ``_dot_lit`` failure mode)."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    d_cols = [
+        F.expr(_sub_dist_sql(vec_col, c, j, dsub)).alias(f"__d{j}_{ci}")
+        for j, cents in enumerate(codebooks)
+        for ci, c in enumerate(cents)
+    ]
+    s1 = df.select(*keep, *d_cols)
+    mn_cols = [
+        (
+            F.least(*[F.col(f"__d{j}_{c}") for c in range(ksub)])
+            if ksub > 1
+            else F.col(f"__d{j}_0")
+        ).alias(f"__mn{j}")
+        for j in range(m)
+    ]
+    s2 = s1.select("*", *mn_cols)
+    codes = []
+    for j in range(m):
+        code = F.lit(None).cast("int")
+        for c in reversed(range(ksub)):
+            code = F.when(
+                F.col(f"__d{j}_{c}") == F.col(f"__mn{j}"), c
+            ).otherwise(code)
+        codes.append(code.alias(f"__code{j}"))
+    return s2.select(*keep, *codes)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int> length m) — the at-rest form: ~32× fewer
+    bytes than float32 at m=8/ksub≤256 when persisted.  Map-only."""
+    dsub = len(codebooks[0][0])
+    m = len(codebooks)
+    coded = _with_codes(
+        embeddings, codebooks, dsub, keep=[id_col], vec_col=vec_col
+    )
+    return coded.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__code{j}") for j in range(m)]).alias("codes"),
+    )
+
+
+def _adc_luts(
+    codebooks: list[list[list[float]]], query_vec: list[float]
+) -> tuple[list[list[float]], list[list[float]]]:
+    """Per-subspace ADC lookup tables: lut_dot[j][c] = c_{j,c}·q_j and
+    lut_norm2[j][c] = ‖c_{j,c}‖², folded left-to-right (bit-identical
+    to the oracle's SQL folds over the same rounded centroids)."""
+    dsub = len(codebooks[0][0])
+    lut_dot, lut_norm2 = [], []
+    for j, cents in enumerate(codebooks):
+        qsub = [float(x) for x in query_vec[j * dsub : (j + 1) * dsub]]
+        lut_dot.append([_fold_dot_py(c, qsub) for c in cents])
+        lut_norm2.append([_fold_dot_py(c, c) for c in cents])
+    return lut_dot, lut_norm2
+
+
+def _approx_cos_sql(
+    codes_col: str,
+    lut_dot: list[list[float]],
+    lut_norm2: list[list[float]],
+    qnorm: float,
+) -> str:
+    """ADC approximate cosine over a codes array column: m literal-array
+    lookups for the dot, m for the reconstruction norm², explicit
+    left-to-right sums, ROUND 6 before the candidate cut."""
+    m = len(lut_dot)
+
+    def arr(vals: list[float]) -> str:
+        return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+
+    dot = " + ".join(
+        f"element_at({arr(lut_dot[j])}, {codes_col}[{j}] + 1)"
+        for j in range(m)
+    )
+    n2 = " + ".join(
+        f"element_at({arr(lut_norm2[j])}, {codes_col}[{j}] + 1)"
+        for j in range(m)
+    )
+    return f"ROUND(({dot}) / (SQRT({n2}) * {_dlit(qnorm)}), 6)"
+
+
+def pq_topk_indexed(
+    codes: DataFrame,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    overfetch: int = 8,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-phase PQ ANN over a persisted codes relation: ADC screen on
+    the approximate cosine (norm-corrected — see module doc), exact
+    cosine rescore of the top ``k·overfetch`` ids, final top-k.
+    Output matches ``cosine_topk``: (id, cos_sim, rank) with cos_sim
+    the EXACT rescored similarity (rounded 6)."""
+    from .similarity import _dot_q_sql, _fold_norm, _norm_sql_name
+
+    dim = len(query_vec)
+    qnorm = _fold_norm(query_vec)
+    lut_dot, lut_norm2 = _adc_luts(codebooks, query_vec)
+    approx = _approx_cos_sql(codes_col, lut_dot, lut_norm2, qnorm)
+    cand = (
+        codes.select(F.col(id_col), F.expr(approx).alias("__approx"))
+        .orderBy(F.desc("__approx"), F.asc(id_col))
+        .limit(k * overfetch)
+        .select(id_col)
+    )
+    score_sql = (
+        f"ROUND({_dot_q_sql(vec_col, query_vec, dim)} / "
+        f"({_norm_sql_name(vec_col, dim)} * {qnorm!r}D), 6)"
+    )
+    order = [F.desc("cos_sim"), F.asc(id_col)]
+    rescored = (
+        embeddings.join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), F.expr(score_sql).alias("cos_sim"))
+        .orderBy(*order)
+        .limit(k)
+    )
+    return rescored.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    overfetch: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Inline PQ ANN: train (unless ``codebooks`` given), encode on the
+    fly, ADC screen, exact rescore.  Identical code values and folds
+    as the at-rest path, so results are bit-for-bit the same as
+    ``pq_topk_indexed`` over ``pq_encode`` output — one algorithm, two
+    storage layouts (the ivf/sq8 pattern)."""
+    dim = len(query_vec)
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings, m=m, ksub=ksub, iters=iters,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
+    codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    return pq_topk_indexed(
+        codes, embeddings, query_vec, codebooks,
+        k=k, overfetch=overfetch, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Persist the at-rest PQ index: ``codes/`` parquet (id +
+    array<int> codes — ZSTD/dictionary compresses ~32× below the
+    float column) and ``codebooks.json`` (m·ksub·dsub rounded doubles,
+    a few KB).  Returns the codebooks.  ``load_pq_index`` restores
+    both for query service."""
+    codebooks = pq_train(
+        embeddings, m=m, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes"))
+    meta = {
+        "m": m,
+        "ksub": ksub,
+        "dim": dim,
+        "iters": iters,
+        "id_col": id_col,
+        "codebooks": codebooks,
+    }
+    tmp = os.path.join(out_dir, "codebooks.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "codebooks.json"))
+    return codebooks
+
+
+def load_pq_index(spark, out_dir: str):
+    """(codes DataFrame, codebooks, meta) from ``build_pq_index``."""
+    with open(os.path.join(out_dir, "codebooks.json")) as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(os.path.join(out_dir, "codes"))
+    return codes, meta["codebooks"], meta
+
+
+def pq_reconstruction_mse(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error over the corpus — the
+    standard PQ quality diagnostic (one aggregate; the per-row error
+    reuses the assignment distances, which for blockwise PQ sum to the
+    full squared reconstruction error)."""
+    dsub = len(codebooks[0][0])
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    d_cols = [
+        F.expr(_sub_dist_sql(vec_col, c, j, dsub)).alias(f"__d{j}_{ci}")
+        for j, cents in enumerate(codebooks)
+        for ci, c in enumerate(cents)
+    ]
+    s1 = embeddings.select(*d_cols)
+    err = None
+    for j in range(m):
+        mn = (
+            F.least(*[F.col(f"__d{j}_{c}") for c in range(ksub)])
+            if ksub > 1
+            else F.col(f"__d{j}_0")
+        )
+        err = mn if err is None else err + mn
+    row = (
+        s1.select((err / F.lit(float(m * dsub))).alias("e"))
+        .agg(F.avg("e").alias("mse"))
+        .collect()[0]
+    )
+    return float(row["mse"])

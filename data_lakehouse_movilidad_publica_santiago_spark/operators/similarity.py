@@ -764,7 +764,16 @@ def sq8_topk(
     the bytes. Recall is corpus-dependent (quantization error vs
     neighbor gaps); the gate corpus measures recall 1.0 vs exact
     top-10 (pinned by test), and the exact rescore makes precision 1.0
-    within the candidate set by construction. Determinism: codes use
+    within the candidate set by construction.
+
+    CAVEAT (norm bias): the screen ranks by approximate DOT product
+    while the rescore is COSINE, so on corpora with heterogeneous
+    vector norms the screen systematically favors large-norm vectors
+    and true cosine neighbors can fall outside the k*overfetch cut —
+    a recall loss independent of quantization error. Unit-normalize
+    inputs before encoding for cosine ANN, or use the PQ path
+    (operators/pq.py), whose ADC screen divides by the code-derived
+    reconstruction norm and has no such bias. Determinism: codes use
     floor(v+0.5) half-up (engine-portable), approx score folds
     left-to-right, ties break on id."""
     dim = len(query_vec)
@@ -821,7 +830,9 @@ def sq8_topk_indexed(
     over the identical code values (same term order, same literals),
     so results are bit-for-bit the same as the inline path — one
     algorithm, two storage layouts (the ivf_knn / ivf_knn_indexed
-    pattern)."""
+    pattern). The dot-screen norm-bias caveat on :func:`sq8_topk`
+    applies here too: unit-normalize inputs for cosine ANN, or use
+    the norm-corrected PQ screen (operators/pq.py)."""
     dim = len(query_vec)
     terms = []
     offset = 0.0

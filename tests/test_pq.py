@@ -1,0 +1,175 @@
+"""Product-quantization ANN (round-8): training determinism, code
+range, inline/at-rest bit parity, measured recall vs exact kNN, and
+the at-rest size claim."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+    build_pq_index,
+    load_pq_index,
+    pq_encode,
+    pq_reconstruction_mse,
+    pq_topk,
+    pq_topk_indexed,
+    pq_train,
+)
+from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+    cosine_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def cb(emb):
+    return pq_train(emb, m=8, ksub=16, iters=2)
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [
+        float(x)
+        for x in emb.filter("vec_id = 0").collect()[0]["embedding"]
+    ]
+
+
+def test_codebook_shape_and_determinism(emb, cb):
+    assert len(cb) == 8 and all(len(sub) == 16 for sub in cb)
+    assert all(len(c) == 8 for sub in cb for c in sub)
+    # partitioning must not change the trained codebooks (rounded
+    # updates + deterministic init)
+    cb2 = pq_train(emb.repartition(16), m=8, ksub=16, iters=2)
+    assert cb2 == cb
+
+
+def test_codes_in_range_and_every_vector_coded(emb, cb):
+    codes = pq_encode(emb, cb)
+    stats = codes.selectExpr(
+        "count(*) AS n",
+        "min(array_min(codes)) AS lo",
+        "max(array_max(codes)) AS hi",
+        "min(size(codes)) AS m_lo",
+        "max(size(codes)) AS m_hi",
+    ).collect()[0]
+    assert stats["n"] == emb.count()
+    assert 0 <= stats["lo"] and stats["hi"] <= 15
+    assert stats["m_lo"] == stats["m_hi"] == 8
+
+
+def test_recall_at_gate_overfetch_is_one(emb, cb, qvec):
+    """The gate claims recall 1.0 at k=10, overfetch=16 on this corpus
+    — pin it (the sq8 pattern: the oracle replays the algorithm, this
+    test asserts the algorithm is also USEFUL)."""
+    exact = [r["vec_id"] for r in cosine_topk(emb, qvec, k=10).collect()]
+    got = [
+        r["vec_id"]
+        for r in pq_topk(emb, qvec, k=10, overfetch=16, codebooks=cb).collect()
+    ]
+    assert got == exact  # exact rescore makes the order identical too
+
+
+def test_indexed_bit_parity(emb, cb, qvec):
+    codes = pq_encode(emb, cb)
+    a = [
+        tuple(r)
+        for r in pq_topk(
+            emb, qvec, k=10, overfetch=8, codebooks=cb
+        ).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in pq_topk_indexed(
+            codes, emb, qvec, cb, k=10, overfetch=8
+        ).collect()
+    ]
+    assert a == b
+
+
+def test_reconstruction_mse_beats_zero_codebook(emb, cb):
+    """Training must beat the trivial quantizer: MSE against trained
+    codebooks < per-component variance of the corpus (what an all-mean
+    single-centroid codebook would score)."""
+    mse = pq_reconstruction_mse(emb, cb)
+    from pyspark.sql import functions as F
+
+    var = (
+        emb.select(F.explode("embedding").alias("x"))
+        .agg(F.var_pop(F.col("x").cast("double")).alias("v"))
+        .collect()[0]["v"]
+    )
+    assert 0.0 < mse < var
+
+
+def test_validation_errors(emb):
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, m=7, dim=64)
+    with pytest.raises(ValueError, match="iters"):
+        pq_train(emb, iters=3)
+
+
+def test_at_rest_index_roundtrip_and_size(emb, cb, qvec, spark, tmp_path):
+    """build/load round-trip; the persisted codes parquet must be well
+    under the float column's size (the 32x at-rest claim, allowing
+    parquet overhead on a small corpus)."""
+    import os
+
+    d = str(tmp_path / "pqidx")
+    cb2 = build_pq_index(emb, d, m=8, ksub=16, iters=2)
+    assert cb2 == cb
+    codes, cb3, meta = load_pq_index(spark, d)
+    assert cb3 == cb and meta["m"] == 8
+    out = pq_topk_indexed(codes, emb, qvec, cb3, k=10, overfetch=16)
+    exact = [r["vec_id"] for r in cosine_topk(emb, qvec, k=10).collect()]
+    assert [r["vec_id"] for r in out.collect()] == exact
+
+    def tree_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    float_dir = str(tmp_path / "floats")
+    emb.write.mode("overwrite").parquet(float_dir)
+    assert tree_bytes(os.path.join(d, "codes")) < 0.2 * tree_bytes(float_dir)
+
+
+def test_norm_corrected_screen_handles_heterogeneous_norms(spark):
+    """The ADVICE-flagged failure mode for dot-product screens: a
+    large-norm vector pointing AWAY from the query must not crowd out
+    true cosine neighbors.  With 8 subspaces over dim 16 and exact
+    subvector codebooks (every distinct subvector is a centroid), the
+    ADC cosine is exact, so the screen must rank by cosine, not norm."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    q = [1.0] + [0.0] * 15
+    # 5 unit-ish vectors near the query, 10 huge-norm vectors far away
+    for i in range(1, 6):
+        v = [1.0] + [rng.uniform(-0.05, 0.05) for _ in range(15)]
+        rows.append((i, v))
+    for i in range(6, 16):
+        v = [-50.0] + [rng.uniform(-5.0, 5.0) for _ in range(15)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        ["vec_id", "embedding"],
+    )
+    cb = pq_train(emb, m=8, ksub=15, iters=1, dim=16)
+    got = [
+        r["vec_id"]
+        for r in pq_topk(
+            emb, q, k=5, overfetch=1, codebooks=cb
+        ).collect()
+    ]
+    # overfetch=1: the screen ALONE must pick the 5 cosine neighbors
+    assert sorted(got) == [1, 2, 3, 4, 5]
