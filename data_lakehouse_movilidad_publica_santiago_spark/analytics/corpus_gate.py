@@ -1644,11 +1644,16 @@ kl AS (
          CAST(tdn AS DOUBLE) / t AS share, tdn AS n_tokens
   FROM dw JOIN cw USING (w) JOIN td USING (domain) CROSS JOIN tot
   GROUP BY dw.domain, tdn, t),
-k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS kk FROM kl),
+k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS kk FROM nd),
 a0 AS (
-  SELECT kl.domain, nd.n_docs, kl.n_tokens, kl.share, kl.excess,
+  -- LEFT join from nd: a token-less domain keeps share/excess 0 and
+  -- the smoothing-floor weight (mirrors the operator's ADVICE fix)
+  SELECT nd.domain, nd.n_docs,
+         COALESCE(kl.n_tokens, 0) AS n_tokens,
+         COALESCE(kl.share, 0.0) AS share,
+         COALESCE(kl.excess, 0.0) AS excess,
          k.kk, 1.0 / k.kk AS a
-  FROM kl JOIN nd USING (domain) CROSS JOIN k),
+  FROM nd LEFT JOIN kl USING (domain) CROSS JOIN k),
 {_doremi_update_ctes(3, 0.5, 0.2)}
 SELECT domain, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
        ROUND(share, 6) AS base_share,

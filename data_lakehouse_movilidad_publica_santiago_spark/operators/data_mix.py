@@ -510,7 +510,15 @@ def doremi_weights(
 
     Output: one row per domain -- ``n_docs``, ``n_tokens``,
     ``base_share`` (token share, rounded 6), ``excess_loss`` (nats,
-    rounded 4), ``weight`` (final a_T, rounded 4; sums to ~1)."""
+    rounded 4), ``weight`` (final a_T, rounded 4; sums to ~1).
+
+    Every domain present in ``docs`` appears in the output, including
+    domains whose documents contain zero non-empty tokens: such a
+    domain has no unigram LM, so it carries ``n_tokens`` 0,
+    ``base_share`` 0, ``excess_loss`` 0.0 (no excess evidence) and
+    participates in the update loop -- it keeps the smoothing-floor
+    weight rather than silently vanishing and renormalizing the rest
+    (round-7 ADVICE fix)."""
     from pyspark.sql import Window
 
     dw = (
@@ -555,6 +563,18 @@ def doremi_weights(
             (F.col("__kl_sum") / F.col("n_tokens")).alias("__excess"),
         )
     )
+    # ALL domains enter the update loop: a token-less domain is absent
+    # from the (domain, word) relation, so left-join from ndocs and
+    # default its share/excess to 0 (keeps the smoothing floor)
+    kl = ndocs.join(kl, "domain", "left").select(
+        "domain",
+        "n_docs",
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias(
+            "n_tokens"
+        ),
+        F.coalesce(F.col("__share"), F.lit(0.0)).alias("__share"),
+        F.coalesce(F.col("__excess"), F.lit(0.0)).alias("__excess"),
+    )
     # multiplicative-weights loop on the K-row domain frame
     w_all = Window.partitionBy()
     cur = kl.withColumn(
@@ -569,7 +589,7 @@ def doremi_weights(
             F.lit(1.0 - s) * F.col("__u") / F.sum("__u").over(w_all)
             + F.lit(s) / F.col("__k"),
         )
-    out = cur.join(ndocs, "domain").select(
+    out = cur.select(
         "domain",
         "n_docs",
         "n_tokens",

@@ -151,6 +151,36 @@ def test_doremi_hand_computed_update(spark):
     assert out["a"]["n_tokens"] == 2 and out["a"]["base_share"] == 0.5
 
 
+def test_doremi_tokenless_domain_keeps_smoothing_floor(spark):
+    """Round-7 ADVICE regression: a domain whose documents hold zero
+    non-empty tokens must appear in the output (n_tokens 0, excess 0,
+    smoothing-floor weight) instead of silently vanishing and
+    renormalizing the remaining domains over a smaller K."""
+    docs = _docs(
+        spark,
+        [
+            (1, "a", "hello world hello"),
+            (2, "a", "hello there"),
+            (3, "b", "totally different words here"),
+            (4, "empty", "   "),
+            (5, "empty", ""),
+        ],
+        cols=("doc_id", "domain", "text"),
+    )
+    rows = {
+        r["domain"]: r
+        for r in doremi_weights(docs, "domain", iters=3).collect()
+    }
+    assert sorted(rows) == ["a", "b", "empty"]
+    e = rows["empty"]
+    assert e["n_docs"] == 2 and e["n_tokens"] == 0
+    assert e["base_share"] == 0.0 and e["excess_loss"] == 0.0
+    assert e["weight"] > 0.0  # smoothing floor, never dropped
+    assert sum(r["weight"] for r in rows.values()) == pytest.approx(
+        1.0, abs=1e-3
+    )
+
+
 def test_doremi_invariant_to_partitioning(spark):
     rows = [(i, f"d{i % 3}", f"w{i % 7} w{i % 5} common") for i in range(60)]
     docs = _docs(spark, rows, cols=("doc_id", "domain", "text"))
