@@ -74,6 +74,15 @@ HEADLINE = [
     # MMR diversified retrieval: k map-only scored scans, each a
     # TakeOrdered(1) with the selected vectors inlined as literals
     "mmr_topk",
+    # pooled MMR (round 8): ONE TakeOrdered relevance scan + driver-
+    # side greedy over the bounded pool — benched next to mmr_topk so
+    # the k-scans-vs-one-scan trade is measured, not asserted
+    "mmr_topk_pooled",
+    # product-quantization ANN (round 8): the warm-up pass pays the
+    # one-time codebook training (cached per sf_dir); timed passes
+    # measure the online two-phase query — ADC screen over 8 int
+    # codes/vector + exact rescore of 160 ids
+    "pq_knn_indexed",
     # simhash_near_dup is correctness-gated at sf0.01 but excluded
     # here: at sf0.1 its RESULT is ~2.5M pairs (the corpus is
     # duplicate-riddled), so wall time measures row transport, not

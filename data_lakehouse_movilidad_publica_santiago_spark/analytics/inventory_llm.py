@@ -405,7 +405,7 @@ def _cleanup_index_caches() -> None:
     (rebuilt lazily per process; never shared across runs)."""
     import shutil as _shutil
 
-    for cache in (_IVF_INDEX_CACHE, _MINHASH_INDEX_CACHE):
+    for cache in (_IVF_INDEX_CACHE, _MINHASH_INDEX_CACHE, _PQ_INDEX_CACHE):
         for d in cache.values():
             _shutil.rmtree(d, ignore_errors=True)
         cache.clear()
@@ -1232,18 +1232,42 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_pq_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ANN over the at-rest codes layout: the ADC screen scans a
-    pq_encode codes relation (8 small ints per vector), the rescore
-    reads float vectors for 160 ids only. Identical code values,
-    lookup tables and folds as the inline path — bit-for-bit the same
-    results (the ivf/sq8 two-layout pattern), so the same
-    replayed-algorithm oracle applies."""
-    from ..operators.pq import pq_encode, pq_topk_indexed
+_PQ_INDEX_CACHE: dict[str, str] = {}
 
+
+def _pq_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the at-rest PQ index once per sf_dir (codes parquet +
+    codebooks.json) — the online query then never touches the float
+    column until the rescore, and never re-plans the m·ksub encoding
+    projection (measured: re-encoding per call costs ~7s of pure
+    driver-side analysis+codegen at dim 64/ksub 16 — the index is the
+    whole point of the at-rest layout)."""
+    if sf_dir not in _PQ_INDEX_CACHE:
+        import tempfile
+
+        from ..operators.pq import build_pq_index
+
+        d = tempfile.mkdtemp(prefix="dlmps_pq_idx_")
+        cb = build_pq_index(
+            t(spark, sf_dir, "embeddings"), d, m=8, ksub=16, iters=2
+        )
+        _PQ_CODEBOOK_CACHE.setdefault(sf_dir, cb)
+        _PQ_INDEX_CACHE[sf_dir] = d
+    return _PQ_INDEX_CACHE[sf_dir]
+
+
+def q_pq_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN over the PERSISTED at-rest codes layout: the ADC screen
+    scans the codes parquet (8 small ints per vector, ~32x below the
+    float column), the rescore reads float vectors for 160 ids only.
+    Identical code values, lookup tables and folds as the inline path
+    — bit-for-bit the same results (the ivf/sq8 two-layout pattern),
+    so the same replayed-algorithm oracle applies."""
+    from ..operators.pq import load_pq_index, pq_topk_indexed
+
+    idx = _pq_index_for(spark, sf_dir)
+    codes, cb, _meta = load_pq_index(spark, idx)
     emb = t(spark, sf_dir, "embeddings")
-    cb = _pq_codebooks_for(spark, sf_dir)
-    codes = pq_encode(emb, cb)
     return pq_topk_indexed(
         codes, emb, _query_vec(spark, sf_dir), cb, k=10, overfetch=16
     )

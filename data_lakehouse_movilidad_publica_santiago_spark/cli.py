@@ -113,6 +113,27 @@ def main(argv: list[str] | None = None) -> int:
         "(boilerplate mega-buckets); drop counts land in the summary",
     )
     cp.add_argument(
+        "--near-dedup-mode",
+        choices=("minhash", "containment"),
+        default="minhash",
+        help="pair miner for --near-dedup: symmetric MinHash-LSH "
+        "Jaccard (default) or asymmetric containment (catches a short "
+        "doc embedded in a long one; Broder 1997)",
+    )
+    cp.add_argument(
+        "--containment-k",
+        type=int,
+        default=3,
+        help="shingle width for --near-dedup-mode containment",
+    )
+    cp.add_argument(
+        "--containment-max-df",
+        type=int,
+        default=None,
+        help="containment hot-shingle guard: drop shingles occurring "
+        "in more than this many docs before the pair join",
+    )
+    cp.add_argument(
         "--span-mask-window",
         type=int,
         default=None,
@@ -141,6 +162,29 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="CCNet screen: drop docs whose bigram-LM cross-entropy "
         "(self-trained) exceeds this",
+    )
+    cp.add_argument(
+        "--ppl-model",
+        choices=("bigram", "trigram"),
+        default="bigram",
+        help="scorer for --ppl-threshold: CCNet word-bigram LM "
+        "(default) or stupid-backoff trigram LM (Brants et al. 2007)",
+    )
+    cp.add_argument(
+        "--select-query",
+        default=None,
+        metavar="'W1 W2 ...'",
+        help="topical selection: keep only the --select-top-k "
+        "surviving docs most tf-idf-cosine-similar to this "
+        "bag-of-words query",
+    )
+    cp.add_argument(
+        "--select-top-k",
+        type=int,
+        default=None,
+        help="document budget for --select-query (TakeOrdered merge: "
+        "keep <= ~1e5; use --dsir-top-k's rank path for corpus "
+        "fractions)",
     )
     cp.add_argument(
         "--gopher",
@@ -326,12 +370,18 @@ def main(argv: list[str] | None = None) -> int:
             redact=not args.no_redact,
             near_dedup=args.near_dedup,
             near_threshold=args.near_threshold,
+            near_dedup_mode=args.near_dedup_mode,
+            containment_k=args.containment_k,
+            containment_max_df=args.containment_max_df,
             lsh_est_margin=args.lsh_est_margin,
             lsh_max_bucket=args.lsh_max_bucket,
             sentence_dedup=args.sentence_dedup,
             soft_dedup_n=args.soft_dedup_n,
             span_mask_window=args.span_mask_window,
             ppl_threshold=args.ppl_threshold,
+            ppl_model=args.ppl_model,
+            select_query=args.select_query,
+            select_top_k=args.select_top_k,
             c4=args.c4,
             c4_min_sentences=args.c4_min_sentences,
             c4_blocklist=(

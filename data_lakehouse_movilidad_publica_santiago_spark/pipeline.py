@@ -51,12 +51,18 @@ def build_corpus(
     redact: bool = True,
     near_dedup: bool = False,
     near_threshold: float = 0.85,
+    near_dedup_mode: str = "minhash",
+    containment_k: int = 3,
+    containment_max_df: int | None = None,
     sentence_dedup: bool = False,
     soft_dedup_n: int | None = None,
     lsh_est_margin: float | None = None,
     lsh_max_bucket: int | None = None,
     span_mask_window: int | None = None,
     ppl_threshold: float | None = None,
+    ppl_model: str = "bigram",
+    select_query: str | None = None,
+    select_top_k: int | None = None,
     c4: bool = False,
     c4_min_sentences: int = 5,
     c4_blocklist: tuple[str, ...] = (),
@@ -86,6 +92,31 @@ def build_corpus(
     verification (precision 1.0) with ~5e-6 recall loss per true
     pair at margin 0.25/num_perm 64; dropped-hot-bucket counts land
     in the summary (``lsh_hot_buckets_dropped``) — never silent.
+
+    ``near_dedup_mode='containment'`` swaps the pair miner for the
+    ASYMMETRIC containment measure (Broder 1997; gated as
+    `containment_near_dup`): a pair joins a cluster when
+    ``max(|A∩B|/|A|, |A∩B|/|B|)`` ≥ ``near_threshold`` — catches a
+    short document embedded in a long one, which symmetric Jaccard
+    misses. ``containment_k`` sets the shingle width and
+    ``containment_max_df`` prunes boilerplate shingles before the
+    self-join (the hot-key guard). Component closure and
+    highest-quality-survivor selection are shared with the minhash
+    mode.
+
+    ``ppl_model='trigram'`` swaps the CCNet screen's scorer for the
+    stupid-backoff trigram LM (Brants et al. 2007; gated as
+    `trigram_ppl`): same self-trained / keep-if-NULL-or-below
+    contract, sharper boilerplate separation at the cost of a
+    trigram-count model (still (short string, long) shuffles only).
+
+    ``select_query='w1 w2 ...'`` + ``select_top_k=K`` adds TOPICAL
+    selection (gated as `tfidf_topk`): keep only the K surviving
+    documents most tf-idf-cosine-similar to the bag-of-words query —
+    the keyword-driven counterpart of DSIR's distribution matching
+    (both compose; tf-idf runs first). The final top-K is a
+    TakeOrdered merge, so K is expected to be bounded (≤ ~1e5);
+    for corpus-fraction selections use ``dsir_top_k``'s rank path.
 
     ``c4=True`` runs the C4 structural cleaning battery (Raffel et
     al. 2020, gated as `c4_rules`) FIRST: line filters rewrite each
@@ -163,6 +194,17 @@ def build_corpus(
     also restart points: a failed stage re-runs from the previous
     boundary, not from the raw scan. Results are identical either
     way (asserted in tests/test_pipeline_checkpoint.py)."""
+    if near_dedup_mode not in ("minhash", "containment"):
+        raise ValueError(
+            f"near_dedup_mode must be 'minhash' or 'containment', "
+            f"got {near_dedup_mode!r}"
+        )
+    if ppl_model not in ("bigram", "trigram"):
+        raise ValueError(
+            f"ppl_model must be 'bigram' or 'trigram', got {ppl_model!r}"
+        )
+    if (select_query is None) != (select_top_k is None):
+        raise ValueError("select_query and select_top_k go together")
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -256,23 +298,36 @@ def build_corpus(
             canonical_survivors,
             connected_components,
         )
-        from .operators.dedup_text import minhash_lsh_pairs
 
         # near-dup stage needs two passes over the exact-dedup result
         # (pair mining + survivor join) — pin it for the stage
         kept = kept.persist()
         n_before = kept.count()
         mh_pins: list = []
-        pairs = minhash_lsh_pairs(
-            kept,
-            id_col,
-            text_col,
-            threshold=near_threshold,
-            pins=mh_pins,
-            est_margin=lsh_est_margin,
-            max_bucket=lsh_max_bucket,
-            stats=lsh_stats,
-        )
+        if near_dedup_mode == "containment":
+            from .operators.containment import containment_pairs
+
+            pairs = containment_pairs(
+                kept,
+                threshold=near_threshold,
+                k=containment_k,
+                max_df=containment_max_df,
+                id_col=id_col,
+                text_col=text_col,
+            )
+        else:
+            from .operators.dedup_text import minhash_lsh_pairs
+
+            pairs = minhash_lsh_pairs(
+                kept,
+                id_col,
+                text_col,
+                threshold=near_threshold,
+                pins=mh_pins,
+                est_margin=lsh_est_margin,
+                max_bucket=lsh_max_bucket,
+                stats=lsh_stats,
+            )
         comps = connected_components(pairs, src="doc_a", dst="doc_b")
         scored = kept.withColumn(
             "__q", quality_score(F.col(text_col), QUALITY_STOPWORDS)
@@ -394,14 +449,28 @@ def build_corpus(
             kept = _stage_ckpt(kept, "span_mask")
     n_lm_dropped = 0
     if ppl_threshold is not None:
-        from .operators.lm_filter import score_perplexity, train_bigram_lm
-
         kept = kept.persist()
         n_prelm = kept.count()
-        model = train_bigram_lm(kept, text_col=text_col)
-        scored = score_perplexity(
-            kept, model, id_col=id_col, text_col=text_col
-        )
+        if ppl_model == "trigram":
+            from .operators.lm_filter import (
+                score_stupid_backoff,
+                train_trigram_lm,
+            )
+
+            model_tri = train_trigram_lm(kept, text_col=text_col)
+            scored = score_stupid_backoff(
+                kept, model_tri, id_col=id_col, text_col=text_col
+            )
+        else:
+            from .operators.lm_filter import (
+                score_perplexity,
+                train_bigram_lm,
+            )
+
+            model = train_bigram_lm(kept, text_col=text_col)
+            scored = score_perplexity(
+                kept, model, id_col=id_col, text_col=text_col
+            )
         survivors_lm = scored.filter(
             F.col("cross_entropy").isNull()
             | (F.col("cross_entropy") <= F.lit(ppl_threshold))
@@ -474,6 +543,34 @@ def build_corpus(
         if checkpoint_stages:
             del labels, feats, keep_ids, screened_qm
             kept = _stage_ckpt(kept, "quality_model")
+    n_select_dropped = 0
+    if select_query is not None:
+        from .operators.retrieval import tfidf_topk
+
+        terms = [w for w in select_query.split() if w]
+        if not terms:
+            raise ValueError("select_query must contain at least one term")
+        kept = kept.persist()
+        n_presel = kept.count()
+        sel_ids = tfidf_topk(
+            kept,
+            terms,
+            top_k=select_top_k,
+            id_col=id_col,
+            text_col=text_col,
+        ).select(F.col("doc_id").alias(id_col))
+        # the selection is ≤ top_k rows — broadcast it into the join
+        selected_tf = kept.join(
+            F.broadcast(sel_ids), id_col, "inner"
+        ).persist()
+        stage_pins.append(selected_tf)
+        n_select_dropped = n_presel - selected_tf.count()
+        t = _mark("tfidf_select", t)
+        kept.unpersist()
+        kept = selected_tf
+        if checkpoint_stages:
+            del sel_ids, selected_tf
+            kept = _stage_ckpt(kept, "tfidf_select")
     n_dsir_dropped = 0
     if dsir_target is not None:
         if dsir_top_k is None:
@@ -608,6 +705,17 @@ def build_corpus(
         "c4": c4,
         "n_docs_dropped_by_c4": int(n_c4_dropped),
         "near_dedup": near_dedup,
+        "near_dedup_mode": near_dedup_mode if near_dedup else None,
+        "containment_k": (
+            containment_k
+            if near_dedup and near_dedup_mode == "containment"
+            else None
+        ),
+        "containment_max_df": (
+            containment_max_df
+            if near_dedup and near_dedup_mode == "containment"
+            else None
+        ),
         "n_near_dups_removed": int(n_near_removed),
         "lsh_est_margin": lsh_est_margin if near_dedup else None,
         "lsh_max_bucket": lsh_max_bucket if near_dedup else None,
@@ -622,7 +730,11 @@ def build_corpus(
         "span_mask_window": span_mask_window,
         "n_docs_emptied_by_mask": int(n_mask_emptied),
         "ppl_threshold": ppl_threshold,
+        "ppl_model": ppl_model if ppl_threshold is not None else None,
         "n_docs_dropped_by_ppl": int(n_lm_dropped),
+        "select_query": select_query,
+        "select_top_k": select_top_k,
+        "n_docs_dropped_by_select": int(n_select_dropped),
         "gopher": gopher,
         "quality_model_label": quality_model_label,
         "quality_model_min": quality_model_min if quality_model_label else None,

@@ -344,3 +344,105 @@ def test_maintain_cli_on_demo_txn_gold(spark, demo_txn_gold):
     # fresh store: one file per table at this size → nothing to compact,
     # and reads are unchanged afterwards
     assert store.read("fct_trip").count() == before
+
+
+def test_map_points_exact_rows_on_demo_lake(spark, demo_lake):
+    """Exact-output pin for the map_points serving path (the last
+    serving surface without one): an independent DuckDB replay of the
+    documented contract — subidas aggregation, the modal-coordinate
+    vote over board+alight events inside the UTM display box
+    (reference scripts/build_map_points.py:41-59 bbox + ordering
+    semantics), the stop join — plus the package's importable inverse
+    transverse-Mercator (WGS84, round 6) must reproduce the serving
+    rows EXACTLY.  limit is set above the row count so the
+    ORDER BY ... LIMIT boundary cannot make the comparison ambiguous;
+    rows compare as sets."""
+    import duckdb as _duckdb
+
+    import numpy as _np
+    from data_lakehouse_movilidad_publica_santiago_spark.functions.geo import (
+        _utm_inverse_np,
+    )
+
+    lake, _, _ = demo_lake
+    sl = SilverLake(spark, lake)
+    got = query_map_points(sl, QueryFilters(), limit=100_000)
+    assert got, "serving returned no map points on the demo lake"
+
+    sub_glob = sl._glob("subidas_30m", "subidas_30m.parquet")
+    eta_glob = sl._glob("etapas", "etapas_validation.parquet")
+    con = _duckdb.connect()
+    # any_value(comuna) is only pinnable when comuna is constant per
+    # group — assert that first, then MAX is the deterministic twin
+    ambiguous = con.execute(
+        f"""
+        SELECT COUNT(*) FROM (
+          SELECT cut, CAST(FLOOR(time_30m_sk / 2) AS INT), tipo_dia,
+                 mode_code, stop_code
+          FROM read_parquet('{sub_glob}/*.parquet')
+          GROUP BY 1,2,3,4,5
+          HAVING COUNT(DISTINCT comuna) > 1)
+        """
+    ).fetchone()[0]
+    assert ambiguous == 0, "comuna not constant per group: pin invalid"
+    rows = con.execute(
+        f"""
+        WITH b AS (
+          SELECT cut AS service_date,
+                 CAST(FLOOR(time_30m_sk / 2) AS INT) AS hour_of_day,
+                 tipo_dia, mode_code, stop_code,
+                 MAX(comuna) AS comuna,
+                 ROUND(SUM(subidas_promedio), 2) AS etapas_estimadas,
+                 COUNT(*) AS etapas_observadas
+          FROM read_parquet('{sub_glob}/*.parquet')
+          GROUP BY 1, 2, 3, 4, 5),
+        sides AS (
+          SELECT parada_subida AS stop_code,
+                 CAST(x_subida AS DOUBLE) AS x, CAST(y_subida AS DOUBLE) AS y
+          FROM read_parquet('{eta_glob}/*.parquet')
+          WHERE parada_subida IS NOT NULL AND TRIM(parada_subida) <> ''
+            AND x_subida BETWEEN 200000 AND 500000
+            AND y_subida BETWEEN 6200000 AND 6350000
+          UNION ALL
+          SELECT parada_bajada,
+                 CAST(x_bajada AS DOUBLE), CAST(y_bajada AS DOUBLE)
+          FROM read_parquet('{eta_glob}/*.parquet')
+          WHERE parada_bajada IS NOT NULL AND TRIM(parada_bajada) <> ''
+            AND x_bajada BETWEEN 200000 AND 500000
+            AND y_bajada BETWEEN 6200000 AND 6350000),
+        counted AS (
+          SELECT stop_code, x, y, COUNT(*) AS c FROM sides GROUP BY 1, 2, 3),
+        modal AS (
+          SELECT stop_code, x, y FROM (
+            SELECT stop_code, x, y,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY stop_code ORDER BY c DESC, x, y) AS rn
+            FROM counted) WHERE rn = 1)
+        SELECT b.*, modal.x AS x_utm, modal.y AS y_utm
+        FROM b JOIN modal USING (stop_code)
+        """
+    ).fetchall()
+    con.close()
+    assert rows, "replay produced no rows"
+
+    xs = _np.array([r[8] for r in rows], dtype=float)
+    ys = _np.array([r[9] for r in rows], dtype=float)
+    lats, lons = _utm_inverse_np(xs, ys)
+    expected = {
+        (
+            r[0], r[1], r[2], r[3], r[4], r[5],
+            round(float(lat), 6), round(float(lon), 6),
+            float(r[6]), int(r[7]),
+        )
+        for r, lat, lon in zip(rows, lats, lons)
+    }
+    got_set = {
+        (
+            p["service_date"], p["hour_of_day"], p["tipo_dia"],
+            p["mode_code"], p["stop_code"], p["comuna"],
+            p["lat"], p["lon"],
+            float(p["etapas_estimadas"]), int(p["etapas_observadas"]),
+        )
+        for p in got
+    }
+    assert got_set == expected

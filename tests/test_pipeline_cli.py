@@ -791,3 +791,136 @@ def test_corpus_cli_dedup_stage_flags(spark, tmp_path, capsys):
     assert summary["sentence_dedup"] is True
     assert summary["soft_dedup_n"] == 3
     assert summary["n_docs_dropped_by_soft_dedup"] > 0
+
+
+def test_build_corpus_containment_mode(spark, tmp_path):
+    """--near-dedup-mode containment: the variant docs share the
+    tripled base (containment of the shorter in the longer ≈ 1), so
+    the asymmetric miner collapses them like the minhash mode does;
+    summary records the mode and accounts exactly."""
+    src = tmp_path / "docs.parquet"
+    _write_corpus(spark, src)
+    plain = build_corpus(spark, str(src), str(tmp_path / "plain"), seed="s1")
+    near = build_corpus(
+        spark,
+        str(src),
+        str(tmp_path / "cont"),
+        seed="s1",
+        near_dedup=True,
+        near_threshold=0.7,
+        near_dedup_mode="containment",
+        containment_k=3,
+    )
+    assert near["near_dedup_mode"] == "containment"
+    assert near["containment_k"] == 3
+    assert near["n_near_dups_removed"] > 0
+    assert (
+        near["n_docs_kept"]
+        == plain["n_docs_kept"] - near["n_near_dups_removed"]
+    )
+    chunks = spark.read.parquet(near["chunks_path"])
+    assert chunks.select("doc_id").distinct().count() == near["n_docs_kept"]
+    spark.catalog.clearCache()
+
+
+def test_build_corpus_trigram_ppl_model(spark, tmp_path):
+    """--ppl-model trigram: the stupid-backoff scorer drives the same
+    keep-if-NULL-or-below contract; an out-of-distribution doc is
+    dropped while the in-distribution bulk survives."""
+    src = tmp_path / "docs.parquet"
+    _write_corpus(spark, src)
+    tri = build_corpus(
+        spark,
+        str(src),
+        str(tmp_path / "tri"),
+        seed="s1",
+        ppl_threshold=4.0,
+        ppl_model="trigram",
+    )
+    assert tri["ppl_model"] == "trigram"
+    assert tri["n_docs_kept"] > 0
+    # the fixture's 35 survivors share one template → low trigram
+    # cross-entropy under the self-trained LM → none dropped at 4.0
+    assert tri["n_docs_dropped_by_ppl"] == 0
+    # determinism across partitionings/seeds of the same input
+    again = build_corpus(
+        spark,
+        str(src),
+        str(tmp_path / "tri2"),
+        seed="s1",
+        ppl_threshold=4.0,
+        ppl_model="trigram",
+    )
+    assert again["n_docs_kept"] == tri["n_docs_kept"]
+    spark.catalog.clearCache()
+
+
+def test_build_corpus_tfidf_selection(spark, tmp_path):
+    """--select-query/--select-top-k keeps exactly the K most
+    query-relevant survivors (tf-idf cosine), accounted in the
+    summary."""
+    src = tmp_path / "docs.parquet"
+    _write_corpus(spark, src)
+    plain = build_corpus(spark, str(src), str(tmp_path / "plain"), seed="s1")
+    sel = build_corpus(
+        spark,
+        str(src),
+        str(tmp_path / "sel"),
+        seed="s1",
+        select_query="variant fox",
+        select_top_k=10,
+    )
+    assert sel["select_query"] == "variant fox"
+    assert sel["select_top_k"] == 10
+    assert sel["n_docs_kept"] == 10
+    assert (
+        sel["n_docs_dropped_by_select"]
+        == plain["n_docs_kept"] - 10
+    )
+    chunks = spark.read.parquet(sel["chunks_path"])
+    assert chunks.select("doc_id").distinct().count() == 10
+    spark.catalog.clearCache()
+
+
+def test_build_corpus_round8_stage_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    src = tmp_path / "docs.parquet"
+    _write_corpus(spark, src)
+    with _pytest.raises(ValueError, match="near_dedup_mode"):
+        build_corpus(
+            spark, str(src), str(tmp_path / "x"), near_dedup_mode="nope"
+        )
+    with _pytest.raises(ValueError, match="ppl_model"):
+        build_corpus(spark, str(src), str(tmp_path / "x"), ppl_model="gpt")
+    with _pytest.raises(ValueError, match="go together"):
+        build_corpus(
+            spark, str(src), str(tmp_path / "x"), select_query="fox"
+        )
+
+
+def test_corpus_cli_round8_stage_flags(spark, tmp_path, capsys):
+    import json as _json
+
+    from data_lakehouse_movilidad_publica_santiago_spark import cli
+
+    src = tmp_path / "docs.parquet"
+    _write_corpus(spark, src)
+    rc = cli.main(
+        ["corpus", "--input", str(src), "--output", str(tmp_path / "o"),
+         "--near-dedup", "--near-threshold", "0.7",
+         "--near-dedup-mode", "containment", "--containment-k", "3",
+         "--ppl-threshold", "4.0", "--ppl-model", "trigram",
+         "--select-query", "variant fox", "--select-top-k", "5"]
+    )  # fmt: skip
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["near_dedup_mode"] == "containment"
+    assert summary["ppl_model"] == "trigram"
+    assert summary["select_top_k"] == 5
+    # containment at 0.7 collapses the template-sharing variants into
+    # ONE component (every doc contains the tripled base), so the
+    # top-k selection sees fewer than 5 survivors — the budget is an
+    # upper bound, not a quota
+    assert summary["n_near_dups_removed"] > 0
+    assert 1 <= summary["n_docs_kept"] <= 5
