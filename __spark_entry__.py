@@ -60,6 +60,7 @@ _ROTATION_FIRST: tuple[str, ...] = (
     "mmr_topk_pooled",
     "pq_knn",
     "pq_knn_indexed",
+    "ivfpq_knn",
 )
 
 

@@ -173,3 +173,67 @@ def test_norm_corrected_screen_handles_heterogeneous_norms(spark):
     ]
     # overfetch=1: the screen ALONE must pick the 5 cosine neighbors
     assert sorted(got) == [1, 2, 3, 4, 5]
+
+
+def test_ivfpq_gate_query_recall_and_order(emb, qvec, spark, tmp_path):
+    """Pin the gate's exact-kNN-oracle justification: at n_cells=8 /
+    n_probe=4 / overfetch=16, the gate query (vec_id 0) reproduces
+    exact top-10 IN ORDER (deterministic build: seeded IVF sample,
+    smallest-id PQ init)."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    d = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, d, n_cells=8, m=8, ksub=16, iters=2, seed=7)
+    exact = [tuple(r) for r in cosine_topk(emb, qvec, k=10).collect()]
+    got = [
+        tuple(r)
+        for r in ivfpq_topk(
+            spark, d, emb, qvec, k=10, n_probe=4, overfetch=16
+        ).collect()
+    ]
+    assert got == exact
+
+    # harder queries on this uniform-random corpus (near-tied
+    # neighbors scattered across cells): full probe + wider overfetch
+    # recovers exact top-10 — the corpus-adversarial ceiling
+    for vid in (7, 42):
+        q = [
+            float(x)
+            for x in emb.filter(f"vec_id = {vid}").collect()[0]["embedding"]
+        ]
+        e = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+        g = [
+            r["vec_id"]
+            for r in ivfpq_topk(
+                spark, d, emb, q, k=10, n_probe=8, overfetch=32
+            ).collect()
+        ]
+        assert g == e
+
+
+def test_ivfpq_screen_prunes_at_file_level(emb, qvec, spark, tmp_path):
+    """The ADC screen must read ONLY the probed cells' partition
+    directories (executor truth via input_file_name)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+        build_ivfpq_index,
+    )
+
+    d = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, d, n_cells=8, m=8, ksub=16, iters=2, seed=7)
+    codes = spark.read.parquet(os.path.join(d, "codes")).filter(
+        F.col("ivf_cell").isin([0, 1])
+    )
+    files = [
+        r[0]
+        for r in codes.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all(
+        ("ivf_cell=0" in f or "ivf_cell=1" in f) for f in files
+    )
