@@ -83,6 +83,10 @@ HEADLINE = [
     # measure the online two-phase query — ADC screen over 8 int
     # codes/vector + exact rescore of 160 ids
     "pq_knn_indexed",
+    # IVF-PQ (round 8): warm-up pays the one-time index build; timed
+    # passes measure the file-pruned ADC scan (n_probe/n_cells of the
+    # ~32x-smaller code files) + exact rescore
+    "ivfpq_knn",
     # simhash_near_dup is correctness-gated at sf0.01 but excluded
     # here: at sf0.1 its RESULT is ~2.5M pairs (the corpus is
     # duplicate-riddled), so wall time measures row transport, not
