@@ -360,13 +360,26 @@ def _mmr_schema(embeddings: DataFrame, id_col: str):
 
 
 def _round_half_up6(x: float) -> float:
-    """Spark's ROUND(x, 6) on DOUBLE: exact BigDecimal of the binary
-    double, setScale(6, HALF_UP), back to double.  Python's built-in
-    round() is half-even on the binary value and can differ on exact
-    .5 boundaries, so the driver-side greedy replays Spark's rule."""
+    """Spark's ROUND(x, 6) on DOUBLE, replayed exactly.  Spark rounds
+    the SHORTEST decimal representation of the double (Java
+    ``BigDecimal.valueOf`` goes through ``Double.toString``), then
+    setScale(6, HALF_UP): ROUND(0.1234565, 6) is 0.123457 even though
+    the binary double is 0.12345649999…, where an exact-binary
+    BigDecimal (or Python's half-even ``round``) would give 0.123456.
+    Python's ``repr`` produces the same shortest round-trip decimal,
+    so ``Decimal(repr(x))`` + HALF_UP is the faithful twin (measured
+    against Spark on the boundary cases in tests/test_mmr_pooled.py).
+    The trailing ``+ 0.0`` mirrors Spark's -0.0 → 0.0 normalization."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+    return (
+        float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        + 0.0
+    )
 
 
 def mmr_topk_pooled(

@@ -118,3 +118,22 @@ def test_pooled_is_single_distributed_pass(spark):
     # one job for the pool collect (createDataFrame of the result is
     # lazy — no action); the exact path would have run k jobs
     assert len(jobs) == 1, f"expected 1 distributed job, saw {len(jobs)}"
+
+
+def test_round_half_up6_matches_spark_round(spark):
+    """The driver-side greedy replays Spark's ROUND(x, 6) exactly —
+    including decimal .5 boundaries where Python's built-in round()
+    (half-even on the binary value) disagrees."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+        _round_half_up6,
+    )
+
+    cases = [
+        0.1234565, 0.1234575, -0.1234565, 1.0000005, -1.0000005,
+        0.5e-6, -0.5e-6, 0.9999995, 2.718281828459045, -0.0,
+    ]
+    df = spark.createDataFrame([(x,) for x in cases], "x double")
+    got = [
+        r[0] for r in df.selectExpr("ROUND(x, 6)").collect()
+    ]
+    assert got == [_round_half_up6(x) for x in cases]
