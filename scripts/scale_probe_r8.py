@@ -66,10 +66,18 @@ def composed_probe(n_docs: int) -> None:
             gopher=True,
             near_dedup=True,
             near_threshold=0.7,
-            # load-bearing guards at this shape (see the r6 probe
-            # notes): 10% of docs share a 16-token passage
+            # load-bearing guards at this shape: 10% of docs share a
+            # 16-token passage, whose banding hot buckets hold ~N/4000
+            # docs each. At 5M the est-margin prune alone sufficed; at
+            # 10M the hot buckets (~2.5k docs → millions of candidate
+            # signature pairs per band) overflowed the box's shuffle
+            # scratch (measured ENOSPC in the verify sort) — so the
+            # max_bucket guard must actually BITE: 2000 drops the
+            # boilerplate buckets before pairing (counts land in the
+            # summary; true near-dup pairs share nearly all shingles,
+            # so their other bands still find them)
             lsh_est_margin=0.25,
-            lsh_max_bucket=100_000,
+            lsh_max_bucket=2_000,
             sentence_dedup=True,
             soft_dedup_n=3,
             span_mask_window=8,
