@@ -338,6 +338,14 @@ def mmr_topk(
     )
 
 
+def _pool_id_schema(embeddings: DataFrame, id_col: str):
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(id_col, embeddings.schema[id_col].dataType)]
+    )
+
+
 def _mmr_schema(embeddings: DataFrame, id_col: str):
     """Output schema for the MMR operators; the id field keeps the
     input column's type so non-BIGINT ids (strings, ints) round-trip."""
@@ -393,17 +401,20 @@ def mmr_topk_pooled(
     return_certificate: bool = False,
 ):
     """:func:`mmr_topk` re-ranked over a bounded relevance pool — the
-    100 TB execution shape.  One distributed relevance pass (the same
-    ``TakeOrderedAndProject`` scan as ``cosine_topk``, overfetched to
-    ``pool_size``) collects a bounded candidate pool WITH vectors;
-    the greedy MMR loop then runs driver-side over ≤ ``pool_size``
-    rows with arithmetic bit-identical to the distributed path (same
-    left-to-right float folds, same HALF_UP round-to-6 before each
-    argmax, same id tiebreak).
+    100 TB execution shape.  Two narrow distributed passes: a
+    ``TakeOrderedAndProject`` relevance cut over (id, rel) only (the
+    same scan as ``cosine_topk``, overfetched to ``pool_size`` —
+    vectors deliberately do NOT ride through the ordering queue, which
+    copies every considered row and costs ~5× the scan with a dim-64
+    array aboard, measured at 5M), then a map-only broadcast-id fetch
+    of the ≤ ``pool_size`` pool vectors; the greedy MMR loop then runs
+    driver-side with arithmetic bit-identical to the distributed path
+    (same left-to-right float folds, same shortest-repr HALF_UP
+    round-to-6 before each argmax, same id tiebreak).
 
-    Versus ``mmr_topk``'s k full-corpus scans this is ONE scan + k
-    in-memory loops: at 100 TB the corpus is read once (or the pool
-    comes from an ANN index — ``ivf_topk_indexed`` / ``sq8_topk_indexed``
+    Versus ``mmr_topk``'s k full-corpus scored scans this is two cheap
+    scans + k in-memory loops: at 100 TB the pool cut can also come
+    from an ANN index (``ivf_topk_indexed`` / ``sq8_topk_indexed``
     with overfetch — making it sub-scan), and per-step cost no longer
     touches the cluster at all.
 
@@ -432,16 +443,27 @@ def mmr_topk_pooled(
         f"({_norm_sql_name(vec_col, dim)} * {qnorm!r}D))"
     )
     spark = embeddings.sparkSession
-    # pass 1: distributed relevance top-pool (per-partition top-k +
-    # driver merge; never a global sort), vectors ride along
+    # pass 1: distributed relevance top-pool over (id, rel) ONLY —
+    # TakeOrderedAndProject's per-partition priority queue copies each
+    # considered row, so carrying the vector column through it costs
+    # ~5× the scan (measured 30.8 s vs 5.8 s at 5M × dim-64); the
+    # narrow cut plus a map-only vector fetch is the cheap shape
     pool_rows = (
-        embeddings.select(
-            F.col(id_col), F.col(vec_col), F.expr(rel_sql).alias("__rel")
-        )
+        embeddings.select(F.col(id_col), F.expr(rel_sql).alias("__rel"))
         .orderBy(F.desc("__rel"), F.asc(id_col))
         .limit(pool_size)
         .collect()
     )
+    rels = {r[id_col]: float(r["__rel"]) for r in pool_rows}
+    # pass 2: fetch the ≤ pool_size vectors (broadcast id semi-join —
+    # map-only scan, no ordering queue, no shuffle)
+    pool_id_df = spark.createDataFrame(
+        [(r[id_col],) for r in pool_rows], _pool_id_schema(embeddings, id_col)
+    )
+    vec_rows = embeddings.join(F.broadcast(pool_id_df), id_col).select(
+        F.col(id_col), F.col(vec_col)
+    ).collect()
+    vecs = {r[id_col]: [float(x) for x in r[vec_col]] for r in vec_rows}
 
     def _fold_dot(a: list[float], b: list[float]) -> float:
         acc = 0.0
@@ -449,13 +471,9 @@ def mmr_topk_pooled(
             acc += float(x) * float(y)
         return acc
 
+    # preserve pass-1's (rel desc, id asc) pool order
     cand = [
-        (
-            r[id_col],
-            [float(x) for x in r[vec_col]],
-            float(r["__rel"]),  # already the SQL-fold double
-        )
-        for r in pool_rows
+        (r[id_col], vecs[r[id_col]], rels[r[id_col]]) for r in pool_rows
     ]
     norms = {cid: _fold_norm(vec) for cid, vec, _ in cand}
     selected: list[tuple] = []  # (id, vec, rel6, pen6, mmr6)

@@ -104,20 +104,23 @@ def test_string_ids_round_trip(spark):
     ]
 
 
-def test_pooled_is_single_distributed_pass(spark):
-    """Scale shape: the pooled variant touches the cluster exactly once
-    (one TakeOrdered relevance scan), verified by Spark's job counter."""
+def test_pooled_is_two_distributed_passes(spark):
+    """Scale shape: the pooled variant touches the cluster exactly
+    twice — the (id, rel) TakeOrdered cut and the map-only vector
+    fetch (vectors must NOT ride the ordering queue: measured ~5× the
+    scan at 5M×dim-64) — verified by Spark's job counter.  The exact
+    path runs k scored scans."""
     emb, q = _emb(spark), _q(spark)
     sc = spark.sparkContext
     tracker = sc.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
     sc.setJobGroup("mmr_pooled_probe", "pooled scan count")
     mmr_topk_pooled(emb, q, k=5, lam=0.7, pool_size=320)
     jobs = tracker.getJobIdsForGroup("mmr_pooled_probe") or []
     sc.setJobGroup(None, None)
-    # one job for the pool collect (createDataFrame of the result is
-    # lazy — no action); the exact path would have run k jobs
-    assert len(jobs) == 1, f"expected 1 distributed job, saw {len(jobs)}"
+    # createDataFrame of the result is lazy — no extra action; AQE
+    # materializes the tiny LocalTableScan broadcast as its own job,
+    # so 2 corpus-touching jobs + at most 1 local broadcast-build job
+    assert len(jobs) in (2, 3), f"expected 2-3 jobs, saw {len(jobs)}"
 
 
 def test_round_half_up6_matches_spark_round(spark):
