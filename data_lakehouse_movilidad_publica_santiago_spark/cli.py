@@ -171,6 +171,13 @@ def main(argv: list[str] | None = None) -> int:
         "(default) or stupid-backoff trigram LM (Brants et al. 2007)",
     )
     cp.add_argument(
+        "--ppl-min-count",
+        type=int,
+        default=1,
+        help="count-prune tri/bigrams below this from the trigram "
+        "scorer's model (broadcastable models on real language)",
+    )
+    cp.add_argument(
         "--select-query",
         default=None,
         metavar="'W1 W2 ...'",
@@ -380,6 +387,7 @@ def main(argv: list[str] | None = None) -> int:
             span_mask_window=args.span_mask_window,
             ppl_threshold=args.ppl_threshold,
             ppl_model=args.ppl_model,
+            ppl_min_count=args.ppl_min_count,
             select_query=args.select_query,
             select_top_k=args.select_top_k,
             c4=args.c4,

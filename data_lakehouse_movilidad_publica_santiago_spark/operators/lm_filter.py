@@ -352,11 +352,25 @@ class TrigramLM:
 
 
 def train_trigram_lm(
-    reference: DataFrame, text_col: str = "text"
+    reference: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> TrigramLM:
     """Count word tri/bi/unigrams over the reference corpus — three
     explode+groupBy passes over one tokenization (each a (short
-    string, long) shuffle with map-side combine; nothing else)."""
+    string, long) shuffle with map-side combine; nothing else).
+
+    ``min_count > 1`` prunes tri/bigram entries seen fewer than
+    ``min_count`` times — the standard count-threshold variant of the
+    entropy pruning Brants et al. 2007 use at web scale.  On real
+    language the singleton tail is the bulk of the model (Zipf), so
+    ``min_count=2`` typically shrinks the tri/bigram tables by 3-10×,
+    usually below the broadcast threshold — then the 5-join scoring
+    pass in :func:`score_stupid_backoff` plans entirely map-side.
+    Semantics: a pruned n-gram backs off one order (its probability
+    mass flows to the α-discounted shorter context), exactly as if it
+    had not been seen; unigram counts and totals are never pruned, so
+    the add-one floor and OOV behavior are unchanged.  The ``totals``
+    relation keeps the UNPRUNED token count (the corpus scale, not the
+    model size).  The differential gate trains unpruned."""
     toks = F.split(F.col(text_col), " ")
     words = reference.select(F.explode(toks).alias("w"))
     unigrams = words.groupBy("w").agg(F.count("*").alias("c1"))
@@ -376,6 +390,9 @@ def train_trigram_lm(
         .groupBy("gram")
         .agg(F.count("*").alias("c123"))
     )
+    if min_count > 1:
+        bigrams = bigrams.filter(F.col("c12") >= min_count)
+        trigrams = trigrams.filter(F.col("c123") >= min_count)
     totals = unigrams.agg(
         F.sum("c1").alias("n_tokens"), F.count("*").alias("vocab")
     )

@@ -61,6 +61,7 @@ def build_corpus(
     span_mask_window: int | None = None,
     ppl_threshold: float | None = None,
     ppl_model: str = "bigram",
+    ppl_min_count: int = 1,
     select_query: str | None = None,
     select_top_k: int | None = None,
     c4: bool = False,
@@ -109,6 +110,10 @@ def build_corpus(
     `trigram_ppl`): same self-trained / keep-if-NULL-or-below
     contract, sharper boilerplate separation at the cost of a
     trigram-count model (still (short string, long) shuffles only).
+    ``ppl_min_count=N`` count-prunes the tri/bigram tables (the cheap
+    variant of Brants' entropy pruning) — on real language the
+    singleton tail IS the model, so N=2 usually shrinks it below the
+    broadcast threshold and the scoring joins go map-side.
 
     ``select_query='w1 w2 ...'`` + ``select_top_k=K`` adds TOPICAL
     selection (gated as `tfidf_topk`): keep only the K surviving
@@ -457,7 +462,9 @@ def build_corpus(
                 train_trigram_lm,
             )
 
-            model_tri = train_trigram_lm(kept, text_col=text_col)
+            model_tri = train_trigram_lm(
+                kept, text_col=text_col, min_count=ppl_min_count
+            )
             scored = score_stupid_backoff(
                 kept, model_tri, id_col=id_col, text_col=text_col
             )
@@ -731,6 +738,9 @@ def build_corpus(
         "n_docs_emptied_by_mask": int(n_mask_emptied),
         "ppl_threshold": ppl_threshold,
         "ppl_model": ppl_model if ppl_threshold is not None else None,
+        "ppl_min_count": (
+            ppl_min_count if ppl_threshold is not None else None
+        ),
         "n_docs_dropped_by_ppl": int(n_lm_dropped),
         "select_query": select_query,
         "select_top_k": select_top_k,

@@ -291,3 +291,30 @@ def test_zipf_grouped_and_tie_break(spark):
     assert out["g1"]["zipf_slope"] == 0.0
     assert out["g2"]["zipf_slope"] == 0.0
     assert out["g1"]["vocab"] == 3 and out["g2"]["n_tokens"] == 6
+
+
+def test_trigram_lm_min_count_pruning(spark):
+    """min_count prunes singleton tri/bigrams; a pruned trigram backs
+    off exactly as if unseen, and the backoff chain stays closed (a
+    surviving trigram's prefix bigram has count >= the trigram's, so
+    the c123/c12 division never loses its denominator). Unigrams and
+    totals are unpruned, so OOV behavior is unchanged."""
+    # 'a b c' twice (c123=2), 'a b d' once (c123=1, pruned at 2)
+    ref = _docs(spark, [(10, "a b c a b c a b d")])
+    full = train_trigram_lm(ref)
+    pruned = train_trigram_lm(ref, min_count=2)
+    assert pruned.trigrams.count() < full.trigrams.count()
+    # surviving trigram's prefix bigram survived too (chain closed)
+    tri = {r["gram"] for r in pruned.trigrams.collect()}
+    bi = {r["gram"] for r in pruned.bigrams.collect()}
+    assert all(" ".join(g.split()[:2]) in bi for g in tri)
+    # totals unpruned: same corpus scale as the full model
+    assert pruned.totals.collect() == full.totals.collect()
+    # 'a b c' survives pruning: same score under both models
+    s_full = score_stupid_backoff(_docs(spark, [(1, "a b c")]), full).collect()[0]
+    s_pruned = score_stupid_backoff(_docs(spark, [(1, "a b c")]), pruned).collect()[0]
+    assert s_pruned["cross_entropy"] == s_full["cross_entropy"]
+    # 'a b d' was pruned: the pruned model backs off (higher entropy)
+    p_full = score_stupid_backoff(_docs(spark, [(2, "a b d")]), full).collect()[0]
+    p_pruned = score_stupid_backoff(_docs(spark, [(2, "a b d")]), pruned).collect()[0]
+    assert p_pruned["cross_entropy"] > p_full["cross_entropy"]
