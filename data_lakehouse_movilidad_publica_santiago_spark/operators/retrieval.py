@@ -399,6 +399,7 @@ def mmr_topk_pooled(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     return_certificate: bool = False,
+    candidates: DataFrame | None = None,
 ):
     """:func:`mmr_topk` re-ranked over a bounded relevance pool — the
     100 TB execution shape.  Two narrow distributed passes: a
@@ -428,6 +429,16 @@ def mmr_topk_pooled(
     ``pool_size`` defaults to ``max(64·k, 256)``, covered by the
     equality tests.
 
+    ``candidates`` (a DataFrame holding an ``id_col`` column) makes
+    the pool phase SUB-scan: the relevance cut runs only over the
+    candidate ids — feed it an ANN prefetch (``ivf_topk_indexed`` /
+    ``sq8_topk_indexed`` / ``ivfpq_topk`` with a generous overfetch)
+    and the whole operator touches n_probe/n_cells of ~32×-smaller
+    code bytes plus two tiny joins instead of any full float scan.
+    Exactness then additionally requires the candidate set to cover
+    the exact selection's support (the ANN recall question — measure
+    it like the ANN gates do).
+
     If the corpus holds fewer than ``k`` vectors the shorter selection
     is returned (same contract as ``mmr_topk``)."""
     from .similarity import _dot_q_sql, _fold_norm, _norm_sql_name
@@ -442,6 +453,10 @@ def mmr_topk_pooled(
         f"({_dot_q_sql(vec_col, query_vec, dim)} / "
         f"({_norm_sql_name(vec_col, dim)} * {qnorm!r}D))"
     )
+    if candidates is not None:
+        embeddings = embeddings.join(
+            F.broadcast(candidates.select(id_col).distinct()), id_col
+        )
     spark = embeddings.sparkSession
     # pass 1: distributed relevance top-pool over (id, rel) ONLY —
     # TakeOrderedAndProject's per-partition priority queue copies each
@@ -516,6 +531,9 @@ def mmr_topk_pooled(
     # certified without touching the full corpus again.  (The pool not
     # covering the corpus is required for the bound to mean anything;
     # when pool >= corpus the result is exact by construction.)
+    # With ``candidates`` the certificate speaks about the RESTRICTED
+    # corpus only — full-corpus exactness additionally needs candidate
+    # coverage (the ANN recall term), which this bound cannot see.
     if len(cand) < pool_size:
         return out, True  # pool held the whole corpus
     rel_pool_min = cand[-1][2]

@@ -140,3 +140,25 @@ def test_round_half_up6_matches_spark_round(spark):
         r[0] for r in df.selectExpr("ROUND(x, 6)").collect()
     ]
     assert got == [_round_half_up6(x) for x in cases]
+
+
+def test_pooled_over_ann_candidate_prefetch(spark):
+    """The 100 TB composition: the pool phase runs over an ANN
+    prefetch instead of the full corpus.  With an IVF prefetch wide
+    enough to cover the exact selection's support, pooled-over-
+    candidates equals the exact full-corpus greedy."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb, q = _emb(spark), _q(spark)
+    # generous prefetch: IVF top-200 of 500 (covers the selection)
+    cand = ivf_topk(emb, q, k=200, n_cells=8, n_probe=8).select("vec_id")
+    exact = [tuple(r) for r in mmr_topk(emb, q, k=5, lam=0.7).collect()]
+    pooled = [
+        tuple(r)
+        for r in mmr_topk_pooled(
+            emb, q, k=5, lam=0.7, pool_size=200, candidates=cand
+        ).collect()
+    ]
+    assert pooled == exact
