@@ -7,14 +7,19 @@ gives the DuckDB-equivalent ANSI SQL per query for the driver's
 differential correctness gate.
 
 The driver's CORRECTNESS snapshot covers the FIRST 50 entries of
-``queries()`` in dict-insertion order, so the ordering below is an
-explicit rotation schedule: gates that have not yet appeared in any
-driver CORRECTNESS_r*.json are ordered first; the remainder of the
-window backfills automatically with already-snapshotted gates in
-module insertion order.  Every gate stays present regardless of
-order — the total is ``len(queries())`` (asserted equal between
-``queries()`` and ``oracle_sql()`` by ``tests/test_entry_contract.py``),
-and every key has a full value-hash DuckDB oracle.
+``queries()`` in dict-insertion order, so the ordering is a rotation
+schedule.  Rotation policy (age-based, round 9+): every gate is
+ordered by the round of its MOST RECENT fully-green row across the
+``CORRECTNESS_r*.json`` artifacts committed next to this file —
+never-snapshotted gates first, then stalest-green first, ties broken
+by module insertion order.  The ordering is recomputed at import
+time from the artifacts themselves, so each round's 50-entry window
+automatically re-snapshots the gates whose evidence is oldest and no
+gate's green row goes stale by more than ceil(total/50) ≈ 2-3
+rounds.  Every gate stays present regardless of order — the total is
+``len(queries())`` (asserted equal between ``queries()`` and
+``oracle_sql()`` by ``tests/test_entry_contract.py``), and every key
+has a full value-hash DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -38,36 +43,65 @@ def entry(spark: SparkSession) -> DataFrame:
     return inventory.q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-8 rotation: the 10 gates with no green row in any of
-# CORRECTNESS_r01..r07 (verified against the artifacts: union of green
-# rows = 100 of 110), ordered first so the driver's 50-entry window
-# finally records them; round-8 additions follow (also never
-# snapshotted).  Positions after the tuple backfill with
-# already-snapshotted gates in module insertion order.
-_ROTATION_FIRST: tuple[str, ...] = (
-    # round-7 gates never snapshotted (10)
-    "soft_dedup",
-    "contamination_matrix",
-    "trigram_ppl",
-    "zipf_spectrum",
-    "containment_near_dup",
-    "doremi_weights",
-    "novelty_scores",
-    "mmr_topk",
-    "sq8_knn",
-    "sq8_knn_indexed",
-    # round-8 additions (never snapshotted)
-    "mmr_topk_pooled",
-    "pq_knn",
-    "pq_knn_indexed",
-    "ivfpq_knn",
-)
+def _last_green_rounds() -> dict[str, int]:
+    """Most recent round with a fully-green driver row per gate, read
+    from the ``CORRECTNESS_r*.json`` artifacts committed next to this
+    file.  Gates absent from every artifact (new this round, or a
+    fresh clone without artifacts) map to nothing and sort first."""
+    import json
+    import re
+    from glob import glob
+    from pathlib import Path
+
+    here = Path(__file__).resolve().parent
+    out: dict[str, int] = {}
+    for f in sorted(glob(str(here / "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            d = json.loads(Path(f).read_text())
+        except (OSError, ValueError):
+            continue
+        for k, v in d.items():
+            if (
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match")
+                and not v.get("err")
+            ):
+                out[k] = max(out.get(k, 0), rnd)
+    return out
+
+
+_LAST_GREEN = _last_green_rounds()
 
 
 def _rotated(merged: dict) -> dict:
-    ordered = {k: merged[k] for k in _ROTATION_FIRST}
-    ordered.update((k, v) for k, v in merged.items() if k not in ordered)
-    return ordered
+    """Age-based rotation: never-green gates first (age -1), then by
+    stalest most-recent-green round; Python's stable sort keeps module
+    insertion order within each age class."""
+    ordered = sorted(merged, key=lambda k: _LAST_GREEN.get(k, -1))
+    return {k: merged[k] for k in ordered}
+
+
+def _merged_queries() -> dict:
+    return {
+        **inventory.QUERIES,
+        **inventory_llm.QUERIES,
+        **business_gate.QUERIES,
+        **corpus_gate.QUERIES,
+        **sql_surface_gate.QUERIES,
+        **lake_gate.QUERIES,
+    }
+
+
+# the current window head, derived (not hand-maintained) — kept as a
+# module attribute so tests can pin that the window is made of real,
+# unique gate names
+_ROTATION_FIRST: tuple[str, ...] = tuple(_rotated(_merged_queries()))[:50]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -75,17 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     LLM-data-pipeline operator suite (dedup / similarity / text /
     multimodal / tumbling windows) and the business-corpus shape
     twins (analytics/business_gate.py).  Insertion order follows the
-    rotation schedule documented at module top."""
-    return _rotated(
-        {
-            **inventory.QUERIES,
-            **inventory_llm.QUERIES,
-            **business_gate.QUERIES,
-            **corpus_gate.QUERIES,
-            **sql_surface_gate.QUERIES,
-            **lake_gate.QUERIES,
-        }
-    )
+    age-based rotation policy documented at module top."""
+    return _rotated(_merged_queries())
 
 
 def oracle_sql() -> dict[str, str]:

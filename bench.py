@@ -183,6 +183,80 @@ HEADLINE = [
 ]
 
 
+def _loader_bench(spark) -> dict | None:
+    """Bounded silver→gold loader throughput probe (round-9): one
+    deterministic reference-shape day (200k viajes + 400k etapas +
+    80k subidas pipe-CSV, the DTPM raw layout) generated to a temp
+    dir, then every partition driven through the REAL ``run_silver``
+    and ``GoldLoader`` paths with per-layer walls timed.  Reported as
+    rows/s per layer so loader throughput is tracked round-over-round
+    in BENCH_r*.json exactly like query walls; the full
+    reference-scale replay (3.6M/28.4M/750k) stays in SCALE.md — this
+    probe is sized to tens of seconds so the driver's bench budget is
+    unaffected.  Returns None (and the bench still reports queries)
+    if anything in the loader path fails."""
+    import shutil
+    import sys
+    import tempfile
+    import time as _time
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
+    try:
+        import duckdb
+        from gen_scale_lake import gen_etapas, gen_subidas, gen_viajes
+
+        from data_lakehouse_movilidad_publica_santiago_spark.gold.runner import (
+            GoldLoader,
+        )
+        from data_lakehouse_movilidad_publica_santiago_spark.silver.runner import (
+            run_silver,
+        )
+        from data_lakehouse_movilidad_publica_santiago_spark.sources.catalog import (
+            discover_partitions,
+        )
+
+        work = Path(tempfile.mkdtemp(prefix="dlmps_loader_bench_"))
+        try:
+            lake = work / "lake"
+            con = duckdb.connect()
+            sizes = {"viajes": 200_000, "etapas": 400_000, "subidas_30m": 80_000}
+            gen_viajes(con, lake, sizes["viajes"])
+            gen_etapas(con, lake, sizes["etapas"])
+            gen_subidas(con, lake, sizes["subidas_30m"])
+            con.close()
+            n_raw = sum(sizes.values())
+
+            parts = [
+                p
+                for ds in ("viajes", "etapas", "subidas_30m")
+                for p in discover_partitions(lake, dataset=ds)
+            ]
+            t0 = _time.perf_counter()
+            for p in parts:
+                run_silver(spark, p, lake)
+            t1 = _time.perf_counter()
+            loader = GoldLoader(spark, work / "gold")
+            for p in parts:
+                res = loader.run(p, lake)
+                assert res["status"] == "OK", res
+            t2 = _time.perf_counter()
+            silver_sec, gold_sec = t1 - t0, t2 - t1
+            return {
+                "raw_rows": n_raw,
+                "silver_sec": round(silver_sec, 3),
+                "gold_sec": round(gold_sec, 3),
+                "silver_rows_per_sec": round(n_raw / silver_sec),
+                "gold_rows_per_sec": round(n_raw / gold_sec),
+                "total_rows_per_sec": round(n_raw / (t2 - t0)),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    except Exception as exc:  # loader probe must never sink the bench
+        print(f"loader bench failed: {exc!r}", file=sys.stderr)
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -213,11 +287,14 @@ def main() -> None:
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
     total = round(sum(timings.values()), 3)
+    # round-9: silver→gold loader throughput, tracked alongside the
+    # query walls (one bounded reference-shape day; see _loader_bench)
+    loader = _loader_bench(spark)
     # Full detail object first (humans / logs), then a compact final
     # line.  The driver keeps only a 2,000-char tail of stdout and
     # parses the LAST JSON line: with 40+ queries the detail line
     # alone exceeds the tail, so the summary must come last and stay
-    # far under the window (it is ~120 chars).
+    # far under the window (it is ~160 chars).
     print(
         json.dumps(
             {
@@ -228,6 +305,7 @@ def main() -> None:
                 "sf": sf,
                 "method": "median_of_3_warm",
                 "spread_min_max": spread,
+                "loader": loader,
             }
         )
     )
@@ -240,6 +318,9 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "method": "median_of_3_warm",
+                "loader_rows_per_sec": (
+                    loader["total_rows_per_sec"] if loader else None
+                ),
             }
         )
     )

@@ -410,6 +410,10 @@ def _cleanup_index_caches() -> None:
         for d in cache.values():
             _shutil.rmtree(d, ignore_errors=True)
         cache.clear()
+    # the codebook cache holds in-memory lists, not dirs — clear it in
+    # lockstep so pq_knn can't keep serving codebooks trained on data
+    # that pq_knn_indexed would re-read from a refreshed sf_dir
+    _PQ_CODEBOOK_CACHE.clear()
 
 
 import atexit as _atexit  # noqa: E402

@@ -13,11 +13,15 @@ by ordinary least squares per group (e.g. language). Piantadosi,
 2014, reviews the law and its diagnostic use.
 
 Execution shape at 100 TB: one (group, token) count shuffle with
-map-side partial aggregation; ranking is a window over the
-VOCABULARY relation (bounded — millions of rows, not corpus-sized),
-partitioned by group; the OLS fit is Spark's built-in ``regr_*``
-aggregates over ≤ R rows per group. The document text never leaves
-its scan.
+map-side partial aggregation; the top-R cut over the VOCABULARY
+relation is group-limited either way — grouped, the rank window's
+``rank <= R`` filter is rewritten by InferWindowGroupLimit into
+per-partition top-R heaps before the exchange; ungrouped, the rank
+window would single-partition the whole vocabulary (the rule does
+not fire on an empty partition spec), so the cut is an explicit
+orderBy+limit (TakeOrderedAndProject) and only the ≤ R survivors
+see a window. The OLS fit is Spark's built-in ``regr_*`` aggregates
+over ≤ R rows per group. The document text never leaves its scan.
 
 Reference parity note: the reference repo has no corpus statistics —
 beyond-reference LLM-data-pipeline suite.
@@ -55,17 +59,36 @@ def zipf_spectrum(
     totals = freq.groupBy(*gcols).agg(
         F.sum("freq").alias("n_tokens"), F.count("*").alias("vocab")
     )
-    w = (
-        Window.partitionBy(*gcols) if gcols else Window.partitionBy()
-    ).orderBy(F.desc("freq"), F.asc("token"))
-    ranked = (
-        freq.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_r)
-        .select(
-            *gcols,
-            F.log(F.col("rank").cast("double")).alias("__lr"),
-            F.log(F.col("freq").cast("double")).alias("__lf"),
+    order = [F.desc("freq"), F.asc("token")]
+    if gcols:
+        # Grouped: rank window with a non-empty partition spec —
+        # Spark's InferWindowGroupLimit rewrites the rank<=top_r
+        # filter into a per-partition WindowGroupLimit (top-r heaps
+        # before the shuffle), so only ~top_r rows per group move.
+        w = Window.partitionBy(*gcols).orderBy(*order)
+        top = freq.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= top_r
         )
+    else:
+        # Global: InferWindowGroupLimit does NOT fire for an EMPTY
+        # partition spec (verified by explain() at Spark 4.1.2 — the
+        # grouped plan shows WindowGroupLimit, the global plan shows a
+        # plain Exchange SinglePartition under the Window), so a rank
+        # window here would sort the ENTIRE vocabulary in one
+        # partition — billions of rows at 100 TB. Cut first with
+        # orderBy+limit (TakeOrderedAndProject = per-partition heaps,
+        # only top_r rows ever cross the wire), then rank the
+        # <= top_r survivors; that residual window is bounded.
+        w = Window.partitionBy().orderBy(*order)
+        top = (
+            freq.orderBy(*order)
+            .limit(top_r)
+            .withColumn("rank", F.row_number().over(w))
+        )
+    ranked = top.select(
+        *gcols,
+        F.log(F.col("rank").cast("double")).alias("__lr"),
+        F.log(F.col("freq").cast("double")).alias("__lf"),
     )
     fit = ranked.groupBy(*gcols).agg(
         F.count("*").alias("top_r"),

@@ -100,6 +100,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    oracle_parity: bool = True,
 ) -> list[list[list[float]]]:
     """Train the ``m`` subspace codebooks; returns
     ``codebooks[j][c] = dsub-vector`` (rounded doubles after the last
@@ -110,14 +111,31 @@ def pq_train(
     ``posexplode`` shuffle whose rows are (subspace, code, dim,
     partial-sum) — ``m·ksub·dsub`` rounded doubles back to the driver
     (8·16·8 = 1k for the defaults: bounded, like the k-means and IVF
-    trainers)."""
+    trainers).
+
+    ``oracle_parity=True`` (the gate mode) pins ``iters <= 2``: the
+    DuckDB relational replay drops empty clusters while this trainer
+    keeps the stale centroid, and the two are provably identical only
+    through iteration 2.  ``oracle_parity=False`` is the PRODUCTION
+    mode — any ``iters >= 1`` (real corpora want 10–25 Lloyd rounds
+    for codebook quality; see SCALE.md's recall-vs-iters probe) with
+    determinism fully kept: min-id-ordered init, ROUND(avg, 6)
+    updates each round (so the engine's float fold order cannot
+    drift the codebook), and the empty-cluster rule unchanged (a code
+    that captures no vectors KEEPS its previous centroid — the stale-
+    centroid rule, stated here because the oracle cannot replay it
+    past iter 2).  Per-iteration cluster cost is identical in either
+    mode; only the cap differs."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
-    if iters < 1 or iters > 2:
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if oracle_parity and iters > 2:
         raise ValueError(
-            "pq_train is pinned to 1 <= iters <= 2 (oracle parity: the "
-            "relational replay drops empty clusters, the operator keeps "
-            "stale centroids; provably identical only through iter 2)"
+            "oracle_parity=True pins 1 <= iters <= 2 (the relational "
+            "replay drops empty clusters, the operator keeps stale "
+            "centroids; provably identical only through iter 2). "
+            "Pass oracle_parity=False for production training."
         )
     dsub = dim // m
     vec = F.col(vec_col)

@@ -254,14 +254,19 @@ def mmr_topk(
     re-ranker for RAG context assembly and diverse example selection
     (lam = 1 degenerates to plain top-k; lam -> 0 maximizes spread).
 
-    Execution shape at 100 TB: k DISTRIBUTED passes, each a map-only
-    scored scan + TakeOrdered(1) -- the selected vectors ride along as
-    LITERALS (same driver-literal pattern as the k-means centroids:
-    one (id, vector) row collected per iteration, never a candidate
-    pool). No shuffle anywhere; per-pass cost is one corpus scan, and
-    k is small by construction. Ranking determinism: scores are
-    ROUNDed to 6 before the argmax and ties break on id, so the
-    engine's float fold order cannot flip a selection.
+    This is the EXACT path — the verification counterpoint, not the
+    scale shape.  It runs k full-corpus scored scans (each map-only +
+    TakeOrdered(1), selected vectors riding as literals, no shuffle),
+    which is correct at any size but pays k corpus scans; the shipped
+    100 TB execution shape is :func:`mmr_topk_pooled` (ONE narrow
+    relevance cut + map-only vector fetch + driver-side greedy with
+    bit-identical arithmetic — measured 4x faster at 5M with
+    gate-pinned EQUAL output, and sub-scan when composed with an ANN
+    ``candidates`` prefetch such as ``ivfpq_topk``).  Use this exact
+    path to verify the pooled one, or when k*scan cost is acceptable
+    and no pool-sufficiency reasoning is wanted.  Ranking determinism:
+    scores are ROUNDed to 6 before the argmax and ties break on id, so
+    the engine's float fold order cannot flip a selection.
 
     If the corpus holds fewer than ``k`` vectors the selection stops
     when the pool is exhausted and the shorter result is returned.
@@ -324,8 +329,8 @@ def mmr_topk(
             (
                 row[id_col],
                 [float(x) for x in row[vec_col]],
-                round(float(row["__rel"]), 6),
-                round(float(row["__pen"]), 6),
+                _round_half_up6(float(row["__rel"])),
+                _round_half_up6(float(row["__pen"])),
                 float(row["__mmr"]),
             )
         )
@@ -512,8 +517,17 @@ def mmr_topk_pooled(
             )
             scored.append((cid, vec, rel, pen, mmr))
         best = min(scored, key=lambda s: (-s[4], s[0]))
+        # relevance/redundancy round with the same shortest-repr
+        # HALF_UP twin as the score — Python's half-even round()
+        # diverges from Spark/DuckDB ROUND on .5-boundary doubles
         selected.append(
-            (best[0], best[1], round(best[2], 6), round(best[3], 6), best[4])
+            (
+                best[0],
+                best[1],
+                _round_half_up6(best[2]),
+                _round_half_up6(best[3]),
+                best[4],
+            )
         )
         sel_norms.append(norms[best[0]])
         remaining = [c for c in remaining if c[0] != best[0]]
@@ -538,5 +552,9 @@ def mmr_topk_pooled(
         return out, True  # pool held the whole corpus
     rel_pool_min = cand[-1][2]
     bound = float(lam) * rel_pool_min + float(1.0 - lam)
-    certified = all(s[4] > bound for s in selected)
+    # s[4] is the ROUNDED score, which can exceed the raw score by up
+    # to 5e-7; compare with that slack absorbed so a selection whose
+    # true score sits within rounding distance of the bound is treated
+    # as UNcertified rather than falsely certified.
+    certified = all(s[4] - bound > 5e-7 for s in selected)
     return out, certified

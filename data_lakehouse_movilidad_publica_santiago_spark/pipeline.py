@@ -122,6 +122,10 @@ def build_corpus(
     (both compose; tf-idf runs first). The final top-K is a
     TakeOrdered merge, so K is expected to be bounded (≤ ~1e5);
     for corpus-fraction selections use ``dsir_top_k``'s rank path.
+    K is a BUDGET, not a guarantee: tfidf_topk keeps only docs with a
+    positive dot against the query, so when fewer than K survivors
+    share any query term the stage selects fewer — the summary's
+    ``n_docs_selected`` records the actual count.
 
     ``c4=True`` runs the C4 structural cleaning battery (Raffel et
     al. 2020, gated as `c4_rules`) FIRST: line filters rewrite each
@@ -551,6 +555,7 @@ def build_corpus(
             del labels, feats, keep_ids, screened_qm
             kept = _stage_ckpt(kept, "quality_model")
     n_select_dropped = 0
+    n_selected = None
     if select_query is not None:
         from .operators.retrieval import tfidf_topk
 
@@ -571,7 +576,11 @@ def build_corpus(
             F.broadcast(sel_ids), id_col, "inner"
         ).persist()
         stage_pins.append(selected_tf)
-        n_select_dropped = n_presel - selected_tf.count()
+        # tfidf_topk keeps only dot > 0 docs, so the selection can come
+        # back SHORT of select_top_k when few survivors share a query
+        # term — record what was actually selected, not the budget
+        n_selected = selected_tf.count()
+        n_select_dropped = n_presel - n_selected
         t = _mark("tfidf_select", t)
         kept.unpersist()
         kept = selected_tf
@@ -744,6 +753,9 @@ def build_corpus(
         "n_docs_dropped_by_ppl": int(n_lm_dropped),
         "select_query": select_query,
         "select_top_k": select_top_k,
+        "n_docs_selected": (
+            int(n_selected) if n_selected is not None else None
+        ),
         "n_docs_dropped_by_select": int(n_select_dropped),
         "gopher": gopher,
         "quality_model_label": quality_model_label,

@@ -1,0 +1,254 @@
+"""Round-9 scale probes (local[32]):
+
+  mmrivfpq   the composed 100 TB retrieval stack (VERDICT r8 ask #5):
+             cell-pruned IVF-PQ ADC screen → relevance pool → driver
+             greedy MMR, at 5M × dim-64 — measured against
+             pooled-over-full-scan and the k-scan exact path, with
+             selection equality + certificate outcomes.
+  zipf       ungrouped zipf_spectrum (VERDICT r8 ask #1 / weak flag):
+             the new TakeOrdered-cut global path at 5M docs (vocab
+             ~120M rows), plus old-vs-new at 1M docs where the OLD
+             vocabulary-wide single-partition rank window is still
+             runnable enough to time.
+  pqiters    recall@10 vs training iterations (VERDICT r8 ask #3):
+             production-mode pq_train (oracle_parity=False) at
+             iters 2/5/10/20 on 5M uniform-random vectors (the
+             adversarial recall floor), fixed overfetch ladder.
+
+Run:  python scripts/scale_probe_r9.py [n] [mmrivfpq|zipf|pqiters|all]
+Emits one JSON line per probe; summarize into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scale_probe_r6 import gen_corpus  # noqa: E402
+from scale_probe_r8 import _gen_vectors  # noqa: E402
+
+from data_lakehouse_movilidad_publica_santiago_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def probe(name: str, payload: dict) -> None:
+    print(json.dumps({"probe": name, **payload}), flush=True)
+
+
+def mmrivfpq_probe(n_vecs: int, dim: int = 64) -> None:
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+        mmr_topk,
+        mmr_topk_pooled,
+    )
+
+    spark = get_spark(
+        app_name="scale-probe-r9-mmrivfpq",
+        extra_conf={"spark.network.timeout": "600s"},
+    )
+    work = Path(tempfile.mkdtemp(prefix="probe_r9_mmr_"))
+    try:
+        src = str(work / "vecs.parquet")
+        _gen_vectors(spark, n_vecs, src)
+        emb = spark.read.parquet(src)
+        q = [float(x) for x in
+             emb.filter("vec_id = 0").collect()[0]["embedding"]]  # fmt: skip
+        k, lam, pool = 5, 0.7, 20_000
+
+        idx = str(work / "ivfpq")
+        t0 = time.perf_counter()
+        build_ivfpq_index(emb, idx, n_cells=16, m=8, ksub=16, iters=2)
+        build_wall = round(time.perf_counter() - t0, 2)
+
+        # exact counterpoint (k corpus scans)
+        t0 = time.perf_counter()
+        exact = [tuple(r) for r in mmr_topk(emb, q, k=k, lam=lam).collect()]
+        exact_wall = round(time.perf_counter() - t0, 2)
+
+        # pooled over FULL float scan (the r8 shape)
+        t0 = time.perf_counter()
+        full_df, full_cert = mmr_topk_pooled(
+            emb, q, k=k, lam=lam, pool_size=pool, return_certificate=True
+        )
+        full = [tuple(r) for r in full_df.collect()]
+        full_wall = round(time.perf_counter() - t0, 2)
+
+        # pooled over IVF-PQ prefetch: ADC screen reads n_probe/16 of
+        # ~46x-smaller code files, exact-rescores pool*overfetch ids,
+        # hands the pool ids to the pooled-MMR relevance cut
+        t0 = time.perf_counter()
+        cands = ivfpq_topk(
+            spark, idx, emb, q, k=pool, n_probe=4, overfetch=4
+        ).select("vec_id")
+        ivf_df, ivf_cert = mmr_topk_pooled(
+            emb, q, k=k, lam=lam, pool_size=pool,
+            return_certificate=True, candidates=cands,
+        )  # fmt: skip
+        ivf = [tuple(r) for r in ivf_df.collect()]
+        ivf_wall = round(time.perf_counter() - t0, 2)
+
+        probe("mmr_over_ivfpq_5m", {
+            "n_vecs": n_vecs, "k": k, "pool": pool,
+            "n_cells": 16, "n_probe": 4,
+            "index_build_sec": build_wall,
+            "exact_sec": exact_wall,
+            "pooled_fullscan_sec": full_wall,
+            "pooled_ivfpq_sec": ivf_wall,
+            "fullscan_equals_exact": full == exact,
+            "ivfpq_equals_exact": ivf == exact,
+            "certificate_fullscan": bool(full_cert),
+            "certificate_ivfpq": bool(ivf_cert),
+        })  # fmt: skip
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+def zipf_probe(n_docs: int, old_path_docs: int = 1_000_000) -> None:
+    from pyspark.sql import Window
+
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.corpus_stats import (
+        zipf_spectrum,
+    )
+
+    spark = get_spark(
+        app_name="scale-probe-r9-zipf",
+        extra_conf={"spark.network.timeout": "600s"},
+    )
+    work = Path(tempfile.mkdtemp(prefix="probe_r9_zipf_"))
+    try:
+        src = str(work / "corpus.parquet")
+        gen_corpus(spark, n_docs, src)
+        docs = spark.read.parquet(src)
+
+        t0 = time.perf_counter()
+        row = zipf_spectrum(docs, group_col=None, top_r=100).collect()[0]
+        new_wall = round(time.perf_counter() - t0, 2)
+        probe("zipf_ungrouped_new", {
+            "n_docs": n_docs, "vocab": int(row["vocab"]),
+            "n_tokens": int(row["n_tokens"]), "sec": new_wall,
+            "slope": row["zipf_slope"],
+        })  # fmt: skip
+
+        # the pre-round-9 shape, emulated inline: rank window with an
+        # EMPTY partition spec — the whole vocabulary sorts through one
+        # partition (InferWindowGroupLimit does not fire).  Timed at a
+        # smaller n where it still completes.
+        if old_path_docs:
+            src_small = str(work / "corpus_small.parquet")
+            if old_path_docs != n_docs:
+                gen_corpus(spark, old_path_docs, src_small)
+            else:
+                src_small = src
+            small = spark.read.parquet(src_small)
+            t0 = time.perf_counter()
+            zipf_spectrum(small, group_col=None, top_r=100).collect()
+            new_small = round(time.perf_counter() - t0, 2)
+            freq = (
+                small.select(
+                    F.explode(F.split(F.col("text"), " ")).alias("token")
+                )
+                .filter(F.col("token") != "")
+                .groupBy("token")
+                .agg(F.count("*").alias("freq"))
+            )
+            w = Window.partitionBy().orderBy(
+                F.desc("freq"), F.asc("token")
+            )
+            t0 = time.perf_counter()
+            (
+                freq.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 100)
+                .groupBy()
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            old_small = round(time.perf_counter() - t0, 2)
+            probe("zipf_ungrouped_old_vs_new", {
+                "n_docs": old_path_docs,
+                "old_global_window_sec": old_small,
+                "new_takeordered_sec": new_small,
+            })  # fmt: skip
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+def pqiters_probe(n_vecs: int, dim: int = 64) -> None:
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+        pq_reconstruction_mse,
+        pq_topk,
+        pq_train,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    spark = get_spark(
+        app_name="scale-probe-r9-pqiters",
+        extra_conf={"spark.network.timeout": "600s"},
+    )
+    work = Path(tempfile.mkdtemp(prefix="probe_r9_pqit_"))
+    try:
+        src = str(work / "vecs.parquet")
+        _gen_vectors(spark, n_vecs, src)
+        emb = spark.read.parquet(src).persist()
+        q = [float(x) for x in
+             emb.filter("vec_id = 0").collect()[0]["embedding"]]  # fmt: skip
+        exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+
+        for iters in (2, 5, 10, 20):
+            t0 = time.perf_counter()
+            cb = pq_train(
+                emb, m=8, ksub=16, iters=iters, oracle_parity=False
+            )
+            train_wall = round(time.perf_counter() - t0, 2)
+            mse = pq_reconstruction_mse(emb, cb)
+            recalls = {}
+            for of in (4, 16):
+                got = {
+                    r["vec_id"]
+                    for r in pq_topk(
+                        emb, q, k=10, overfetch=of, codebooks=cb
+                    ).collect()
+                }
+                recalls[f"recall@10_of{of}"] = round(
+                    len(got & exact) / 10, 2
+                )
+            probe("pq_recall_vs_iters", {
+                "n_vecs": n_vecs, "iters": iters,
+                "train_sec": train_wall,
+                "reconstruction_mse": round(mse, 6), **recalls,
+            })  # fmt: skip
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    mode = sys.argv[2] if len(sys.argv) > 2 else "all"
+    modes = set(mode.split(","))
+    if modes & {"mmrivfpq", "all"}:
+        mmrivfpq_probe(min(n, 5_000_000))
+    if modes & {"zipf", "all"}:
+        zipf_probe(n)
+    if modes & {"pqiters", "all"}:
+        pqiters_probe(min(n, 5_000_000))
+
+
+if __name__ == "__main__":
+    main()

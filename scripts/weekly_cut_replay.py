@@ -1,0 +1,126 @@
+"""Round-9 refresh of the real-shape end-to-end baseline (VERDICT r8
+ask #4): generate the reference's EXACT production shape — one 3.6M-row
+viajes day + one 28.4M-row etapas week + one 750k-row subidas month
+(the row counts in BASELINE.md) — and replay the full silver→gold load
+through the real CLI code paths (``run_silver`` + ``GoldLoader``) on
+local[32], timing each layer.
+
+The round-3 headline (1006 s end-to-end, 32.6 k raw rows/s, 2.5× the
+reference's 13.1 k rows/s) predates ~80 operators and the checkpoint/
+stage machinery; this replay re-measures on the current tree so SCALE.md
+tracks drift.  Prints ONE JSON line (per-layer walls, rows/s) that the
+SCALE.md round-9 row sources verbatim.
+
+    python scripts/weekly_cut_replay.py --work /tmp/scale_lake_r9
+    python scripts/weekly_cut_replay.py --viajes 360000 \
+        --etapas 2840000 --subidas 75000   # 1/10-shape smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from gen_scale_lake import gen_etapas, gen_subidas, gen_viajes  # noqa: E402
+
+from data_lakehouse_movilidad_publica_santiago_spark.gold.runner import (  # noqa: E402
+    GoldLoader,
+)
+from data_lakehouse_movilidad_publica_santiago_spark.session import (  # noqa: E402
+    get_spark,
+)
+from data_lakehouse_movilidad_publica_santiago_spark.silver.runner import (  # noqa: E402
+    run_silver,
+)
+from data_lakehouse_movilidad_publica_santiago_spark.sources.catalog import (  # noqa: E402
+    discover_partitions,
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", type=Path, default=Path("/tmp/scale_lake_r9"))
+    ap.add_argument("--viajes", type=int, default=3_600_000)
+    ap.add_argument("--etapas", type=int, default=28_400_000)
+    ap.add_argument("--subidas", type=int, default=750_000)
+    ap.add_argument("--keep", action="store_true", help="keep the work dir")
+    args = ap.parse_args()
+
+    if args.work.exists():
+        shutil.rmtree(args.work)
+    lake = args.work / "lake"
+    lake.mkdir(parents=True)
+
+    t0 = time.perf_counter()
+    con = duckdb.connect()
+    gen_viajes(con, lake, args.viajes)
+    gen_etapas(con, lake, args.etapas)
+    gen_subidas(con, lake, args.subidas)
+    con.close()
+    gen_sec = time.perf_counter() - t0
+    n_raw = args.viajes + args.etapas + args.subidas
+    print(f"gen: {n_raw} raw rows in {gen_sec:.1f}s", file=sys.stderr)
+
+    spark = get_spark(app_name="weekly-cut-replay")
+    parts = [
+        p
+        for ds in ("viajes", "etapas", "subidas_30m")
+        for p in discover_partitions(lake, dataset=ds)
+    ]
+    assert len(parts) == 3, parts
+
+    silver = {}
+    t1 = time.perf_counter()
+    for p in parts:
+        ts = time.perf_counter()
+        run_silver(spark, p, lake)
+        silver[p.dataset] = round(time.perf_counter() - ts, 1)
+        print(f"silver {p.dataset}: {silver[p.dataset]}s", file=sys.stderr)
+    t2 = time.perf_counter()
+
+    loader = GoldLoader(spark, args.work / "gold")
+    gold = {}
+    inserted = {}
+    for p in parts:
+        ts = time.perf_counter()
+        res = loader.run(p, lake)
+        assert res["status"] == "OK", res
+        gold[p.dataset] = round(time.perf_counter() - ts, 1)
+        inserted[p.dataset] = res.get("rows_inserted")
+        print(
+            f"gold {p.dataset}: {gold[p.dataset]}s ins={inserted[p.dataset]}",
+            file=sys.stderr,
+        )
+    t3 = time.perf_counter()
+
+    silver_sec, gold_sec = t2 - t1, t3 - t2
+    total = t3 - t1
+    out = {
+        "metric": "weekly_cut_end_to_end",
+        "raw_rows": n_raw,
+        "gen_sec": round(gen_sec, 1),
+        "silver_sec": round(silver_sec, 1),
+        "silver_per_dataset": silver,
+        "gold_sec": round(gold_sec, 1),
+        "gold_per_dataset": gold,
+        "rows_inserted": inserted,
+        "end_to_end_sec": round(total, 1),
+        "raw_rows_per_sec": round(n_raw / total),
+        "silver_rows_per_sec": round(n_raw / silver_sec),
+    }
+    print(json.dumps(out))
+    if not args.keep:
+        shutil.rmtree(args.work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,16 @@ def test_window_prioritizes_never_snapshotted_gates():
         assert all(k not in union_green for k in qs[:50])
 
 
+def test_rotation_is_age_sorted():
+    """Round-9 policy: queries() must be ordered by most-recent-green
+    round ascending (never-green first), so the driver's 50-entry
+    window always re-snapshots the stalest evidence."""
+    ages = entry._LAST_GREEN
+    qs = list(entry.queries().keys())
+    vals = [ages.get(k, -1) for k in qs]
+    assert vals == sorted(vals), "queries() not in age-based rotation order"
+
+
 def test_docstring_has_no_stale_hardcoded_counts():
     """The module docstring must not restate the gate count as a literal
     (it drifted twice); it should defer to len(queries())."""

@@ -66,6 +66,32 @@ def test_pool_certificate(spark):
     # the exact run (checked in test_pooled_equals_exact_on_gate_corpus)
 
 
+def test_pool_certificate_rounding_slack(spark):
+    """ADVICE r8: the certified score is ROUNDed (can exceed the raw
+    score by up to 5e-7) while the out-of-pool bound is raw — a
+    selection within rounding distance of the bound must be treated
+    as UNcertified, not falsely certified.  Construct that hairline:
+    lam=1 (bound = rel_pool_min), last selection's raw rel
+    0.6000008 → rounded score 0.600001, only 2e-7 above the bound."""
+    import math
+
+    def v(c):
+        return [c, math.sqrt(1.0 - c * c)]
+
+    emb = spark.createDataFrame(
+        [(1, v(0.9)), (2, v(0.6000008)), (3, v(0.2))],
+        ["vec_id", "embedding"],
+    )
+    out, cert = mmr_topk_pooled(
+        emb, [1.0, 0.0], k=2, lam=1.0, pool_size=2,
+        return_certificate=True,
+    )  # fmt: skip
+    rows = out.collect()
+    assert [r["vec_id"] for r in rows] == [1, 2]
+    assert rows[1]["mmr_score"] == pytest.approx(0.600001)
+    assert cert is False  # inside the 5e-7 rounding slack → uncertified
+
+
 def test_pool_size_validation(spark):
     emb, q = _emb(spark), _q(spark)
     with pytest.raises(ValueError, match="pool_size"):

@@ -110,8 +110,27 @@ def test_reconstruction_mse_beats_zero_codebook(emb, cb):
 def test_validation_errors(emb):
     with pytest.raises(ValueError, match="divisible"):
         pq_train(emb, m=7, dim=64)
-    with pytest.raises(ValueError, match="iters"):
+    with pytest.raises(ValueError, match="oracle_parity"):
         pq_train(emb, iters=3)
+    with pytest.raises(ValueError, match=">= 1"):
+        pq_train(emb, iters=0, oracle_parity=False)
+
+
+def test_production_training_uncapped(emb, cb):
+    """oracle_parity=False lifts the iters<=2 oracle-parity pin:
+    more Lloyd rounds must stay deterministic (rounded updates,
+    min-id init, stale-centroid rule) and must not WORSEN the
+    codebook (reconstruction MSE at 5 iters <= the 2-iter gate
+    codebook's, up to the 1e-6 update rounding)."""
+    cb5 = pq_train(emb, m=8, ksub=16, iters=5, oracle_parity=False)
+    assert pq_train(
+        emb.repartition(16), m=8, ksub=16, iters=5, oracle_parity=False
+    ) == cb5
+    # parity mode and production mode agree where both are defined
+    assert pq_train(emb, m=8, ksub=16, iters=2, oracle_parity=False) == cb
+    mse2 = pq_reconstruction_mse(emb, cb)
+    mse5 = pq_reconstruction_mse(emb, cb5)
+    assert mse5 <= mse2 + 1e-6
 
 
 def test_at_rest_index_roundtrip_and_size(emb, cb, qvec, spark, tmp_path):

@@ -293,6 +293,49 @@ def test_zipf_grouped_and_tie_break(spark):
     assert out["g1"]["vocab"] == 3 and out["g2"]["n_tokens"] == 6
 
 
+def test_zipf_ungrouped_plan_cuts_before_window(spark):
+    """The global (group_col=None) path must NOT sort the whole
+    vocabulary through a single-partition rank window:
+    InferWindowGroupLimit does not fire on an empty partition spec
+    (Spark 4.1.2), so the cut has to be an explicit orderBy+limit
+    (TakeOrderedAndProject = per-partition heaps) BEFORE the window.
+    The grouped path keeps the window but must be group-limited."""
+    docs = _docs(spark, [(i, f"tok{i} tok{i % 7} common") for i in range(40)])
+
+    global_plan = (
+        zipf_spectrum(docs, top_r=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in global_plan
+    # the vocabulary-wide single-partition sort would show as
+    # Exchange SinglePartition + Sort BETWEEN the rank Window and the
+    # token-count scan; with the cut in place the Window's child chain
+    # reaches TakeOrderedAndProject with no Exchange/Sort in between
+    # (TakeOrdered's output is already single-partition and ordered).
+    win_idx = global_plan.index("Window ")
+    cut_idx = global_plan.index("TakeOrderedAndProject")
+    assert win_idx < cut_idx
+    between = global_plan[win_idx:cut_idx]
+    assert "Exchange" not in between and "Sort " not in between
+
+    grouped = spark.createDataFrame(
+        [(i, "a b c", "g%d" % (i % 2)) for i in range(10)],
+        ["doc_id", "text", "lang"],
+    )
+    grouped_plan = (
+        zipf_spectrum(grouped, group_col="lang", top_r=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in grouped_plan
+    # and the rewrite stays value-identical on the global path
+    rows = zipf_spectrum(docs, top_r=3).collect()
+    assert len(rows) == 1 and rows[0]["top_r"] == 3
+
+
 def test_trigram_lm_min_count_pruning(spark):
     """min_count prunes singleton tri/bigrams; a pruned trigram backs
     off exactly as if unseen, and the backoff chain stays closed (a
