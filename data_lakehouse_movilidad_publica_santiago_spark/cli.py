@@ -20,6 +20,8 @@ import json
 import sys
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 from .gold import GoldLoader
 from .gold.diagnostics import build_load_report, write_load_report
 from .gold.sqlite_export import export_gold_to_sqlite
@@ -85,6 +87,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet with (doc_id, text, ...) columns")
     cp.add_argument("--output", required=True, type=Path)
     cp.add_argument("--quality-min", type=float, default=0.75)
+    cp.add_argument(
+        "--stopwords",
+        default=None,
+        help="comma-separated stopword list for the quality screens "
+        "(gopher stopword-hit rule, heuristic score, quality-model "
+        "feature); default is the English top-10 — set this for "
+        "non-English corpora or they fail the stopword rules wholesale",
+    )
     cp.add_argument("--chunk-tokens", type=int, default=64)
     cp.add_argument("--overlap", type=int, default=16)
     cp.add_argument("--seed", default="epoch-0")
@@ -277,6 +287,30 @@ def main(argv: list[str] | None = None) -> int:
     ep.add_argument("--lake", required=True, type=Path)
     ep.add_argument("--out", required=True, type=Path)
 
+    rv = sub.add_parser(
+        "retrieve",
+        help="diversified vector retrieval: IVF-PQ cell-pruned ADC "
+        "prefetch → bounded relevance pool → driver-greedy MMR (the "
+        "100 TB stack; --exact-pool skips the ANN prefetch)",
+    )
+    rv.add_argument("--embeddings", required=True, type=Path,
+                    help="parquet with (vec_id, embedding) columns")
+    rv.add_argument("--index-dir", required=True, type=Path,
+                    help="IVF-PQ index root; built here if absent")
+    rv.add_argument("--query-id", required=True, type=int,
+                    help="vec_id whose embedding is the query vector")
+    rv.add_argument("--k", type=int, default=5)
+    rv.add_argument("--lam", type=float, default=0.7,
+                    help="MMR relevance/diversity trade (1 = pure top-k)")
+    rv.add_argument("--pool-size", type=int, default=None,
+                    help="relevance pool bound (default max(64k, 256))")
+    rv.add_argument("--n-cells", type=int, default=16)
+    rv.add_argument("--n-probe", type=int, default=4)
+    rv.add_argument("--exact-pool", action="store_true",
+                    help="pool from a full float scan instead of the "
+                    "IVF-PQ prefetch (exactness certificate applies "
+                    "to the whole corpus)")
+
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"dlmps-{args.cmd}")
     failed = 0
@@ -404,6 +438,11 @@ def main(argv: list[str] | None = None) -> int:
             dsir_top_k=args.dsir_top_k,
             split_weights=split_weights,
             checkpoint_stages=args.checkpoint_stages,
+            stopwords=(
+                [w for w in args.stopwords.split(",") if w]
+                if args.stopwords
+                else None
+            ),
         )
         print(json.dumps(summary))
 
@@ -426,6 +465,42 @@ def main(argv: list[str] | None = None) -> int:
         loader = GoldLoader(spark, args.lake / "gold")
         counts = export_gold_to_sqlite(loader.store, args.out)
         print(json.dumps(counts))
+
+    elif args.cmd == "retrieve":
+        from .operators.pq import build_ivfpq_index, ivfpq_topk
+        from .operators.retrieval import mmr_topk_pooled
+
+        emb = spark.read.parquet(str(args.embeddings))
+        qrows = emb.filter(
+            F.col("vec_id") == args.query_id
+        ).select("embedding").collect()
+        if not qrows:
+            print(f"no vec_id={args.query_id}", file=sys.stderr)
+            return 1
+        qvec = [float(x) for x in qrows[0]["embedding"]]
+        pool = args.pool_size or max(64 * args.k, 256)
+        candidates = None
+        if not args.exact_pool:
+            idx = str(args.index_dir)
+            if not (args.index_dir / "codebooks.json").exists():
+                build_ivfpq_index(
+                    emb, idx, n_cells=args.n_cells, dim=len(qvec)
+                )
+            candidates = ivfpq_topk(
+                spark, idx, emb, qvec,
+                k=pool, n_probe=args.n_probe, overfetch=4,
+            ).select("vec_id")  # fmt: skip
+        out, certified = mmr_topk_pooled(
+            emb, qvec, k=args.k, lam=args.lam, pool_size=pool,
+            return_certificate=True, candidates=candidates,
+        )  # fmt: skip
+        print(json.dumps({
+            "query_id": args.query_id, "k": args.k, "lam": args.lam,
+            "pool_size": pool,
+            "prefetch": "exact" if args.exact_pool else "ivfpq",
+            "pool_certified_sufficient": bool(certified),
+            "results": [r.asDict() for r in out.collect()],
+        }))  # fmt: skip
 
     return failed
 

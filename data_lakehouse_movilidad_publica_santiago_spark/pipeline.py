@@ -75,6 +75,7 @@ def build_corpus(
     dsir_top_k: int | None = None,
     split_weights: dict[str, float] | None = None,
     checkpoint_stages: bool = False,
+    stopwords: list[str] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict:
@@ -279,15 +280,22 @@ def build_corpus(
         spark.sparkContext._jvm.System.gc()
         return spark.read.parquet(path)
 
+    # the stopword family feeding every quality screen: the default is
+    # the English top-10, which HARDWIRES the battery to English — a
+    # Spanish corpus loses ~98% of its docs at the gopher stopword-hit
+    # rule alone (measured on the round-9 real-text replay fixture).
+    # Language-appropriate stopwords are a per-corpus input, so they
+    # are a parameter, not a constant.
+    stops = list(stopwords) if stopwords is not None else QUALITY_STOPWORDS
     if gopher:
         # the published Gopher rule battery (first-match reason chain)
         # instead of the compact heuristic score
         from .functions.gopher import gopher_reason
 
-        quality_pred = gopher_reason(F.col(text_col)).isNull()
+        quality_pred = gopher_reason(F.col(text_col), stopwords=stops).isNull()
     else:
         quality_pred = (
-            F.round(quality_score(F.col(text_col), QUALITY_STOPWORDS), 2)
+            F.round(quality_score(F.col(text_col), stops), 2)
             >= quality_min
         )
     passed = docs.filter(quality_pred).select(id_col, text_col)
@@ -339,7 +347,7 @@ def build_corpus(
             )
         comps = connected_components(pairs, src="doc_a", dst="doc_b")
         scored = kept.withColumn(
-            "__q", quality_score(F.col(text_col), QUALITY_STOPWORDS)
+            "__q", quality_score(F.col(text_col), stops)
         )
         survivors = canonical_survivors(
             scored.select(F.col(id_col), F.col("__q")),
@@ -524,7 +532,7 @@ def build_corpus(
             .select(
                 F.col(id_col),
                 F.col("__label"),
-                stopword_ratio(F.col(text_col), QUALITY_STOPWORDS).alias(
+                stopword_ratio(F.col(text_col), stops).alias(
                     "__f1"
                 ),
                 punct_ratio(F.col(text_col)).alias("__f2"),
@@ -771,6 +779,7 @@ def build_corpus(
         "n_chunks": int(n_chunks),
         "n_tokens": int(n_tokens or 0),
         "quality_min": quality_min,
+        "custom_stopwords": stopwords is not None,
         "chunk_tokens": chunk_tokens,
         "overlap": overlap,
         "seed": seed,
