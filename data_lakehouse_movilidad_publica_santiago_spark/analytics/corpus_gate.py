@@ -1551,6 +1551,49 @@ QUERIES["zipf_spectrum"] = q_zipf_spectrum
 ORACLE["zipf_spectrum"] = ORACLE_ZIPF_SPECTRUM
 
 
+def q_zipf_spectrum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus (ungrouped) Zipf fit — drives the round-9 global
+    path, where the top-R cut is an explicit orderBy+limit
+    (TakeOrderedAndProject) because the rank window's empty partition
+    spec would otherwise single-partition the entire vocabulary
+    (InferWindowGroupLimit does not fire ungrouped; see
+    operators/corpus_stats.py and the plan test in
+    tests/test_round7_operators.py)."""
+    from ..operators.corpus_stats import zipf_spectrum
+    from ..operators.spread import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return zipf_spectrum(docs, group_col=None, top_r=100)
+
+
+ORACLE_ZIPF_GLOBAL = """
+WITH ex AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+freq AS (
+  SELECT token, COUNT(*) AS freq
+  FROM ex WHERE token <> '' GROUP BY token),
+totals AS (
+  SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM freq),
+ranked AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token)
+                 AS DOUBLE)) AS lr,
+         ln(CAST(freq AS DOUBLE)) AS lf
+  FROM freq QUALIFY ROW_NUMBER() OVER (ORDER BY freq DESC, token) <= 100),
+fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS top_r,
+         ROUND(regr_slope(lf, lr), 4) AS zipf_slope,
+         ROUND(regr_r2(lf, lr), 4) AS zipf_r2
+  FROM ranked)
+SELECT n_tokens, vocab, top_r, zipf_slope, zipf_r2
+FROM totals CROSS JOIN fit
+"""
+
+QUERIES["zipf_spectrum_global"] = q_zipf_spectrum_global
+ORACLE["zipf_spectrum_global"] = ORACLE_ZIPF_GLOBAL
+
+
 # ── round-7 wave 2: containment, DoReMi-lite mixing, novelty ────────
 
 # shared shingle CTEs: distinct normalized word-3-gram shingles per
