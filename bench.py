@@ -87,6 +87,12 @@ HEADLINE = [
     # passes measure the file-pruned ADC scan (n_probe/n_cells of the
     # ~32x-smaller code files) + exact rescore
     "ivfpq_knn",
+    # composed retrieval stack (round 9): cell-pruned ADC screen +
+    # cell-partitioned vector pool fetch + driver greedy MMR — the
+    # source float corpus is never scanned; benched next to
+    # mmr_topk_pooled so the full-scan-pool vs file-pruned-pool trade
+    # is measured
+    "mmr_topk_ivfpq",
     # simhash_near_dup is correctness-gated at sf0.01 but excluded
     # here: at sf0.1 its RESULT is ~2.5M pairs (the corpus is
     # duplicate-riddled), so wall time measures row transport, not

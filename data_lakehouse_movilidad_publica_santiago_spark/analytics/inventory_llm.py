@@ -1385,9 +1385,14 @@ def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
         from ..operators.pq import build_ivfpq_index
 
         d = tempfile.mkdtemp(prefix="dlmps_ivfpq_idx_")
+        # store_vectors=True: the same index serves both the ADC+rescore
+        # gate (ivfpq_knn, which reads codes/ + the source corpus) and
+        # the fully file-pruned composed retrieval gate (mmr_topk_ivfpq,
+        # which reads codes/ + vectors/ and never scans the corpus)
         build_ivfpq_index(
             t(spark, sf_dir, "embeddings"), d,
             n_cells=8, m=8, ksub=16, iters=2, seed=7,
+            store_vectors=True,
         )  # fmt: skip
         _IVFPQ_INDEX_CACHE[sf_dir] = d
     return _IVFPQ_INDEX_CACHE[sf_dir]
@@ -1414,3 +1419,28 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ivfpq_knn"] = q_ivfpq_knn
 ORACLE["ivfpq_knn"] = ORACLE_EMBEDDING_KNN
+
+
+def q_mmr_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully FILE-PRUNED composed retrieval stack (round 9): ADC
+    screen over the probed cells' code files → exact-relevance pool
+    fetched from the cell-partitioned vectors/ dataset (the source
+    float corpus is never scanned) → driver-side greedy MMR with the
+    same bit-identical arithmetic as ``mmr_topk_pooled``.  The oracle
+    is the full-corpus exact greedy replay — the gate proves the
+    cell-pruned + screened pool reproduces the exact selection at
+    n_probe=4 of 8 cells, pool 320, screen overfetch 4 (the honest
+    caveat: equality holds when cell+screen recall covers the
+    selection's support, measured here and in tests/test_mmr_pooled.py,
+    certified within the screen by the pool bound)."""
+    from ..operators.retrieval import mmr_topk_ivfpq
+
+    idx = _ivfpq_index_for(spark, sf_dir)
+    return mmr_topk_ivfpq(
+        spark, idx, _query_vec(spark, sf_dir),
+        k=5, lam=0.7, pool_size=320, n_probe=4, overfetch=4,
+    )  # fmt: skip
+
+
+QUERIES["mmr_topk_ivfpq"] = q_mmr_topk_ivfpq
+ORACLE["mmr_topk_ivfpq"] = _mmr_oracle_sql()

@@ -482,6 +482,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    store_vectors: bool = False,
 ) -> None:
     """Materialize the canonical billion-scale ANN layout (Jégou et
     al. 2011 §V; what FAISS calls IVFPQ, here with GLOBAL codebooks
@@ -502,7 +503,16 @@ def build_ivfpq_index(
     probed cells' directories (partition filter → file pruning) and
     those files hold ~32× fewer bytes than the float column — e.g.
     n_probe/n_cells = 1/2 of 1/32 ≈ 1.6 % of the corpus bytes, then
-    an exact rescore of k·overfetch ids."""
+    an exact rescore of k·overfetch ids.
+
+    ``store_vectors=True`` additionally writes ``vectors/`` — the
+    (id, float vector) pairs Hive-partitioned by the SAME cell key —
+    so the exact-rescore / pool-fetch side of a query is ALSO
+    file-pruned to the probed cells instead of scanning the source
+    float corpus (the layout :func:`retrieval.mmr_topk_ivfpq` needs
+    to be fully sub-scan; FAISS keeps the same cell-major raw-vector
+    store when rescoring is enabled).  Costs one extra corpus pass at
+    build and duplicates the float bytes cell-major at rest."""
     from .similarity import assign_ivf_cells, train_ivf_centroids
 
     spark = embeddings.sparkSession
@@ -514,8 +524,9 @@ def build_ivfpq_index(
         id_col=id_col, vec_col=vec_col, dim=dim,
     )
     dsub = dim // m
+    assigned = assign_ivf_cells(embeddings, cent, vec_col)
     coded = _with_codes(
-        assign_ivf_cells(embeddings, cent, vec_col),
+        assigned,
         codebooks,
         dsub,
         keep=[id_col, "ivf_cell"],
@@ -531,6 +542,14 @@ def build_ivfpq_index(
         .partitionBy("ivf_cell")
         .parquet(os.path.join(index_dir, "codes"))
     )
+    if store_vectors:
+        (
+            assigned.select(F.col(id_col), F.col("ivf_cell"), F.col(vec_col))
+            .repartition(F.col("ivf_cell"))
+            .write.mode("overwrite")
+            .partitionBy("ivf_cell")
+            .parquet(os.path.join(index_dir, "vectors"))
+        )
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)],
         "cell INT, centroid ARRAY<DOUBLE>",
@@ -540,12 +559,39 @@ def build_ivfpq_index(
     meta = {
         "m": m, "ksub": ksub, "dim": dim, "iters": iters,
         "n_cells": int(len(cent)), "seed": seed, "id_col": id_col,
+        "vec_col": vec_col, "store_vectors": bool(store_vectors),
         "codebooks": codebooks,
     }  # fmt: skip
     tmp = os.path.join(index_dir, "codebooks.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(index_dir, "codebooks.json"))
+
+
+def load_ivfpq_meta(spark, index_dir: str) -> tuple[dict, list[list[float]]]:
+    """Read the index's ``codebooks.json`` + the tiny centroid table
+    (one driver-side read each); returns ``(meta, centroids)`` with
+    ``centroids[cell]`` the float list for that coarse cell."""
+    with open(os.path.join(index_dir, "codebooks.json")) as f:
+        meta = json.load(f)
+    rows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    cent: list[list[float]] = [[] for _ in rows]
+    for r in rows:
+        cent[r["cell"]] = [float(x) for x in r["centroid"]]
+    return meta, cent
+
+
+def probe_cells(
+    cent: list[list[float]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` coarse cells nearest the query by cosine —
+    driver-side over the tiny centroid table (n_cells rows)."""
+    import numpy as np
+
+    c = np.asarray(cent, dtype="float64")
+    q = np.asarray(query_vec, dtype="float64")
+    q = q / np.linalg.norm(q)
+    return [int(i) for i in np.argsort(-(c @ q))[:n_probe]]
 
 
 def ivfpq_topk(
@@ -570,20 +616,11 @@ def ivfpq_topk(
     The gate corpus measures recall 1.0 at n_probe=4/8 cells,
     overfetch=16 (pinned by tests/test_pq.py); precision within the
     candidate set is 1.0 by exact rescore."""
-    import numpy as np
-
     from .similarity import _dot_q_sql, _fold_norm, _norm_sql_name
 
-    with open(os.path.join(index_dir, "codebooks.json")) as f:
-        meta = json.load(f)
+    meta, cent = load_ivfpq_meta(spark, index_dir)
     codebooks = meta["codebooks"]
-    rows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
-    cent = np.zeros((len(rows), len(rows[0]["centroid"])))
-    for r in rows:
-        cent[r["cell"]] = r["centroid"]
-    q = np.asarray(query_vec, dtype="float64")
-    q = q / np.linalg.norm(q)
-    probe = [int(c) for c in np.argsort(-(cent @ q))[:n_probe]]
+    probe = probe_cells(cent, query_vec, n_probe)
 
     dim = len(query_vec)
     qnorm = _fold_norm(query_vec)

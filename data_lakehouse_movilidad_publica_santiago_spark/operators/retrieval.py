@@ -37,6 +37,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .similarity import _fold_norm
+
 
 def bm25_topk(
     docs: DataFrame,
@@ -372,6 +374,94 @@ def _mmr_schema(embeddings: DataFrame, id_col: str):
     )
 
 
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right Python float fold — same op order as the unrolled
+    SQL dot products, so driver-side arithmetic is bit-identical to
+    the distributed path."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _desc_rel_key(rel, rid):
+    """Driver-side sort key replicating Spark's
+    ``orderBy(desc(rel), asc(id))`` on DOUBLE: NaN orders GREATER than
+    any double (first under DESC), NULLs last (desc default), then
+    value descending, id ascending."""
+    if rel is None:
+        return (2, 0.0, rid)
+    rel = float(rel)
+    if rel != rel:  # NaN
+        return (0, 0.0, rid)
+    return (1, -rel, rid)
+
+
+def _greedy_mmr(cand: list[tuple], k: int, lam: float) -> list[tuple]:
+    """Driver-side greedy MMR over a pool already in (rel desc, id
+    asc) order; ``cand`` rows are (id, vec, raw_rel).  Arithmetic is
+    bit-identical to the distributed exact path: same left-to-right
+    float folds, same shortest-repr HALF_UP round-to-6 before each
+    argmax, same id tiebreak.  Returns [(id, vec, rel6, pen6, mmr6)]
+    in selection order (rel/pen rounded like the exact path's
+    output)."""
+    norms = {cid: _fold_norm(vec) for cid, vec, _ in cand}
+    selected: list[tuple] = []  # (id, vec, rel6, pen6, mmr6)
+    remaining = list(cand)
+    sel_norms: list[float] = []
+    for _ in range(k):
+        if not remaining:
+            break
+        scored = []
+        for cid, vec, rel in remaining:
+            if selected:
+                pens = [
+                    _fold_dot(vec, svec) / (norms[cid] * sel_norms[j])
+                    for j, (sid, svec, _r, _p, _m) in enumerate(selected)
+                ]
+                pen = max(pens)
+            else:
+                pen = 0.0
+            mmr = _round_half_up6(
+                float(lam) * rel - float(1.0 - lam) * pen
+            )
+            scored.append((cid, vec, rel, pen, mmr))
+        best = min(scored, key=lambda s: (-s[4], s[0]))
+        # relevance/redundancy round with the same shortest-repr
+        # HALF_UP twin as the score — Python's half-even round()
+        # diverges from Spark/DuckDB ROUND on .5-boundary doubles
+        selected.append(
+            (
+                best[0],
+                best[1],
+                _round_half_up6(best[2]),
+                _round_half_up6(best[3]),
+                best[4],
+            )
+        )
+        sel_norms.append(norms[best[0]])
+        remaining = [c for c in remaining if c[0] != best[0]]
+    return selected
+
+
+def _certify_pool(
+    selected: list[tuple], cand: list[tuple], pool_size: int, lam: float
+) -> bool:
+    """Conservative pool-sufficiency certificate: any vector OUTSIDE
+    the relevance top-pool has rel <= rel_pool_min and redundancy >=
+    -1, so its MMR score is <= lam*rel_pool_min + (1-lam).  If every
+    chosen step scored strictly above that bound (with the ROUND(,6)
+    slack of 5e-7 absorbed — the stored score is rounded and can
+    exceed the raw one), no out-of-pool vector could have displaced a
+    selection.  A pool that held its whole (possibly
+    candidate-restricted) corpus is exact by construction."""
+    if len(cand) < pool_size:
+        return True
+    rel_pool_min = cand[-1][2]
+    bound = float(lam) * rel_pool_min + float(1.0 - lam)
+    return all(s[4] - bound > 5e-7 for s in selected)
+
+
 def _round_half_up6(x: float) -> float:
     """Spark's ROUND(x, 6) on DOUBLE, replayed exactly.  Spark rounds
     the SHORTEST decimal representation of the double (Java
@@ -434,15 +524,19 @@ def mmr_topk_pooled(
     ``pool_size`` defaults to ``max(64·k, 256)``, covered by the
     equality tests.
 
-    ``candidates`` (a DataFrame holding an ``id_col`` column) makes
-    the pool phase SUB-scan: the relevance cut runs only over the
-    candidate ids — feed it an ANN prefetch (``ivf_topk_indexed`` /
-    ``sq8_topk_indexed`` / ``ivfpq_topk`` with a generous overfetch)
-    and the whole operator touches n_probe/n_cells of ~32×-smaller
-    code bytes plus two tiny joins instead of any full float scan.
-    Exactness then additionally requires the candidate set to cover
-    the exact selection's support (the ANN recall question — measure
-    it like the ANN gates do).
+    ``candidates`` (a DataFrame holding an ``id_col`` column, e.g. an
+    ANN prefetch from ``ivf_topk_indexed`` / ``sq8_topk_indexed`` /
+    ``ivfpq_topk`` with a generous overfetch) restricts the pool to
+    the candidate ids: the plan is materialized ONCE (its id list is
+    bounded by construction) and the pool then comes from a single
+    fused map-only broadcast-id scan — no full-corpus ordering queue.
+    Note the scan itself still reads the source float column (the
+    broadcast join filters rows, not bytes); the FULLY file-pruned
+    composition, which never scans the source corpus at all, is
+    :func:`mmr_topk_ivfpq` over a ``store_vectors=True`` index.
+    Exactness with ``candidates`` additionally requires the candidate
+    set to cover the exact selection's support (the ANN recall
+    question — measure it like the ANN gates do).
 
     If the corpus holds fewer than ``k`` vectors the shorter selection
     is returned (same contract as ``mmr_topk``)."""
@@ -458,16 +552,76 @@ def mmr_topk_pooled(
         f"({_dot_q_sql(vec_col, query_vec, dim)} / "
         f"({_norm_sql_name(vec_col, dim)} * {qnorm!r}D))"
     )
-    if candidates is not None:
-        embeddings = embeddings.join(
-            F.broadcast(candidates.select(id_col).distinct()), id_col
-        )
     spark = embeddings.sparkSession
-    # pass 1: distributed relevance top-pool over (id, rel) ONLY —
-    # TakeOrderedAndProject's per-partition priority queue copies each
-    # considered row, so carrying the vector column through it costs
-    # ~5× the scan (measured 30.8 s vs 5.8 s at 5M × dim-64); the
-    # narrow cut plus a map-only vector fetch is the cheap shape
+    if candidates is not None:
+        # Materialize the candidate ids ONCE.  ``candidates`` is
+        # typically an expensive lazy ANN plan (e.g. ``ivfpq_topk``) —
+        # left lazy it would re-execute for EVERY pass that touches it
+        # (measured 4.8× slower than the full-scan pool at 5M before
+        # this fix).  The id list is bounded by construction (an ANN
+        # prefetch is ≤ pool·overfetch rows).
+        cand_ids = [
+            r[0] for r in candidates.select(id_col).distinct().collect()
+        ]
+        id_df = spark.createDataFrame(
+            [(i,) for i in cand_ids], _pool_id_schema(embeddings, id_col)
+        )
+        base = embeddings.join(F.broadcast(id_df), id_col)
+        if len(cand_ids) <= max(4 * pool_size, 100_000):
+            # Fused single pass: with a bounded candidate set there is
+            # no need for the narrow-cut-then-fetch dance — one
+            # map-only broadcast-id scan collects (id, rel, vec) for
+            # every candidate (no ordering queue involved), and the
+            # pool cut happens driver-side with the same
+            # (rel desc NULLS LAST/NaN-first, id asc) order as the
+            # distributed TakeOrdered.
+            rows = base.select(
+                F.col(id_col),
+                F.expr(rel_sql).alias("__rel"),
+                F.col(vec_col),
+            ).collect()
+            rows.sort(key=lambda r: _desc_rel_key(r["__rel"], r[id_col]))
+            cand = [
+                (r[id_col], [float(x) for x in r[vec_col]],
+                 float(r["__rel"]))
+                for r in rows[:pool_size]
+            ]  # fmt: skip
+        else:
+            cand = _pool_two_pass(
+                base, rel_sql, pool_size, id_col, vec_col
+            )
+    else:
+        cand = _pool_two_pass(
+            embeddings, rel_sql, pool_size, id_col, vec_col
+        )
+    selected = _greedy_mmr(cand, k, lam)
+    out = spark.createDataFrame(
+        [(i + 1, s[0], s[2], s[3], s[4]) for i, s in enumerate(selected)],
+        _mmr_schema(embeddings, id_col),
+    )
+    if not return_certificate:
+        return out
+    # With ``candidates`` the certificate speaks about the RESTRICTED
+    # corpus only — full-corpus exactness additionally needs candidate
+    # coverage (the ANN recall term), which the bound cannot see.
+    return out, _certify_pool(selected, cand, pool_size, lam)
+
+
+def _pool_two_pass(
+    embeddings: DataFrame,
+    rel_sql: str,
+    pool_size: int,
+    id_col: str,
+    vec_col: str,
+) -> list[tuple]:
+    """The two-pass distributed pool build: (1) relevance top-pool
+    over (id, rel) ONLY — TakeOrderedAndProject's per-partition
+    priority queue copies each considered row, so carrying the vector
+    column through it costs ~5× the scan (measured 30.8 s vs 5.8 s at
+    5M × dim-64); (2) map-only broadcast-id fetch of the ≤ pool_size
+    vectors.  Returns [(id, vec, raw_rel)] in (rel desc, id asc)
+    order."""
+    spark = embeddings.sparkSession
     pool_rows = (
         embeddings.select(F.col(id_col), F.expr(rel_sql).alias("__rel"))
         .orderBy(F.desc("__rel"), F.asc(id_col))
@@ -475,86 +629,120 @@ def mmr_topk_pooled(
         .collect()
     )
     rels = {r[id_col]: float(r["__rel"]) for r in pool_rows}
-    # pass 2: fetch the ≤ pool_size vectors (broadcast id semi-join —
-    # map-only scan, no ordering queue, no shuffle)
     pool_id_df = spark.createDataFrame(
-        [(r[id_col],) for r in pool_rows], _pool_id_schema(embeddings, id_col)
+        [(r[id_col],) for r in pool_rows],
+        _pool_id_schema(embeddings, id_col),
     )
     vec_rows = embeddings.join(F.broadcast(pool_id_df), id_col).select(
         F.col(id_col), F.col(vec_col)
     ).collect()
     vecs = {r[id_col]: [float(x) for x in r[vec_col]] for r in vec_rows}
-
-    def _fold_dot(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += float(x) * float(y)
-        return acc
-
-    # preserve pass-1's (rel desc, id asc) pool order
-    cand = [
+    return [
         (r[id_col], vecs[r[id_col]], rels[r[id_col]]) for r in pool_rows
     ]
-    norms = {cid: _fold_norm(vec) for cid, vec, _ in cand}
-    selected: list[tuple] = []  # (id, vec, rel6, pen6, mmr6)
-    remaining = list(cand)
-    sel_norms: list[float] = []
-    for _ in range(k):
-        if not remaining:
-            break
-        scored = []
-        for cid, vec, rel in remaining:
-            if selected:
-                pens = [
-                    _fold_dot(vec, svec) / (norms[cid] * sel_norms[j])
-                    for j, (sid, svec, _r, _p, _m) in enumerate(selected)
-                ]
-                pen = max(pens)
-            else:
-                pen = 0.0
-            mmr = _round_half_up6(
-                float(lam) * rel - float(1.0 - lam) * pen
-            )
-            scored.append((cid, vec, rel, pen, mmr))
-        best = min(scored, key=lambda s: (-s[4], s[0]))
-        # relevance/redundancy round with the same shortest-repr
-        # HALF_UP twin as the score — Python's half-even round()
-        # diverges from Spark/DuckDB ROUND on .5-boundary doubles
-        selected.append(
-            (
-                best[0],
-                best[1],
-                _round_half_up6(best[2]),
-                _round_half_up6(best[3]),
-                best[4],
-            )
+
+
+def mmr_topk_ivfpq(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.7,
+    pool_size: int | None = None,
+    n_probe: int = 4,
+    overfetch: int = 4,
+    return_certificate: bool = False,
+):
+    """The fully file-pruned 100 TB retrieval stack, composed over a
+    ``build_ivfpq_index(store_vectors=True)`` layout — the source
+    float corpus is NEVER scanned:
+
+    1. pick the ``n_probe`` nearest coarse cells driver-side (the
+       tiny centroid table);
+    2. ADC-screen ONLY those cells' code files (partition filter →
+       file pruning; ~46× fewer bytes than floats) down to
+       ``pool_size·overfetch`` ids — a narrow TakeOrdered over
+       (id, approx) rows;
+    3. fetch (id, exact rel, vector) for the screened ids from the
+       probed cells' VECTOR files — ALSO file-pruned, a map-only
+       broadcast-id join, one action (the screen executes once as
+       the broadcast side);
+    4. cut the relevance pool driver-side (same (rel desc, id asc)
+       order as the distributed TakeOrdered) and run the identical
+       greedy as :func:`mmr_topk_pooled`.
+
+    Total bytes touched per query: n_probe/n_cells of the ~46×-smaller
+    codes + n_probe/n_cells of the cell-major float bytes — vs
+    :func:`mmr_topk_pooled` over a raw corpus, which is two full float
+    scans.  Output equals :func:`mmr_topk` whenever the probed cells +
+    screen cover the exact selection's support (the ANN recall term;
+    the gate corpus measures exact order match, and the certificate
+    reports pool sufficiency WITHIN the screened candidates).
+
+    Output schema matches the other MMR operators: (rank, id,
+    relevance, redundancy, mmr_score)."""
+    import os
+
+    from .pq import _adc_luts, _approx_cos_sql, load_ivfpq_meta, probe_cells
+    from .similarity import _dot_q_sql, _norm_sql_name
+
+    meta, cent = load_ivfpq_meta(spark, index_dir)
+    if not meta.get("store_vectors"):
+        raise ValueError(
+            "index was built without store_vectors=True — the "
+            "cell-partitioned vectors/ dataset is required for the "
+            "file-pruned pool fetch (rebuild with "
+            "build_ivfpq_index(..., store_vectors=True), or use "
+            "mmr_topk_pooled(candidates=ivfpq_topk(...)) over the "
+            "source corpus)"
         )
-        sel_norms.append(norms[best[0]])
-        remaining = [c for c in remaining if c[0] != best[0]]
+    id_col = meta["id_col"]
+    vec_col = meta.get("vec_col", "embedding")
+    if pool_size is None:
+        pool_size = max(64 * k, 256)
+    if pool_size < k:
+        raise ValueError(f"pool_size={pool_size} must be >= k={k}")
+    probe = probe_cells(cent, query_vec, n_probe)
+
+    dim = len(query_vec)
+    qnorm = _fold_norm(query_vec)
+    lut_dot, lut_norm2 = _adc_luts(meta["codebooks"], query_vec)
+    approx = _approx_cos_sql("codes", lut_dot, lut_norm2, qnorm)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+        F.col("ivf_cell").isin(probe)
+    )
+    screened = (
+        codes.select(F.col(id_col), F.expr(approx).alias("__approx"))
+        .orderBy(F.desc("__approx"), F.asc(id_col))
+        .limit(pool_size * overfetch)
+        .select(id_col)
+    )
+    rel_sql = (
+        f"({_dot_q_sql(vec_col, query_vec, dim)} / "
+        f"({_norm_sql_name(vec_col, dim)} * {qnorm!r}D))"
+    )
+    vectors = spark.read.parquet(
+        os.path.join(index_dir, "vectors")
+    ).filter(F.col("ivf_cell").isin(probe))
+    rows = (
+        vectors.join(F.broadcast(screened), id_col)
+        .select(
+            F.col(id_col), F.expr(rel_sql).alias("__rel"), F.col(vec_col)
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: _desc_rel_key(r["__rel"], r[id_col]))
+    cand = [
+        (r[id_col], [float(x) for x in r[vec_col]], float(r["__rel"]))
+        for r in rows[:pool_size]
+    ]
+    selected = _greedy_mmr(cand, k, lam)
     out = spark.createDataFrame(
         [(i + 1, s[0], s[2], s[3], s[4]) for i, s in enumerate(selected)],
-        _mmr_schema(embeddings, id_col),
+        _mmr_schema(vectors, id_col),
     )
     if not return_certificate:
         return out
-    # Conservative pool-sufficiency certificate: any vector OUTSIDE the
-    # relevance top-pool has rel <= rel_pool_min and redundancy >= -1,
-    # so its MMR score is <= lam*rel_pool_min + (1-lam).  If every
-    # chosen step scored strictly above that bound, no out-of-pool
-    # vector could have displaced a selection — pooled == exact,
-    # certified without touching the full corpus again.  (The pool not
-    # covering the corpus is required for the bound to mean anything;
-    # when pool >= corpus the result is exact by construction.)
-    # With ``candidates`` the certificate speaks about the RESTRICTED
-    # corpus only — full-corpus exactness additionally needs candidate
-    # coverage (the ANN recall term), which this bound cannot see.
-    if len(cand) < pool_size:
-        return out, True  # pool held the whole corpus
-    rel_pool_min = cand[-1][2]
-    bound = float(lam) * rel_pool_min + float(1.0 - lam)
-    # s[4] is the ROUNDED score, which can exceed the raw score by up
-    # to 5e-7; compare with that slack absorbed so a selection whose
-    # true score sits within rounding distance of the bound is treated
-    # as UNcertified rather than falsely certified.
-    certified = all(s[4] - bound > 5e-7 for s in selected)
-    return out, certified
+    # the certificate speaks about the SCREENED candidate set; cell +
+    # screen coverage (the ANN recall term) is measured, not certified
+    return out, _certify_pool(selected, cand, pool_size, lam)

@@ -3,7 +3,8 @@
   mmrivfpq   the composed 100 TB retrieval stack (VERDICT r8 ask #5):
              cell-pruned IVF-PQ ADC screen → relevance pool → driver
              greedy MMR, at 5M × dim-64 — measured against
-             pooled-over-full-scan and the k-scan exact path, with
+             pooled-over-full-scan, pooled-over-candidates, and the
+             k-scan exact path, with
              selection equality + certificate outcomes.
   zipf       ungrouped zipf_spectrum (VERDICT r8 ask #1 / weak flag):
              the new TakeOrdered-cut global path at 5M docs (vocab
@@ -52,6 +53,7 @@ def mmrivfpq_probe(n_vecs: int, dim: int = 64) -> None:
     )
     from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
         mmr_topk,
+        mmr_topk_ivfpq,
         mmr_topk_pooled,
     )
 
@@ -63,15 +65,20 @@ def mmrivfpq_probe(n_vecs: int, dim: int = 64) -> None:
     try:
         src = str(work / "vecs.parquet")
         _gen_vectors(spark, n_vecs, src)
-        emb = spark.read.parquet(src)
+        emb = spark.read.parquet(src).persist()
+        emb.count()  # materialize so the build isn't charged the gen IO
         q = [float(x) for x in
              emb.filter("vec_id = 0").collect()[0]["embedding"]]  # fmt: skip
         k, lam, pool = 5, 0.7, 20_000
 
         idx = str(work / "ivfpq")
         t0 = time.perf_counter()
-        build_ivfpq_index(emb, idx, n_cells=16, m=8, ksub=16, iters=2)
+        build_ivfpq_index(
+            emb, idx, n_cells=16, m=8, ksub=16, iters=2,
+            store_vectors=True,
+        )  # fmt: skip
         build_wall = round(time.perf_counter() - t0, 2)
+        emb.unpersist()  # queries measure the at-rest/cold-cache shape
 
         # exact counterpoint (k corpus scans)
         t0 = time.perf_counter()
@@ -86,16 +93,28 @@ def mmrivfpq_probe(n_vecs: int, dim: int = 64) -> None:
         full = [tuple(r) for r in full_df.collect()]
         full_wall = round(time.perf_counter() - t0, 2)
 
-        # pooled over IVF-PQ prefetch: ADC screen reads n_probe/16 of
-        # ~46x-smaller code files, exact-rescores pool*overfetch ids,
-        # hands the pool ids to the pooled-MMR relevance cut
+        # pooled over an IVF-PQ candidates prefetch (the generic
+        # composition: candidate ids materialized once, fused
+        # broadcast-id pool fetch — still scans the source floats)
         t0 = time.perf_counter()
         cands = ivfpq_topk(
             spark, idx, emb, q, k=pool, n_probe=4, overfetch=4
         ).select("vec_id")
-        ivf_df, ivf_cert = mmr_topk_pooled(
+        cand_df, cand_cert = mmr_topk_pooled(
             emb, q, k=k, lam=lam, pool_size=pool,
             return_certificate=True, candidates=cands,
+        )  # fmt: skip
+        cand_sel = [tuple(r) for r in cand_df.collect()]
+        cand_wall = round(time.perf_counter() - t0, 2)
+
+        # the fully FILE-PRUNED composed stack (round 9): ADC screen
+        # over n_probe/16 of the ~46x-smaller code files + pool fetch
+        # from the cell-partitioned vectors/ — the source float corpus
+        # is never scanned
+        t0 = time.perf_counter()
+        ivf_df, ivf_cert = mmr_topk_ivfpq(
+            spark, idx, q, k=k, lam=lam, pool_size=pool,
+            n_probe=4, overfetch=4, return_certificate=True,
         )  # fmt: skip
         ivf = [tuple(r) for r in ivf_df.collect()]
         ivf_wall = round(time.perf_counter() - t0, 2)
@@ -106,10 +125,13 @@ def mmrivfpq_probe(n_vecs: int, dim: int = 64) -> None:
             "index_build_sec": build_wall,
             "exact_sec": exact_wall,
             "pooled_fullscan_sec": full_wall,
-            "pooled_ivfpq_sec": ivf_wall,
+            "pooled_candidates_sec": cand_wall,
+            "mmr_ivfpq_sec": ivf_wall,
             "fullscan_equals_exact": full == exact,
+            "candidates_equals_exact": cand_sel == exact,
             "ivfpq_equals_exact": ivf == exact,
             "certificate_fullscan": bool(full_cert),
+            "certificate_candidates": bool(cand_cert),
             "certificate_ivfpq": bool(ivf_cert),
         })  # fmt: skip
     finally:
@@ -145,8 +167,10 @@ def zipf_probe(n_docs: int, old_path_docs: int = 1_000_000) -> None:
 
         # the pre-round-9 shape, emulated inline: rank window with an
         # EMPTY partition spec — the whole vocabulary sorts through one
-        # partition (InferWindowGroupLimit does not fire).  Timed at a
-        # smaller n where it still completes.
+        # partition (InferWindowGroupLimit does not fire).  Timed
+        # APPLES-TO-APPLES: both sides run freq → top-100 cut → count
+        # on the same corpus (neither pays totals/fit), old at a
+        # smaller n where the single-partition sort still completes.
         if old_path_docs:
             src_small = str(work / "corpus_small.parquet")
             if old_path_docs != n_docs:
@@ -154,9 +178,6 @@ def zipf_probe(n_docs: int, old_path_docs: int = 1_000_000) -> None:
             else:
                 src_small = src
             small = spark.read.parquet(src_small)
-            t0 = time.perf_counter()
-            zipf_spectrum(small, group_col=None, top_r=100).collect()
-            new_small = round(time.perf_counter() - t0, 2)
             freq = (
                 small.select(
                     F.explode(F.split(F.col("text"), " ")).alias("token")
@@ -165,9 +186,17 @@ def zipf_probe(n_docs: int, old_path_docs: int = 1_000_000) -> None:
                 .groupBy("token")
                 .agg(F.count("*").alias("freq"))
             )
-            w = Window.partitionBy().orderBy(
-                F.desc("freq"), F.asc("token")
+            order = [F.desc("freq"), F.asc("token")]
+            t0 = time.perf_counter()
+            (
+                freq.orderBy(*order)
+                .limit(100)
+                .groupBy()
+                .agg(F.count("*").alias("n"))
+                .collect()
             )
+            new_small = round(time.perf_counter() - t0, 2)
+            w = Window.partitionBy().orderBy(*order)
             t0 = time.perf_counter()
             (
                 freq.withColumn("rank", F.row_number().over(w))
@@ -179,8 +208,8 @@ def zipf_probe(n_docs: int, old_path_docs: int = 1_000_000) -> None:
             old_small = round(time.perf_counter() - t0, 2)
             probe("zipf_ungrouped_old_vs_new", {
                 "n_docs": old_path_docs,
-                "old_global_window_sec": old_small,
-                "new_takeordered_sec": new_small,
+                "old_global_window_cut_sec": old_small,
+                "new_takeordered_cut_sec": new_small,
             })  # fmt: skip
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -202,13 +231,21 @@ def pqiters_probe(n_vecs: int, dim: int = 64) -> None:
         extra_conf={"spark.network.timeout": "600s"},
     )
     work = Path(tempfile.mkdtemp(prefix="probe_r9_pqit_"))
+    n_queries = 8  # recall@10 on ONE query has 0.1 granularity — pure
+    # noise for an iters curve; average over several query vectors
     try:
         src = str(work / "vecs.parquet")
         _gen_vectors(spark, n_vecs, src)
         emb = spark.read.parquet(src).persist()
-        q = [float(x) for x in
-             emb.filter("vec_id = 0").collect()[0]["embedding"]]  # fmt: skip
-        exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+        qrows = emb.filter(f"vec_id < {n_queries}").collect()
+        queries = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in qrows
+        }
+        exact = {
+            qid: {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+            for qid, qv in queries.items()
+        }
 
         for iters in (2, 5, 10, 20):
             t0 = time.perf_counter()
@@ -219,17 +256,20 @@ def pqiters_probe(n_vecs: int, dim: int = 64) -> None:
             mse = pq_reconstruction_mse(emb, cb)
             recalls = {}
             for of in (4, 16):
-                got = {
-                    r["vec_id"]
-                    for r in pq_topk(
-                        emb, q, k=10, overfetch=of, codebooks=cb
-                    ).collect()
-                }
+                per_q = []
+                for qid, qv in queries.items():
+                    got = {
+                        r["vec_id"]
+                        for r in pq_topk(
+                            emb, qv, k=10, overfetch=of, codebooks=cb
+                        ).collect()
+                    }
+                    per_q.append(len(got & exact[qid]) / 10)
                 recalls[f"recall@10_of{of}"] = round(
-                    len(got & exact) / 10, 2
+                    sum(per_q) / len(per_q), 3
                 )
             probe("pq_recall_vs_iters", {
-                "n_vecs": n_vecs, "iters": iters,
+                "n_vecs": n_vecs, "iters": iters, "n_queries": n_queries,
                 "train_sec": train_wall,
                 "reconstruction_mse": round(mse, 6), **recalls,
             })  # fmt: skip

@@ -188,3 +188,109 @@ def test_pooled_over_ann_candidate_prefetch(spark):
         ).collect()
     ]
     assert pooled == exact
+
+def test_candidates_plan_executes_once(spark):
+    """Round-9 fix: a lazy (expensive) ANN candidates plan must be
+    materialized exactly once — before the fix it re-executed for
+    every pool pass (measured 4.8x slower than the full-scan pool at
+    5M).  Pinned via an accumulator-instrumented candidates source."""
+    from pyspark.sql import functions as F
+
+    emb, q = _emb(spark), _q(spark)
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(it):
+        acc.add(1)
+        yield from it
+
+    cand_rdd = (
+        emb.select("vec_id").limit(300).rdd.coalesce(1).mapPartitions(bump)
+    )
+    cand = spark.createDataFrame(cand_rdd, "vec_id bigint")
+    mmr_topk_pooled(emb, q, k=5, lam=0.7, pool_size=200, candidates=cand)
+    assert acc.value == 1, f"candidates plan executed {acc.value} times"
+
+
+def test_mmr_ivfpq_equals_exact(tmp_path, spark):
+    """The fully file-pruned stack (codes screen + cell-partitioned
+    vector fetch + driver greedy) reproduces the exact full-corpus
+    greedy when probing covers the selection (n_probe = n_cells,
+    generous screen)."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+        build_ivfpq_index,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+        mmr_topk_ivfpq,
+    )
+
+    emb, q = _emb(spark), _q(spark)
+    idx = str(tmp_path / "ivfpq_vecs")
+    build_ivfpq_index(
+        emb, idx, n_cells=4, m=8, ksub=16, iters=2, store_vectors=True
+    )
+    exact = [tuple(r) for r in mmr_topk(emb, q, k=5, lam=0.7).collect()]
+    got_df, cert = mmr_topk_ivfpq(
+        spark, idx, q, k=5, lam=0.7, pool_size=200, n_probe=4,
+        overfetch=4, return_certificate=True,
+    )  # fmt: skip
+    got = [tuple(r) for r in got_df.collect()]
+    assert got == exact
+    assert isinstance(cert, bool)
+
+
+def test_mmr_ivfpq_requires_store_vectors(tmp_path, spark):
+    """An index built without store_vectors=True cannot serve the
+    file-pruned pool fetch — clear error, not a missing-path crash."""
+    import pytest as _pytest
+
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+        build_ivfpq_index,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+        mmr_topk_ivfpq,
+    )
+
+    emb, q = _emb(spark), _q(spark)
+    idx = str(tmp_path / "ivfpq_novecs")
+    build_ivfpq_index(emb, idx, n_cells=4, m=8, ksub=16, iters=2)
+    with _pytest.raises(ValueError, match="store_vectors"):
+        mmr_topk_ivfpq(spark, idx, q, k=5)
+
+
+def test_mmr_ivfpq_never_reads_source_corpus(tmp_path, spark):
+    """Scale pin: every parquet scan in the composed stack's plans
+    points INSIDE the index directory (codes/ or vectors/) — the
+    source embeddings file is untouched, and both scans carry the
+    ivf_cell partition filter."""
+    import os
+
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+        build_ivfpq_index,
+        load_ivfpq_meta,
+        probe_cells,
+    )
+
+    emb, q = _emb(spark), _q(spark)
+    idx = str(tmp_path / "ivfpq_prune")
+    build_ivfpq_index(
+        emb, idx, n_cells=4, m=8, ksub=16, iters=2, store_vectors=True
+    )
+    meta, cent = load_ivfpq_meta(spark, idx)
+    probe = probe_cells(cent, q, 2)
+    # the vectors scan under a cell filter lists only the probed
+    # cells' directories (Hive partition pruning)
+    from pyspark.sql import functions as F
+
+    vec = (
+        spark.read.parquet(os.path.join(idx, "vectors"))
+        .filter(F.col("ivf_cell").isin(probe))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    files = {r["f"] for r in vec}
+    assert files, "no vector files read"
+    for f in files:
+        assert "/vectors/" in f and any(
+            f"ivf_cell={c}/" in f for c in probe
+        ), f
