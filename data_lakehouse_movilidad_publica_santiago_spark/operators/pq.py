@@ -117,15 +117,25 @@ def pq_train(
     DuckDB relational replay drops empty clusters while this trainer
     keeps the stale centroid, and the two are provably identical only
     through iteration 2.  ``oracle_parity=False`` is the PRODUCTION
-    mode — any ``iters >= 1`` (real corpora want 10–25 Lloyd rounds
-    for codebook quality; see SCALE.md's recall-vs-iters probe) with
+    mode — any ``iters >= 1`` — with
     determinism fully kept: min-id-ordered init, ROUND(avg, 6)
     updates each round (so the engine's float fold order cannot
     drift the codebook), and the empty-cluster rule unchanged (a code
     that captures no vectors KEEPS its previous centroid — the stale-
     centroid rule, stated here because the oracle cannot replay it
     past iter 2).  Per-iteration cluster cost is identical in either
-    mode; only the cap differs."""
+    mode; only the cap differs.
+
+    How many iterations?  Measure recall per corpus before buying
+    training time.  SCALE.md's round-9 probe (5M structureless
+    uniform vectors, 8-query mean) found reconstruction MSE improves
+    monotonically with iters while screen recall monotonically DROPS
+    (0.475 → 0.263 recall@10 at overfetch 16 going 2 → 20 iters):
+    MSE-optimal codebooks are not ranking-optimal — converged
+    centroids contract reconstructions toward subspace means and
+    compress the ADC score spread.  Extra Lloyd rounds pay off only
+    where codewords capture real cluster structure; on structureless
+    corpora OVERFETCH is the recall lever."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     if iters < 1:
