@@ -406,7 +406,7 @@ def _cleanup_index_caches() -> None:
     import shutil as _shutil
 
     for cache in (_IVF_INDEX_CACHE, _MINHASH_INDEX_CACHE, _PQ_INDEX_CACHE,
-                  _IVFPQ_INDEX_CACHE):
+                  _IVFPQ_INDEX_CACHE, _IVFPQ_INCR_INDEX_CACHE):
         for d in cache.values():
             _shutil.rmtree(d, ignore_errors=True)
         cache.clear()
@@ -1376,6 +1376,7 @@ ORACLE["pq_knn_indexed"] = _pq_oracle_sql()
 
 
 _IVFPQ_INDEX_CACHE: dict[str, str] = {}
+_IVFPQ_INCR_INDEX_CACHE: dict[str, str] = {}
 
 
 def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -1444,3 +1445,55 @@ def q_mmr_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mmr_topk_ivfpq"] = q_mmr_topk_ivfpq
 ORACLE["mmr_topk_ivfpq"] = _mmr_oracle_sql()
+
+
+def _ivfpq_incr_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """An IVF-PQ index GROWN incrementally: built on the even vec_ids,
+    then the odd half appended with ``ivfpq_add`` (frozen quantizers,
+    map-only encode, per-cell parquet append)."""
+    if sf_dir not in _IVFPQ_INCR_INDEX_CACHE:
+        import tempfile
+
+        from ..operators.pq import build_ivfpq_index, ivfpq_add
+
+        d = tempfile.mkdtemp(prefix="dlmps_ivfpq_incr_")
+        emb = t(spark, sf_dir, "embeddings")
+        build_ivfpq_index(
+            emb.filter(F.col("vec_id") % 2 == 0), d,
+            n_cells=8, m=8, ksub=16, iters=2, seed=7,
+        )  # fmt: skip
+        ivfpq_add(spark, d, emb.filter(F.col("vec_id") % 2 == 1))
+        _IVFPQ_INCR_INDEX_CACHE[sf_dir] = d
+    return _IVFPQ_INCR_INDEX_CACHE[sf_dir]
+
+
+def q_ivfpq_knn_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (round 9): the index is built on
+    HALF the corpus and the other half arrives via ``ivfpq_add`` —
+    frozen coarse centroids + codebooks, map-only encode, append-only
+    per-cell files (the FAISS ``IVF.add`` contract; the growing-corpus
+    twin of ``minhash_incremental``).  The query must return the exact
+    top-10 over ORIGINAL + ADDED vectors: added vectors are screened
+    and rescored exactly like built ones, with no reload step (the
+    directory listing is the index).  Exact-kNN oracle justified the
+    same way as ``ivfpq_knn``: deterministic build + measured exact
+    order match at these parameters.  The parameters are themselves a
+    measured drift datapoint: the full-trained ``ivfpq_knn`` index
+    matches exact at n_probe=4/8, but the HALF-trained coarse cells
+    put 2 of the query's true top-10 (all from the unseen half) in
+    cells ranked 5th-6th — n_probe=6 + overfetch 32 recovers exact
+    order (n_probe=4 cannot at any overfetch; cell recall, not screen
+    recall).  That is the add-without-retrain trade the operator
+    docstring warns about, quantified."""
+    from ..operators.pq import ivfpq_topk
+
+    idx = _ivfpq_incr_index_for(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        spark, idx, emb, _query_vec(spark, sf_dir),
+        k=10, n_probe=6, overfetch=32,
+    )  # fmt: skip
+
+
+QUERIES["ivfpq_knn_incremental"] = q_ivfpq_knn_incremental
+ORACLE["ivfpq_knn_incremental"] = ORACLE_EMBEDDING_KNN

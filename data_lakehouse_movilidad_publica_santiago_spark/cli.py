@@ -467,8 +467,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(counts))
 
     elif args.cmd == "retrieve":
-        from .operators.pq import build_ivfpq_index, ivfpq_topk
-        from .operators.retrieval import mmr_topk_pooled
+        from .operators.pq import (
+            build_ivfpq_index,
+            ivfpq_topk,
+            load_ivfpq_meta,
+        )
+        from .operators.retrieval import mmr_topk_ivfpq, mmr_topk_pooled
 
         emb = spark.read.parquet(str(args.embeddings))
         qrows = emb.filter(
@@ -479,25 +483,47 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         qvec = [float(x) for x in qrows[0]["embedding"]]
         pool = args.pool_size or max(64 * args.k, 256)
-        candidates = None
-        if not args.exact_pool:
+        if args.exact_pool:
+            out, certified = mmr_topk_pooled(
+                emb, qvec, k=args.k, lam=args.lam, pool_size=pool,
+                return_certificate=True,
+            )  # fmt: skip
+            prefetch = "exact"
+        else:
             idx = str(args.index_dir)
             if not (args.index_dir / "codebooks.json").exists():
+                # fresh builds store the cell-partitioned vectors too,
+                # so queries run the fully file-pruned stack
                 build_ivfpq_index(
-                    emb, idx, n_cells=args.n_cells, dim=len(qvec)
-                )
-            candidates = ivfpq_topk(
-                spark, idx, emb, qvec,
-                k=pool, n_probe=args.n_probe, overfetch=4,
-            ).select("vec_id")  # fmt: skip
-        out, certified = mmr_topk_pooled(
-            emb, qvec, k=args.k, lam=args.lam, pool_size=pool,
-            return_certificate=True, candidates=candidates,
-        )  # fmt: skip
+                    emb, idx, n_cells=args.n_cells, dim=len(qvec),
+                    store_vectors=True,
+                )  # fmt: skip
+            meta, _ = load_ivfpq_meta(spark, idx)
+            if meta.get("store_vectors"):
+                # file-pruned stack: codes screen + cell-partitioned
+                # vector pool fetch — the source corpus is never scanned
+                out, certified = mmr_topk_ivfpq(
+                    spark, idx, qvec, k=args.k, lam=args.lam,
+                    pool_size=pool, n_probe=args.n_probe,
+                    return_certificate=True,
+                )  # fmt: skip
+                prefetch = "ivfpq-filepruned"
+            else:
+                # legacy codes-only index: prefetch candidate ids, pool
+                # from the source corpus (one fused broadcast-id scan)
+                candidates = ivfpq_topk(
+                    spark, idx, emb, qvec,
+                    k=pool, n_probe=args.n_probe, overfetch=4,
+                ).select("vec_id")  # fmt: skip
+                out, certified = mmr_topk_pooled(
+                    emb, qvec, k=args.k, lam=args.lam, pool_size=pool,
+                    return_certificate=True, candidates=candidates,
+                )  # fmt: skip
+                prefetch = "ivfpq"
         print(json.dumps({
             "query_id": args.query_id, "k": args.k, "lam": args.lam,
             "pool_size": pool,
-            "prefetch": "exact" if args.exact_pool else "ivfpq",
+            "prefetch": prefetch,
             "pool_certified_sufficient": bool(certified),
             "results": [r.asDict() for r in out.collect()],
         }))  # fmt: skip

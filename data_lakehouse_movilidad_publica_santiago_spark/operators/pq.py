@@ -659,3 +659,69 @@ def ivfpq_topk(
     return rescored.withColumn(
         "rank", F.row_number().over(Window.orderBy(*order))
     )
+
+def ivfpq_add(
+    spark,
+    index_dir: str,
+    new_embeddings: DataFrame,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> int:
+    """Incrementally add vectors to an existing ``build_ivfpq_index``
+    layout — the index-maintenance twin of the incremental MinHash
+    index (a growing training corpus appends embeddings daily; a full
+    index rebuild is O(corpus), this is O(batch)).
+
+    Cells are assigned and codes computed with the index's FROZEN
+    coarse centroids and codebooks (the FAISS ``IVF.add`` contract):
+    a pure map stage over the new batch (one Arrow-batched matmul for
+    the cell + the staged argmin projections for the codes), then one
+    per-cell repartition and an APPEND to ``codes/`` (and ``vectors/``
+    when the index stores them) — one new file per touched cell per
+    batch, nothing at rest is rewritten.  ``ivfpq_topk`` /
+    ``retrieval.mmr_topk_ivfpq`` see the new vectors on their next
+    query with no reload step (the directory listing IS the index).
+
+    The standard trade: no retraining means cells and codebooks drift
+    as the data distribution shifts — recall on the NEW data is only
+    as good as the old quantizers' fit.  Monitor and rebuild when it
+    degrades (the probe recipe in SCALE.md).  Determinism: same
+    frozen-parameter encode as the build, so add-then-query equals
+    build-everything-with-these-quantizers-then-query bit-for-bit.
+
+    Returns the number of vectors added."""
+    from .similarity import assign_ivf_cells
+
+    meta, cent = load_ivfpq_meta(spark, index_dir)
+    id_col = id_col or meta["id_col"]
+    vec_col = vec_col or meta.get("vec_col", "embedding")
+    m = meta["m"]
+    dsub = meta["dim"] // m
+    n_new = new_embeddings.count()
+    assigned = assign_ivf_cells(new_embeddings, cent, vec_col)
+    coded = _with_codes(
+        assigned,
+        meta["codebooks"],
+        dsub,
+        keep=[id_col, "ivf_cell"],
+        vec_col=vec_col,
+    ).select(
+        F.col(id_col),
+        F.col("ivf_cell"),
+        F.array(*[F.col(f"__code{j}") for j in range(m)]).alias("codes"),
+    )
+    (
+        coded.repartition(F.col("ivf_cell"))
+        .write.mode("append")
+        .partitionBy("ivf_cell")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+    if meta.get("store_vectors"):
+        (
+            assigned.select(F.col(id_col), F.col("ivf_cell"), F.col(vec_col))
+            .repartition(F.col("ivf_cell"))
+            .write.mode("append")
+            .partitionBy("ivf_cell")
+            .parquet(os.path.join(index_dir, "vectors"))
+        )
+    return int(n_new)

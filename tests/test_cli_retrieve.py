@@ -38,8 +38,11 @@ def test_retrieve_ivfpq_prefetch_matches_exact(spark, tmp_path, capsys):
         capsys,
     )
     assert rc == 0
-    assert payload["prefetch"] == "ivfpq"
+    # fresh builds store cell-partitioned vectors → the CLI runs the
+    # fully file-pruned stack (round 9)
+    assert payload["prefetch"] == "ivfpq-filepruned"
     assert (tmp_path / "idx" / "codebooks.json").exists()
+    assert (tmp_path / "idx" / "vectors").exists()
     got = [
         (r["rank"], r["vec_id"], r["relevance"], r["redundancy"],
          r["mmr_score"]) for r in payload["results"]
@@ -85,3 +88,36 @@ def test_retrieve_unknown_query_id_fails_cleanly(tmp_path, capsys):
         ]
     )
     assert rc == 1
+
+def test_retrieve_legacy_codes_only_index(spark, tmp_path, capsys):
+    """A pre-round-9 index (codes only, no vectors/) still serves: the
+    CLI falls back to the candidates-prefetch pooled path."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+        build_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(EMB)
+    idx = tmp_path / "legacy"
+    build_ivfpq_index(emb, str(idx), n_cells=4)
+    rc, payload = _run_cli(
+        [
+            "retrieve",
+            "--embeddings", EMB,
+            "--index-dir", str(idx),
+            "--query-id", "0",
+            "--k", "4",
+            "--pool-size", "400",
+            "--n-probe", "4",
+        ],
+        capsys,
+    )
+    assert rc == 0
+    assert payload["prefetch"] == "ivfpq"
+    q = [float(x) for x in
+         emb.filter("vec_id = 0").collect()[0]["embedding"]]  # fmt: skip
+    exact = [tuple(r) for r in mmr_topk(emb, q, k=4, lam=0.7).collect()]
+    got = [
+        (r["rank"], r["vec_id"], r["relevance"], r["redundancy"],
+         r["mmr_score"]) for r in payload["results"]
+    ]  # fmt: skip
+    assert got == exact

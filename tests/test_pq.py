@@ -256,3 +256,146 @@ def test_ivfpq_screen_prunes_at_file_level(emb, qvec, spark, tmp_path):
     assert files and all(
         ("ivf_cell=0" in f or "ivf_cell=1" in f) for f in files
     )
+
+class TestIvfpqAdd:
+    """Incremental index maintenance (round 9): ivfpq_add appends
+    frozen-quantizer-encoded batches; queries see them with no reload."""
+
+    def _grown_index(self, spark, tmp_path, store_vectors=False):
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_add,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        first = emb.filter("vec_id % 2 = 0")
+        rest = emb.filter("vec_id % 2 = 1")
+        idx = str(tmp_path / "grow")
+        build_ivfpq_index(
+            first, idx, n_cells=4, m=8, ksub=16, iters=2,
+            store_vectors=store_vectors,
+        )
+        n = ivfpq_add(spark, idx, rest)
+        assert n == rest.count()
+        return emb, rest, idx
+
+    def test_added_codes_bit_equal_direct_encode(self, spark, tmp_path):
+        """Determinism contract: add-then-read equals a direct encode
+        of the batch with the index's frozen centroids + codebooks."""
+        from pyspark.sql import functions as F
+
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            _with_codes,
+            load_ivfpq_meta,
+        )
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+            assign_ivf_cells,
+        )
+
+        emb, rest, idx = self._grown_index(spark, tmp_path)
+        meta, cent = load_ivfpq_meta(spark, idx)
+        stored = {
+            r["vec_id"]: (r["ivf_cell"], tuple(r["codes"]))
+            for r in spark.read.parquet(f"{idx}/codes")
+            .join(rest.select("vec_id"), "vec_id")
+            .collect()
+        }
+        direct = _with_codes(
+            assign_ivf_cells(rest, cent),
+            meta["codebooks"],
+            meta["dim"] // meta["m"],
+            keep=["vec_id", "ivf_cell"],
+        ).select(
+            "vec_id", "ivf_cell",
+            F.array(*[F.col(f"__code{j}") for j in range(meta["m"])])
+            .alias("codes"),
+        )  # fmt: skip
+        expect = {
+            r["vec_id"]: (r["ivf_cell"], tuple(r["codes"]))
+            for r in direct.collect()
+        }
+        assert stored == expect
+        assert len(stored) == rest.count()
+
+    def test_grown_index_queries_whole_corpus(self, spark, tmp_path):
+        """At full probe + generous overfetch the grown index returns
+        the exact top-k over ORIGINAL + ADDED vectors — no loss, no
+        dupes, no reload step."""
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            ivfpq_topk,
+        )
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+            cosine_topk,
+        )
+
+        emb, rest, idx = self._grown_index(spark, tmp_path)
+        q = [
+            float(x)
+            for x in emb.filter("vec_id = 1").collect()[0]["embedding"]
+        ]
+        got = [
+            (r["vec_id"], r["cos_sim"])
+            for r in ivfpq_topk(
+                spark, idx, emb, q, k=10, n_probe=4, overfetch=64
+            ).collect()
+        ]
+        exact = [
+            (r["vec_id"], r["cos_sim"])
+            for r in cosine_topk(emb, q, k=10).collect()
+        ]
+        assert got == exact
+
+    def test_grown_index_serves_file_pruned_mmr(self, spark, tmp_path):
+        """store_vectors indexes grow both datasets: the composed
+        file-pruned MMR over the grown index equals the exact greedy
+        over the full corpus."""
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+            mmr_topk,
+            mmr_topk_ivfpq,
+        )
+
+        emb, rest, idx = self._grown_index(
+            spark, tmp_path, store_vectors=True
+        )
+        q = [
+            float(x)
+            for x in emb.filter("vec_id = 1").collect()[0]["embedding"]
+        ]
+        exact = [
+            tuple(r) for r in mmr_topk(emb, q, k=5, lam=0.7).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in mmr_topk_ivfpq(
+                spark, idx, q, k=5, lam=0.7, pool_size=400, n_probe=4,
+            ).collect()
+        ]
+        assert got == exact
+
+    def test_append_only_layout(self, spark, tmp_path):
+        """The add APPENDS files under the cell partitions; every file
+        present before the add is still there, byte-identical names."""
+        from pathlib import Path
+
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_add,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        idx = str(tmp_path / "layout")
+        build_ivfpq_index(
+            emb.filter("vec_id % 2 = 0"), idx, n_cells=4
+        )
+        before = {
+            str(p) for p in Path(idx, "codes").rglob("*.parquet")
+        }
+        ivfpq_add(spark, idx, emb.filter("vec_id % 2 = 1"))
+        after = {str(p) for p in Path(idx, "codes").rglob("*.parquet")}
+        assert before <= after and len(after) > len(before)
+        for f in after - before:
+            assert "/ivf_cell=" in f
