@@ -16,7 +16,7 @@
              iters 2/5/10/20 on 5M uniform-random vectors (the
              adversarial recall floor), fixed overfetch ladder.
 
-Run:  python scripts/scale_probe_r9.py [n] [mmrivfpq|zipf|pqiters|all]
+Run:  python scripts/scale_probe_r9.py [n] [mmrivfpq|zipf|pqiters|ivfpqadd|all]
 Emits one JSON line per probe; summarize into SCALE.md.
 """
 
@@ -278,6 +278,89 @@ def pqiters_probe(n_vecs: int, dim: int = 64) -> None:
         spark.stop()
 
 
+def ivfpqadd_probe(n_vecs: int, dim: int = 64) -> None:
+    """Index-maintenance cost at scale: build on 80% of the corpus,
+    append the remaining 20% with ivfpq_add (frozen quantizers,
+    map-only encode, per-cell parquet append) — the wall to compare
+    against a full rebuild — then spot-check that the grown index
+    still recalls across built+added vectors."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_add,
+        ivfpq_topk,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    spark = get_spark(
+        app_name="scale-probe-r9-ivfpqadd",
+        extra_conf={"spark.network.timeout": "600s"},
+    )
+    work = Path(tempfile.mkdtemp(prefix="probe_r9_add_"))
+    try:
+        src_p = str(work / "vecs.parquet")
+        _gen_vectors(spark, n_vecs, src_p)
+        emb = spark.read.parquet(src_p)
+        cut = int(n_vecs * 0.8)
+        base = emb.filter(F.col("vec_id") < cut).persist()
+        batch = emb.filter(F.col("vec_id") >= cut)
+        base.count()
+
+        idx = str(work / "ivfpq")
+        t0 = time.perf_counter()
+        build_ivfpq_index(
+            base, idx, n_cells=16, m=8, ksub=16, iters=2,
+            store_vectors=True,
+        )  # fmt: skip
+        build_wall = round(time.perf_counter() - t0, 2)
+        base.unpersist()
+
+        t0 = time.perf_counter()
+        n_added = ivfpq_add(spark, idx, batch)
+        add_wall = round(time.perf_counter() - t0, 2)
+
+        # recall spot-check averaged over 8 queries (4 from the built
+        # corpus, 4 from the added batch) — single-query recall@10 has
+        # 0.1 granularity and is pure noise
+        qids = [0, 1, 2, 3, cut, cut + 1, cut + 2, cut + 3]
+        qrows = emb.filter(F.col("vec_id").isin(qids)).collect()
+        queries = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in qrows
+        }
+        overlaps = {}
+        for np_ in (4, 8):
+            per_q = []
+            for qid in qids:
+                qv = queries[qid]
+                exact = {
+                    r["vec_id"]
+                    for r in cosine_topk(emb, qv, k=10).collect()
+                }
+                got = {
+                    r["vec_id"]
+                    for r in ivfpq_topk(
+                        spark, idx, emb, qv, k=10,
+                        n_probe=np_, overfetch=16,
+                    ).collect()
+                }  # fmt: skip
+                per_q.append(len(got & exact) / 10)
+            overlaps[f"recall@10_np{np_}"] = round(
+                sum(per_q) / len(per_q), 3
+            )
+        probe("ivfpq_add_5m", {
+            "n_built": cut, "n_added": n_added,
+            "build_sec": build_wall, "add_sec": add_wall,
+            "add_rows_per_sec": round(n_added / add_wall),
+            "n_queries": len(qids),
+            **overlaps,
+        })  # fmt: skip
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
     mode = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -288,6 +371,8 @@ def main() -> None:
         zipf_probe(n)
     if modes & {"pqiters", "all"}:
         pqiters_probe(min(n, 5_000_000))
+    if modes & {"ivfpqadd", "all"}:
+        ivfpqadd_probe(min(n, 5_000_000))
 
 
 if __name__ == "__main__":
