@@ -361,6 +361,59 @@ def ivfpqadd_probe(n_vecs: int, dim: int = 64) -> None:
         spark.stop()
 
 
+def mmrladder_probe(n_vecs: int, dim: int = 64) -> None:
+    """Equality ladder for the file-pruned composed stack on the
+    adversarial uniform corpus: at what n_probe does mmr_topk_ivfpq
+    reproduce the exact full-corpus greedy?  (The gate corpus matches
+    at 4 of 8 cells; uniform-random scatters true neighbors across
+    cells, so this measures the knob's convergence, not typical
+    behavior.)"""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+        build_ivfpq_index,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+        mmr_topk,
+        mmr_topk_ivfpq,
+    )
+
+    spark = get_spark(
+        app_name="scale-probe-r9-mmrladder",
+        extra_conf={"spark.network.timeout": "600s"},
+    )
+    work = Path(tempfile.mkdtemp(prefix="probe_r9_lad_"))
+    try:
+        src_p = str(work / "vecs.parquet")
+        _gen_vectors(spark, n_vecs, src_p)
+        emb = spark.read.parquet(src_p).persist()
+        emb.count()
+        q = [float(x) for x in
+             emb.filter("vec_id = 0").collect()[0]["embedding"]]  # fmt: skip
+        idx = str(work / "ivfpq")
+        build_ivfpq_index(
+            emb, idx, n_cells=16, m=8, ksub=16, iters=2,
+            store_vectors=True,
+        )  # fmt: skip
+        emb.unpersist()
+        k, lam, pool = 5, 0.7, 20_000
+        exact = [tuple(r) for r in mmr_topk(emb, q, k=k, lam=lam).collect()]
+        for np_ in (4, 8, 16):
+            t0 = time.perf_counter()
+            got_df, cert = mmr_topk_ivfpq(
+                spark, idx, q, k=k, lam=lam, pool_size=pool,
+                n_probe=np_, overfetch=4, return_certificate=True,
+            )  # fmt: skip
+            got = [tuple(r) for r in got_df.collect()]
+            wall = round(time.perf_counter() - t0, 2)
+            probe("mmr_ivfpq_ladder", {
+                "n_vecs": n_vecs, "n_probe": np_, "sec": wall,
+                "equals_exact": got == exact,
+                "certificate": bool(cert),
+            })  # fmt: skip
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
     mode = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -373,6 +426,8 @@ def main() -> None:
         pqiters_probe(min(n, 5_000_000))
     if modes & {"ivfpqadd", "all"}:
         ivfpqadd_probe(min(n, 5_000_000))
+    if modes & {"mmrladder"}:
+        mmrladder_probe(min(n, 5_000_000))
 
 
 if __name__ == "__main__":
