@@ -489,6 +489,7 @@ def main(argv: list[str] | None = None) -> int:
                 return_certificate=True,
             )  # fmt: skip
             prefetch = "exact"
+            cert_scope = "corpus"  # bound covers every corpus vector
         else:
             idx = str(args.index_dir)
             if not (args.index_dir / "codebooks.json").exists():
@@ -508,6 +509,9 @@ def main(argv: list[str] | None = None) -> int:
                     return_certificate=True,
                 )  # fmt: skip
                 prefetch = "ivfpq-filepruned"
+                # bound covers only the ADC-screened candidate set;
+                # cell+screen coverage is the separate ANN recall term
+                cert_scope = "screened"
             else:
                 # legacy codes-only index: prefetch candidate ids, pool
                 # from the source corpus (one fused broadcast-id scan)
@@ -520,11 +524,14 @@ def main(argv: list[str] | None = None) -> int:
                     return_certificate=True, candidates=candidates,
                 )  # fmt: skip
                 prefetch = "ivfpq"
+                # bound covers only the prefetched candidate ids
+                cert_scope = "candidates"
         print(json.dumps({
             "query_id": args.query_id, "k": args.k, "lam": args.lam,
             "pool_size": pool,
             "prefetch": prefetch,
             "pool_certified_sufficient": bool(certified),
+            "certificate_scope": cert_scope,
             "results": [r.asDict() for r in out.collect()],
         }))  # fmt: skip
 

@@ -535,41 +535,60 @@ def build_ivfpq_index(
     )
     dsub = dim // m
     assigned = assign_ivf_cells(embeddings, cent, vec_col)
-    coded = _with_codes(
-        assigned,
-        codebooks,
-        dsub,
-        keep=[id_col, "ivf_cell"],
-        vec_col=vec_col,
-    ).select(
-        F.col(id_col),
-        F.col("ivf_cell"),
-        F.array(*[F.col(f"__code{j}") for j in range(m)]).alias("codes"),
-    )
-    (
-        coded.repartition(F.col("ivf_cell"))
-        .write.mode("overwrite")
-        .partitionBy("ivf_cell")
-        .parquet(os.path.join(index_dir, "codes"))
-    )
     if store_vectors:
+        # codes/ and vectors/ must hold the SAME rows: persist the
+        # assignment so a nondeterministic input lineage cannot diverge
+        # between the two writes (ids in one dataset but not the other
+        # silently vanish from downstream inner joins)
+        assigned = assigned.persist()
+    try:
+        coded = _with_codes(
+            assigned,
+            codebooks,
+            dsub,
+            keep=[id_col, "ivf_cell"],
+            vec_col=vec_col,
+        ).select(
+            F.col(id_col),
+            F.col("ivf_cell"),
+            F.array(*[F.col(f"__code{j}") for j in range(m)]).alias("codes"),
+        )
         (
-            assigned.select(F.col(id_col), F.col("ivf_cell"), F.col(vec_col))
-            .repartition(F.col("ivf_cell"))
+            coded.repartition(F.col("ivf_cell"))
             .write.mode("overwrite")
             .partitionBy("ivf_cell")
-            .parquet(os.path.join(index_dir, "vectors"))
+            .parquet(os.path.join(index_dir, "codes"))
         )
+        if store_vectors:
+            (
+                assigned.select(
+                    F.col(id_col), F.col("ivf_cell"), F.col(vec_col)
+                )
+                .repartition(F.col("ivf_cell"))
+                .write.mode("overwrite")
+                .partitionBy("ivf_cell")
+                .parquet(os.path.join(index_dir, "vectors"))
+            )
+    finally:
+        if store_vectors:
+            assigned.unpersist()
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)],
         "cell INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids")
     )
+    # build-time reconstruction MSE: the reference point
+    # ivfpq_drift_stats compares incoming batches against (one extra
+    # bounded aggregate over the corpus at build time)
+    build_mse = pq_reconstruction_mse(
+        embeddings, codebooks, id_col=id_col, vec_col=vec_col
+    )
     meta = {
         "m": m, "ksub": ksub, "dim": dim, "iters": iters,
         "n_cells": int(len(cent)), "seed": seed, "id_col": id_col,
         "vec_col": vec_col, "store_vectors": bool(store_vectors),
+        "build_mse": build_mse,
         "codebooks": codebooks,
     }  # fmt: skip
     tmp = os.path.join(index_dir, "codebooks.json.tmp")
@@ -684,44 +703,248 @@ def ivfpq_add(
 
     The standard trade: no retraining means cells and codebooks drift
     as the data distribution shifts — recall on the NEW data is only
-    as good as the old quantizers' fit.  Monitor and rebuild when it
-    degrades (the probe recipe in SCALE.md).  Determinism: same
-    frozen-parameter encode as the build, so add-then-query equals
+    as good as the old quantizers' fit.  Monitor with
+    :func:`ivfpq_drift_stats` and rebuild when it degrades; repeated
+    adds accrete one file per touched cell per batch — compact with
+    :func:`ivfpq_optimize`.  Determinism: same frozen-parameter encode
+    as the build, so add-then-query equals
     build-everything-with-these-quantizers-then-query bit-for-bit.
+
+    ``id_col``/``vec_col`` name the BATCH's source columns when they
+    differ from the index's; the batch is aliased to the index's
+    column names before encoding (appending foreign column names into
+    ``codes/``/``vectors/`` would silently null-merge on later reads).
+
+    The assigned batch is persisted across the two appends: ``codes/``
+    and ``vectors/`` must see the SAME rows, and a nondeterministic or
+    non-idempotent input lineage re-executed per write could otherwise
+    disagree — an id present in codes but missing from vectors drops
+    out of every downstream inner join with no error.
 
     Returns the number of vectors added."""
     from .similarity import assign_ivf_cells
 
     meta, cent = load_ivfpq_meta(spark, index_dir)
-    id_col = id_col or meta["id_col"]
-    vec_col = vec_col or meta.get("vec_col", "embedding")
+    meta_id = meta["id_col"]
+    meta_vec = meta.get("vec_col", "embedding")
+    batch = new_embeddings.select(
+        F.col(id_col or meta_id).alias(meta_id),
+        F.col(vec_col or meta_vec).alias(meta_vec),
+    )
     m = meta["m"]
     dsub = meta["dim"] // m
-    n_new = new_embeddings.count()
-    assigned = assign_ivf_cells(new_embeddings, cent, vec_col)
-    coded = _with_codes(
-        assigned,
-        meta["codebooks"],
-        dsub,
-        keep=[id_col, "ivf_cell"],
-        vec_col=vec_col,
-    ).select(
-        F.col(id_col),
-        F.col("ivf_cell"),
-        F.array(*[F.col(f"__code{j}") for j in range(m)]).alias("codes"),
-    )
-    (
-        coded.repartition(F.col("ivf_cell"))
-        .write.mode("append")
-        .partitionBy("ivf_cell")
-        .parquet(os.path.join(index_dir, "codes"))
-    )
-    if meta.get("store_vectors"):
+    assigned = assign_ivf_cells(batch, cent, meta_vec).persist()
+    try:
+        n_new = assigned.count()
+        coded = _with_codes(
+            assigned,
+            meta["codebooks"],
+            dsub,
+            keep=[meta_id, "ivf_cell"],
+            vec_col=meta_vec,
+        ).select(
+            F.col(meta_id),
+            F.col("ivf_cell"),
+            F.array(*[F.col(f"__code{j}") for j in range(m)]).alias("codes"),
+        )
         (
-            assigned.select(F.col(id_col), F.col("ivf_cell"), F.col(vec_col))
-            .repartition(F.col("ivf_cell"))
+            coded.repartition(F.col("ivf_cell"))
             .write.mode("append")
             .partitionBy("ivf_cell")
-            .parquet(os.path.join(index_dir, "vectors"))
+            .parquet(os.path.join(index_dir, "codes"))
         )
+        if meta.get("store_vectors"):
+            (
+                assigned.select(
+                    F.col(meta_id), F.col("ivf_cell"), F.col(meta_vec)
+                )
+                .repartition(F.col("ivf_cell"))
+                .write.mode("append")
+                .partitionBy("ivf_cell")
+                .parquet(os.path.join(index_dir, "vectors"))
+            )
+    finally:
+        assigned.unpersist()
     return int(n_new)
+
+
+def _cell_files(ds_dir: str) -> dict[int, list[str]]:
+    """Per-cell parquet data files of a Hive-partitioned index dataset
+    (driver-side listing; n_cells directories)."""
+    out: dict[int, list[str]] = {}
+    if not os.path.isdir(ds_dir):
+        return out
+    for name in os.listdir(ds_dir):
+        if not name.startswith("ivf_cell="):
+            continue
+        cell = int(name.split("=", 1)[1])
+        cdir = os.path.join(ds_dir, name)
+        out[cell] = sorted(
+            f for f in os.listdir(cdir) if f.endswith(".parquet")
+        )
+    return out
+
+
+def ivfpq_optimize(
+    spark,
+    index_dir: str,
+    max_files_per_cell: int = 4,
+) -> dict:
+    """Compact an IVF-PQ index's per-cell file sets — the lifecycle
+    twin of ``lake/txn_table.py``'s OPTIMIZE, applied to the plain-
+    parquet index layout.  Every :func:`ivfpq_add` appends one new
+    file per touched cell per batch, so a daily-growing index accretes
+    ~365·n_cells files/year and the per-query listing + open overhead
+    grows without bound.  This rewrites ONLY the cells whose file
+    count exceeds ``max_files_per_cell`` (each back to one file via a
+    cell-key repartition), for ``codes/`` and — when the index stores
+    them — ``vectors/``.  Cost is O(bytes of the over-threshold
+    cells), not O(index).
+
+    Row content is untouched: queries before and after compaction are
+    identical (pinned by tests/test_pq.py).  Crash contract: compacted
+    data is fully staged first, then each cell directory is swapped
+    with two renames; a crash inside one cell's swap window can leave
+    that single cell relocated under ``_optimize_tmp/trash`` — the
+    index is DERIVED data, so recovery is re-running the optimize (the
+    staging dir is rebuilt from live data each run) or rebuilding the
+    index.  This is exactly the gap table formats close; the gold
+    tables use ``lake/txn_table.py`` for that reason (SURVEY §2 S5),
+    while the index trades that machinery for plain-directory reads.
+
+    Returns per-dataset stats: ``{dataset: {"cells_compacted": n,
+    "files_before": n, "files_after": n}}``."""
+    import shutil
+
+    meta, _ = load_ivfpq_meta(spark, index_dir)
+    datasets = ["codes"] + (["vectors"] if meta.get("store_vectors") else [])
+    tmp_root = os.path.join(index_dir, "_optimize_tmp")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    stats: dict[str, dict] = {}
+    for ds in datasets:
+        ds_dir = os.path.join(index_dir, ds)
+        files = _cell_files(ds_dir)
+        over = sorted(
+            c for c, fs in files.items() if len(fs) > max_files_per_cell
+        )
+        before = sum(len(fs) for fs in files.values())
+        if not over:
+            stats[ds] = {
+                "cells_compacted": 0,
+                "files_before": before,
+                "files_after": before,
+            }
+            continue
+        staging = os.path.join(tmp_root, ds, "staged")
+        (
+            spark.read.parquet(ds_dir)
+            .filter(F.col("ivf_cell").isin([int(c) for c in over]))
+            .repartition(F.col("ivf_cell"))
+            .write.mode("overwrite")
+            .partitionBy("ivf_cell")
+            .parquet(staging)
+        )
+        trash = os.path.join(tmp_root, ds, "trash")
+        os.makedirs(trash, exist_ok=True)
+        for c in over:
+            live = os.path.join(ds_dir, f"ivf_cell={c}")
+            os.rename(live, os.path.join(trash, f"ivf_cell={c}"))
+            os.rename(os.path.join(staging, f"ivf_cell={c}"), live)
+        after_files = _cell_files(ds_dir)
+        stats[ds] = {
+            "cells_compacted": len(over),
+            "files_before": before,
+            "files_after": sum(len(fs) for fs in after_files.values()),
+        }
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return stats
+
+
+def ivfpq_drift_stats(
+    spark,
+    index_dir: str,
+    batch: DataFrame,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> dict:
+    """Quantify how far an incoming batch has drifted from the
+    distribution the index's FROZEN quantizers were trained on — the
+    rebuild trigger for the :func:`ivfpq_add` lifecycle (the manual
+    recipe SCALE.md r9 described, as an operator).  Two bounded
+    measurements, no index rewrite:
+
+    - **cell occupancy shift**: assign the batch to the index's coarse
+      cells (map-only) and compare its per-cell distribution against
+      the at-rest index's (a GROUP BY over the Hive partition column —
+      parquet footer counts, no column decode).  Reported as total
+      variation distance in [0, 1] (``cell_tv_distance``) plus the
+      batch's hottest cell share: drifted data piles into few cells,
+      which erodes n_probe pruning.
+    - **quantization residual**: the batch's mean PQ reconstruction
+      error vs the corpus MSE recorded at build time (``build_mse`` in
+      codebooks.json).  ``mse_ratio`` > ~1.5 means the codebooks no
+      longer fit incoming data and ADC screen quality degrades.
+
+    Thresholds are corpus-dependent — SCALE.md's round-10 probe charts
+    both trajectories over 20 successive adds of increasingly shifted
+    batches; rebuild when either stat trends past the level where
+    measured recall at your n_probe drops below target.  ``id_col`` /
+    ``vec_col`` name the batch's source columns when they differ from
+    the index's (same contract as :func:`ivfpq_add`).
+
+    Returns ``{"n_batch", "n_index", "cell_tv_distance",
+    "batch_hottest_cell_share", "batch_mse", "build_mse",
+    "mse_ratio"}`` (``build_mse``/``mse_ratio`` are None for indexes
+    built before the field existed)."""
+    from .similarity import assign_ivf_cells
+
+    meta, cent = load_ivfpq_meta(spark, index_dir)
+    meta_id = meta["id_col"]
+    meta_vec = meta.get("vec_col", "embedding")
+    b = batch.select(
+        F.col(id_col or meta_id).alias(meta_id),
+        F.col(vec_col or meta_vec).alias(meta_vec),
+    )
+    n_cells = int(meta["n_cells"])
+    batch_rows = (
+        assign_ivf_cells(b, cent, meta_vec)
+        .groupBy("ivf_cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    index_rows = (
+        spark.read.parquet(os.path.join(index_dir, "codes"))
+        .groupBy("ivf_cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    bc = {int(r["ivf_cell"]): int(r["n"]) for r in batch_rows}
+    ic = {int(r["ivf_cell"]): int(r["n"]) for r in index_rows}
+    n_batch = sum(bc.values())
+    n_index = sum(ic.values())
+    if n_batch == 0:
+        raise ValueError("batch is empty")
+    tv = 0.5 * sum(
+        abs(bc.get(c, 0) / n_batch - ic.get(c, 0) / max(n_index, 1))
+        for c in range(n_cells)
+    )
+    hottest = max(bc.values()) / n_batch
+    batch_mse = pq_reconstruction_mse(
+        b, meta["codebooks"], id_col=meta_id, vec_col=meta_vec
+    )
+    build_mse = meta.get("build_mse")
+    return {
+        "n_batch": int(n_batch),
+        "n_index": int(n_index),
+        "cell_tv_distance": round(float(tv), 6),
+        "batch_hottest_cell_share": round(float(hottest), 6),
+        "batch_mse": round(float(batch_mse), 6),
+        "build_mse": (
+            round(float(build_mse), 6) if build_mse is not None else None
+        ),
+        "mse_ratio": (
+            round(float(batch_mse / build_mse), 6)
+            if build_mse
+            else None
+        ),
+    }

@@ -558,11 +558,22 @@ def mmr_topk_pooled(
         # typically an expensive lazy ANN plan (e.g. ``ivfpq_topk``) —
         # left lazy it would re-execute for EVERY pass that touches it
         # (measured 4.8× slower than the full-scan pool at 5M before
-        # this fix).  The id list is bounded by construction (an ANN
-        # prefetch is ≤ pool·overfetch rows).
-        cand_ids = [
-            r[0] for r in candidates.select(id_col).distinct().collect()
-        ]
+        # this fix).  The collect is CAPPED: the contract is a bounded
+        # ANN prefetch (≤ pool·overfetch rows), and an oversized frame
+        # must raise instead of OOMing the driver — pool over a big
+        # frame by passing it as ``embeddings``.
+        hard_cap = max(16 * pool_size, 100_000)
+        cand_rows = (
+            candidates.select(id_col).distinct().limit(hard_cap + 1).collect()
+        )
+        if len(cand_rows) > hard_cap:
+            raise ValueError(
+                f"candidates holds more than {hard_cap} distinct ids "
+                f"(cap = max(16*pool_size, 100_000)); a candidate "
+                "prefetch must be bounded — to pool over a large "
+                "corpus pass it as `embeddings` instead"
+            )
+        cand_ids = [r[0] for r in cand_rows]
         id_df = spark.createDataFrame(
             [(i,) for i in cand_ids], _pool_id_schema(embeddings, id_col)
         )
@@ -580,6 +591,10 @@ def mmr_topk_pooled(
                 F.expr(rel_sql).alias("__rel"),
                 F.col(vec_col),
             ).collect()
+            # NULL relevance (a null embedding) can land inside the
+            # top pool_size whenever non-null candidates < pool_size;
+            # such rows are unselectable — drop before slicing
+            rows = [r for r in rows if r["__rel"] is not None]
             rows.sort(key=lambda r: _desc_rel_key(r["__rel"], r[id_col]))
             cand = [
                 (r[id_col], [float(x) for x in r[vec_col]],
@@ -622,8 +637,12 @@ def _pool_two_pass(
     vectors.  Returns [(id, vec, raw_rel)] in (rel desc, id asc)
     order."""
     spark = embeddings.sparkSession
+    # NULL relevance (null embedding) rows sort NULLS LAST under desc
+    # but would still enter the pool when non-null rows < pool_size —
+    # they are unselectable, so exclude them from the cut
     pool_rows = (
         embeddings.select(F.col(id_col), F.expr(rel_sql).alias("__rel"))
+        .filter(F.col("__rel").isNotNull())
         .orderBy(F.desc("__rel"), F.asc(id_col))
         .limit(pool_size)
         .collect()
@@ -731,6 +750,9 @@ def mmr_topk_ivfpq(
         )
         .collect()
     )
+    # drop NULL-relevance rows (null embedding) — unselectable, and
+    # float(None) would crash the pool build when they land in the top
+    rows = [r for r in rows if r["__rel"] is not None]
     rows.sort(key=lambda r: _desc_rel_key(r["__rel"], r[id_col]))
     cand = [
         (r[id_col], [float(x) for x in r[vec_col]], float(r["__rel"]))

@@ -206,10 +206,18 @@ def zipf_probe(n_docs: int, old_path_docs: int = 1_000_000) -> None:
                 .collect()
             )
             old_small = round(time.perf_counter() - t0, 2)
+            # time the SHIPPED operator too (not just the inline
+            # emulation of its cut) so the probe regresses if
+            # zipf_spectrum(group_col=None) ever falls back to a
+            # global window — the plan-pin test covers shape only
+            t0 = time.perf_counter()
+            zipf_spectrum(small, group_col=None, top_r=100).collect()
+            op_small = round(time.perf_counter() - t0, 2)
             probe("zipf_ungrouped_old_vs_new", {
                 "n_docs": old_path_docs,
                 "old_global_window_cut_sec": old_small,
                 "new_takeordered_cut_sec": new_small,
+                "shipped_operator_sec": op_small,
             })  # fmt: skip
     finally:
         shutil.rmtree(work, ignore_errors=True)

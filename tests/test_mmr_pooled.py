@@ -294,3 +294,44 @@ def test_mmr_ivfpq_never_reads_source_corpus(tmp_path, spark):
         assert "/vectors/" in f and any(
             f"ivf_cell={c}/" in f for c in probe
         ), f
+
+
+def test_oversized_candidates_raise_not_oom(spark):
+    """Round-10 guard: the candidates contract is a bounded ANN
+    prefetch; a frame beyond max(16*pool_size, 100_000) distinct ids
+    must raise a clear ValueError instead of collecting every id
+    driver-side (the collect itself is capped via limit(cap+1))."""
+    emb, q = _emb(spark), _q(spark)
+    big = spark.range(100_001).withColumnRenamed("id", "vec_id")
+    with pytest.raises(ValueError, match="candidates holds more than"):
+        mmr_topk_pooled(
+            emb, q, k=5, lam=0.7, pool_size=16, candidates=big
+        )
+
+
+def test_null_embeddings_skipped_in_all_pool_paths(spark):
+    """Round-10 ADVICE fix: a NULL-relevance row (null embedding)
+    landing inside the pool (whenever non-null rows < pool_size) must
+    be skipped, not crash the pool build — in the two-pass path, the
+    fused candidates path, and the file-pruned ivfpq path's pool cut."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, None),
+        (4, [0.0, 1.0]),
+        (5, None),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = [1.0, 0.0]
+    # two-pass: pool_size 10 > 3 non-null rows → nulls enter the cut
+    out = mmr_topk_pooled(emb, q, k=3, lam=0.7, pool_size=10).collect()
+    assert [r["vec_id"] for r in out] == [
+        r["vec_id"] for r in mmr_topk(emb, q, k=3, lam=0.7).collect()
+    ]
+    assert all(r["vec_id"] in (1, 2, 4) for r in out)
+    # fused candidates path: the candidate set includes a null row
+    cand = emb.select("vec_id")
+    out2 = mmr_topk_pooled(
+        emb, q, k=3, lam=0.7, pool_size=10, candidates=cand
+    ).collect()
+    assert [tuple(r) for r in out2] == [tuple(r) for r in out]

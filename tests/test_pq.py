@@ -399,3 +399,196 @@ class TestIvfpqAdd:
         assert before <= after and len(after) > len(before)
         for f in after - before:
             assert "/ivf_cell=" in f
+
+
+class TestIvfpqLifecycle:
+    """Round-10: index compaction (ivfpq_optimize) + drift monitoring
+    (ivfpq_drift_stats) — the rebuild/maintenance story for a daily-
+    growing ivfpq_add index."""
+
+    def _built(self, spark, tmp_path, store_vectors=True, n_adds=3):
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_add,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        idx = str(tmp_path / "life")
+        build_ivfpq_index(
+            emb.filter("vec_id % 5 = 0"), idx, n_cells=4, m=8, ksub=16,
+            iters=2, store_vectors=store_vectors,
+        )  # fmt: skip
+        for r in range(1, n_adds + 1):
+            ivfpq_add(spark, idx, emb.filter(f"vec_id % 5 = {r}"))
+        used = emb.filter(f"vec_id % 5 <= {n_adds}")
+        return emb, used, idx
+
+    def test_optimize_compacts_and_preserves_results(self, spark, tmp_path):
+        """After 3 appends cells hold >1 file; optimize rewrites the
+        over-threshold cells to one file each, and both the ANN query
+        and the file-pruned MMR return IDENTICAL rows before/after."""
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            _cell_files,
+            ivfpq_optimize,
+            ivfpq_topk,
+        )
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+            mmr_topk_ivfpq,
+        )
+
+        emb, used, idx = self._built(spark, tmp_path)
+        q = [
+            float(x)
+            for x in emb.filter("vec_id = 0").collect()[0]["embedding"]
+        ]
+        before_files = _cell_files(f"{idx}/codes")
+        assert any(len(fs) > 1 for fs in before_files.values())
+        knn_before = [
+            tuple(r)
+            for r in ivfpq_topk(
+                spark, idx, used, q, k=10, n_probe=4, overfetch=64
+            ).collect()
+        ]
+        mmr_before = [
+            tuple(r)
+            for r in mmr_topk_ivfpq(
+                spark, idx, q, k=5, pool_size=200, n_probe=4
+            ).collect()
+        ]
+        stats = ivfpq_optimize(spark, idx, max_files_per_cell=1)
+        for ds in ("codes", "vectors"):
+            assert stats[ds]["files_after"] <= stats[ds]["files_before"]
+            after = _cell_files(f"{idx}/{ds}")
+            assert all(len(fs) == 1 for fs in after.values()), after
+        assert stats["codes"]["cells_compacted"] > 0
+        knn_after = [
+            tuple(r)
+            for r in ivfpq_topk(
+                spark, idx, used, q, k=10, n_probe=4, overfetch=64
+            ).collect()
+        ]
+        mmr_after = [
+            tuple(r)
+            for r in mmr_topk_ivfpq(
+                spark, idx, q, k=5, pool_size=200, n_probe=4
+            ).collect()
+        ]
+        assert knn_after == knn_before
+        assert mmr_after == mmr_before
+        # no staging debris
+        import os
+
+        assert not os.path.exists(f"{idx}/_optimize_tmp")
+
+    def test_optimize_noop_under_threshold(self, spark, tmp_path):
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            ivfpq_optimize,
+        )
+
+        emb, used, idx = self._built(spark, tmp_path, n_adds=1)
+        stats = ivfpq_optimize(spark, idx, max_files_per_cell=10)
+        assert stats["codes"]["cells_compacted"] == 0
+        assert stats["codes"]["files_before"] == stats["codes"]["files_after"]
+
+    def test_drift_stats_in_distribution_vs_shifted(self, spark, tmp_path):
+        """A batch drawn from the build distribution scores near-zero
+        occupancy shift and mse_ratio ~1; a hard-shifted batch (all
+        mass toward one direction) scores strictly worse on both."""
+        from pyspark.sql import functions as F
+
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_drift_stats,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        idx = str(tmp_path / "drift")
+        build_ivfpq_index(
+            emb.filter("vec_id % 2 = 0"), idx, n_cells=4, store_vectors=False
+        )
+        same = ivfpq_drift_stats(
+            spark, idx, emb.filter("vec_id % 2 = 1")
+        )
+        assert 0.0 <= same["cell_tv_distance"] <= 1.0
+        assert same["build_mse"] is not None
+        assert same["mse_ratio"] == pytest.approx(1.0, rel=0.35)
+        # shift: collapse every vector onto 10x its first component
+        shifted_df = emb.filter("vec_id % 2 = 1").select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, (x, i) -> CAST("
+                "CASE WHEN i = 0 THEN 10.0 ELSE x * 0.01 END AS DOUBLE))"
+            ).alias("embedding"),
+        )
+        shifted = ivfpq_drift_stats(spark, idx, shifted_df)
+        assert shifted["cell_tv_distance"] > same["cell_tv_distance"]
+        assert shifted["mse_ratio"] > same["mse_ratio"] * 2
+        assert shifted["batch_hottest_cell_share"] >= 0.9
+
+    def test_drift_stats_empty_batch_raises(self, spark, tmp_path):
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_drift_stats,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        idx = str(tmp_path / "empty")
+        build_ivfpq_index(emb, idx, n_cells=4)
+        with pytest.raises(ValueError, match="empty"):
+            ivfpq_drift_stats(spark, idx, emb.filter("vec_id < 0"))
+
+    def test_add_with_renamed_batch_columns(self, spark, tmp_path):
+        """Round-10 ADVICE fix: id_col/vec_col name the BATCH's source
+        columns; the appended rows land under the INDEX's column names
+        (no null-merged schema), and queries see the whole corpus."""
+        from pyspark.sql import functions as F
+
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_add,
+            ivfpq_topk,
+        )
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+            cosine_topk,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        idx = str(tmp_path / "renamed")
+        build_ivfpq_index(
+            emb.filter("vec_id % 2 = 0"), idx, n_cells=4, store_vectors=True
+        )
+        renamed = emb.filter("vec_id % 2 = 1").select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("vec"),
+        )
+        n = ivfpq_add(spark, idx, renamed, id_col="doc_id", vec_col="vec")
+        assert n == renamed.count()
+        codes = spark.read.parquet(f"{idx}/codes")
+        assert set(codes.columns) == {"vec_id", "codes", "ivf_cell"}
+        assert codes.filter("vec_id IS NULL OR codes IS NULL").count() == 0
+        vecs = spark.read.parquet(f"{idx}/vectors")
+        assert set(vecs.columns) == {"vec_id", "embedding", "ivf_cell"}
+        assert vecs.filter("embedding IS NULL").count() == 0
+        q = [
+            float(x)
+            for x in emb.filter("vec_id = 1").collect()[0]["embedding"]
+        ]
+        got = [
+            (r["vec_id"], r["cos_sim"])
+            for r in ivfpq_topk(
+                spark, idx, emb, q, k=10, n_probe=4, overfetch=64
+            ).collect()
+        ]
+        exact = [
+            (r["vec_id"], r["cos_sim"])
+            for r in cosine_topk(emb, q, k=10).collect()
+        ]
+        assert got == exact
