@@ -3,16 +3,19 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query executes end-to-end (collect of a small aggregated result).
-The reported value is the sum of per-query MEDIAN-OF-3 steady-state
+The reported value is the sum of per-query MEDIAN steady-state
 wall-clock seconds: a first full pass executes every headline query
 once to pay one-time costs (JVM/session startup, Catalyst analysis,
 whole-stage codegen Janino compilation, parquet footer caches —
 measured at ~1-3 s per query shape, independent of data size), then
-THREE timed passes run each query and the median is reported, with
-the min-max spread alongside, so a single contended run (e.g. the
-driver's concurrent correctness pass) cannot distort the signal.
-This is the warm-run methodology of the TPC power run: it measures
-the query engine, not the JIT or the box's load spikes.
+THREE timed passes run each query, and any query whose min-max spread
+exceeds 3× (a contended pass, not the engine — this box shows ±15%
+ambient variance and occasional 8× single-pass spikes when another
+JVM runs) gets TWO extra passes so its median is of 5 samples.  The
+per-query spread ratio (max/min) is emitted alongside so the driver's
+bench gate can tell contention from real drift.  This is the warm-run
+methodology of the TPC power run: it measures the query engine, not
+the JIT or the box's load spikes.
 """
 
 from __future__ import annotations
@@ -285,12 +288,33 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             samples[name].append(time.perf_counter() - t0)
 
+    # round-10 stability pass: a spread over 3× within one query's
+    # samples is a contended pass (ambient ±15% box variance never
+    # reaches 3×) — take two extra samples so the median is of 5 and a
+    # single spike cannot sit at the median of a 3-sample set
+    noisy = [
+        name
+        for name in HEADLINE
+        if min(samples[name]) > 0
+        and max(samples[name]) / min(samples[name]) > 3.0
+    ]
+    for _ in range(2):
+        for name in noisy:
+            fn = ALL_QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    spread_ratio: dict[str, float] = {}
     for name, runs in samples.items():
         runs = sorted(runs)
-        timings[name] = round(runs[1], 3)  # median of 3
+        timings[name] = round(runs[len(runs) // 2], 3)  # median of 3 or 5
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
+        spread_ratio[name] = (
+            round(runs[-1] / runs[0], 2) if runs[0] > 0 else None
+        )
 
     total = round(sum(timings.values()), 3)
     # round-9: silver→gold loader throughput, tracked alongside the
@@ -309,8 +333,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "method": "median_of_3_warm",
+                "method": "median_warm_respread3x",
                 "spread_min_max": spread,
+                "spread_ratio": spread_ratio,
+                "n_respread": len(noisy),
                 "loader": loader,
             }
         )
@@ -323,7 +349,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
-                "method": "median_of_3_warm",
+                "method": "median_warm_respread3x",
                 "loader_rows_per_sec": (
                     loader["total_rows_per_sec"] if loader else None
                 ),

@@ -1,6 +1,17 @@
 """Generate a DTPM-shaped lake at configurable scale for throughput
-measurement (shapes per FIXTURES.md; deterministic seed; ~0.4%
-quarantine rate mirroring production quality.json).
+measurement (shapes per FIXTURES.md; deterministic seed).
+
+Quarantine parity (round 10): defects are planted at EXACTLY the
+reference's published per-reason quarantine distribution
+(lake/processed/_quality/**/quality.json — viajes 2025-04-21:
+NEG_DISTANCE 14,854 + BAD_RANGE_N_ETAPAS 272 of 3,621,017; etapas
+week: NEG_DISTANCE 100,606 + BAD_UTM_X 6,364 of 28,447,535; subidas:
+0), scaled proportionally at other row counts and exact at the
+reference sizes.  The two reasons per dataset are planted on disjoint
+row-parity halves with an evenly-spread Bresenham selector, so the
+ordered quality chain assigns each planted row its intended reason —
+``expected_quarantine(dataset, n)`` returns the planted counts for a
+replay to assert against the silver layer's quality.json.
 
 Uses DuckDB to synthesize and write the pipe-CSVs fast.
 
@@ -54,18 +65,76 @@ def r(salt: int, mod: int) -> str:
     return R.format(salt=salt, mod=mod)
 
 
+# The reference's published quality.json distributions (its real
+# production run over the April 2025 DTPM cuts) — the parity targets.
+REF_QUALITY: dict[str, dict[str, int]] = {
+    "viajes": {
+        "__total__": 3_621_017,
+        "NEG_DISTANCE": 14_854,
+        "BAD_RANGE_N_ETAPAS": 272,
+    },
+    "etapas": {
+        "__total__": 28_447_535,
+        "NEG_DISTANCE": 100_606,
+        "BAD_UTM_X": 6_364,
+    },
+    "subidas_30m": {"__total__": 747_593},
+}
+
+
+def expected_quarantine(dataset: str, n: int) -> dict[str, int]:
+    """Planted per-reason counts for an ``n``-row generation: exactly
+    the reference's counts at the reference's row count, proportional
+    (rounded) otherwise.  Zero-count reasons are dropped."""
+    ref = REF_QUALITY[dataset]
+    total = ref["__total__"]
+    out = {
+        k: (v if n == total else round(n * v / total))
+        for k, v in ref.items()
+        if k != "__total__"
+    }
+    return {k: v for k, v in out.items() if v > 0}
+
+
+def _spread_mark(c: int, h: int) -> str:
+    """SQL predicate over the half-row index ``j`` that marks EXACTLY
+    ``c`` of ``h`` rows, evenly spread (Bresenham: the mark moves one
+    step whenever floor((j+1)c/h) advances past floor(jc/h))."""
+    if c <= 0:
+        return "FALSE"
+    if c > h:
+        raise ValueError(f"cannot plant {c} defects in {h} rows")
+    return f"((((i // 2) * {c}) // {h}) < ((((i // 2) + 1) * {c}) // {h}))"
+
+
+def _even_mark(n: int, c: int) -> str:
+    """Exactly ``c`` marks among the even rows of 0..n-1."""
+    return f"((i % 2 = 0) AND {_spread_mark(c, (n + 1) // 2)})"
+
+
+def _odd_mark(n: int, c: int) -> str:
+    """Exactly ``c`` marks among the odd rows of 0..n-1."""
+    return f"((i % 2 = 1) AND {_spread_mark(c, n // 2)})"
+
+
 def gen_viajes(
     con: duckdb.DuckDBPyConnection, root: Path, n: int, cut: str = "2025-04-21"
 ) -> Path:
     pdir = _pdir(root, "viajes", cut)
     cards = max(n // N_CARDS_DIV, 1)
+    planted = expected_quarantine("viajes", n)
+    # exact per-reason planting on disjoint row-parity halves: the
+    # quality chain checks BAD_RANGE_N_ETAPAS before NEG_DISTANCE, so
+    # disjointness makes each planted row report its intended reason
+    neg_mark = _even_mark(n, planted.get("NEG_DISTANCE", 0))
+    bad_mark = _odd_mark(n, planted.get("BAD_RANGE_N_ETAPAS", 0))
     exprs: dict[str, str] = {
         "tipodia": "'0'",
         "factor_expansion": f"CAST(1.0 + {r(11, 5000)} / 1000.0 AS VARCHAR)",
-        # ~0.2% out-of-range n_etapas → BAD_RANGE_N_ETAPAS
-        "n_etapas": f"CASE WHEN {r(13, 1000)} = 0 THEN '7' ELSE CAST(1 + {r(17, 4)} AS VARCHAR) END",
-        # ~0.2% negative distance → NEG_DISTANCE
-        "distancia_eucl": f"CASE WHEN {r(19, 500)} = 1 THEN '-5.0' ELSE CAST(100 + {r(23, 20000)} AS VARCHAR) END",
+        # exact count of out-of-range n_etapas → BAD_RANGE_N_ETAPAS
+        "n_etapas": f"CASE WHEN {bad_mark} THEN '7' ELSE CAST(1 + {r(17, 4)} AS VARCHAR) END",
+        # exact count of negative distance → NEG_DISTANCE
+        "distancia_eucl": f"CASE WHEN {neg_mark} THEN '-5.0' ELSE CAST(100 + {r(23, 20000)} AS VARCHAR) END",
         "distancia_ruta": f"CAST(150 + {r(29, 30000)} AS VARCHAR)",
         "tiempo_inicio_viaje": f"strftime(TIMESTAMP '{cut} 05:00:00' + INTERVAL (({r(31, 64800)})) SECOND, '%Y-%m-%d %H:%M:%S')",
         "tiempo_fin_viaje": f"strftime(TIMESTAMP '{cut} 05:20:00' + INTERVAL (({r(31, 64800)})) SECOND, '%Y-%m-%d %H:%M:%S')",
@@ -132,23 +201,30 @@ def gen_viajes(
 def gen_etapas(con: duckdb.DuckDBPyConnection, root: Path, n: int) -> Path:
     cut = "2025-04-21_2025-04-27"
     pdir = _pdir(root, "etapas", cut)
+    planted = expected_quarantine("etapas", n)
+    # the quality chain checks BAD_UTM_X before NEG_DISTANCE; disjoint
+    # parity halves keep each planted row on its intended reason
+    neg_mark = _even_mark(n, planted.get("NEG_DISTANCE", 0))
+    utm_mark = _odd_mark(n, planted.get("BAD_UTM_X", 0))
     exprs = {
         "operador": f"'U' || CAST(1 + {r(7, 7)} AS VARCHAR)",
         "id_etapa": f"CAST(1 + {r(11, 500000)} AS VARCHAR)",
         "tipo_dia": f"CAST({r(13, 3)} AS VARCHAR)",
         "tipo_transporte": f"CAST(1 + {r(17, 4)} AS VARCHAR)",
         "fExpansionServicioPeriodoTS": f"CAST(1.0 + {r(19, 4000)} / 1000.0 AS VARCHAR)",
-        # ~0.1% bad boolean
-        "tiene_bajada": f"CASE WHEN {r(23, 1000)} = 2 THEN '9' ELSE CAST({r(29, 2)} AS VARCHAR) END",
+        # always a parseable boolean: the reference's published etapas
+        # quality.json has NO BAD_BOOLEAN rows
+        "tiene_bajada": f"CAST({r(29, 2)} AS VARCHAR)",
         "tiempo_subida": f"strftime(TIMESTAMP '{cut[:10]} 05:00:00' + INTERVAL (({r(31, 601200)})) SECOND, '%Y-%m-%d %H:%M:%S')",
         "tiempo_bajada": f"strftime(TIMESTAMP '2025-04-21 05:10:00' + INTERVAL (({r(31, 601200)})) SECOND, '%Y-%m-%d %H:%M:%S')",
         "tiempo_etapa": f"CAST(60 + {r(37, 2400)} AS VARCHAR)",
-        # ~0.2% out-of-box UTM
-        "x_subida": f"CASE WHEN {r(41, 500)} = 3 THEN '100000' ELSE CAST(260000 + {r(43, 180000)} AS VARCHAR) END",
+        # exact count of out-of-box UTM → BAD_UTM_X
+        "x_subida": f"CASE WHEN {utm_mark} THEN '100000' ELSE CAST(260000 + {r(43, 180000)} AS VARCHAR) END",
         "y_subida": f"CAST(6210000 + {r(47, 180000)} AS VARCHAR)",
         "x_bajada": f"CAST(260000 + {r(53, 180000)} AS VARCHAR)",
         "y_bajada": f"CAST(6210000 + {r(59, 180000)} AS VARCHAR)",
-        "dist_ruta_paraderos": f"CAST(100 + {r(61, 5000)} AS VARCHAR)",
+        # exact count of negative distance → NEG_DISTANCE
+        "dist_ruta_paraderos": f"CASE WHEN {neg_mark} THEN '-7.0' ELSE CAST(100 + {r(61, 5000)} AS VARCHAR) END",
         "dist_eucl_paraderos": f"CAST(80 + {r(67, 4000)} AS VARCHAR)",
         "servicio_subida": f"'T' || CAST({r(71, N_SERVICES)} AS VARCHAR)",
         "servicio_bajada": f"'T' || CAST({r(73, N_SERVICES)} AS VARCHAR)",

@@ -30,7 +30,12 @@ import duckdb
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from gen_scale_lake import gen_etapas, gen_subidas, gen_viajes  # noqa: E402
+from gen_scale_lake import (  # noqa: E402
+    expected_quarantine,
+    gen_etapas,
+    gen_subidas,
+    gen_viajes,
+)
 
 from data_lakehouse_movilidad_publica_santiago_spark.gold.runner import (  # noqa: E402
     GoldLoader,
@@ -87,6 +92,42 @@ def main() -> None:
         print(f"silver {p.dataset}: {silver[p.dataset]}s", file=sys.stderr)
     t2 = time.perf_counter()
 
+    # quarantine parity (round 10): the generator plants the
+    # reference's EXACT published per-reason quarantine distribution
+    # (quality.json in the reference lake), so the silver layer's own
+    # quality.json must reproduce it — count_assertion, invalid total,
+    # and the per-reason counts, asserted here
+    sizes = {
+        "viajes": args.viajes,
+        "etapas": args.etapas,
+        "subidas_30m": args.subidas,
+    }
+    quarantine = {}
+    for p in parts:
+        expected = expected_quarantine(p.dataset, sizes[p.dataset])
+        stats = json.loads(
+            (p.quality_dir(lake) / "quality.json").read_text(encoding="utf-8")
+        )
+        actual = {
+            d["_reason_code"]: d["cnt"]
+            for d in stats["quarantine_reason_distribution"]
+        }
+        ok = (
+            stats["count_assertion"] == "PASS"
+            and stats["read_row_count"] == sizes[p.dataset]
+            and stats["invalid_row_count"] == sum(expected.values())
+            and actual == expected
+        )
+        quarantine[p.dataset] = {
+            "expected": expected,
+            "actual": actual,
+            "invalid_rows": stats["invalid_row_count"],
+            "match": ok,
+        }
+        assert ok, f"{p.dataset}: expected {expected}, got {actual} " \
+                   f"(invalid={stats['invalid_row_count']})"
+        print(f"quarantine {p.dataset}: EXACT match {actual}", file=sys.stderr)
+
     loader = GoldLoader(spark, args.work / "gold")
     gold = {}
     inserted = {}
@@ -116,6 +157,7 @@ def main() -> None:
         "end_to_end_sec": round(total, 1),
         "raw_rows_per_sec": round(n_raw / total),
         "silver_rows_per_sec": round(n_raw / silver_sec),
+        "quarantine_parity": quarantine,
     }
     print(json.dumps(out))
     if not args.keep:
