@@ -129,3 +129,28 @@ def test_business_query_runs(dw, spark, name):
         assert rows[0]["proposito"] == "TRABAJO"
     else:
         assert rows is not None  # executes without error
+
+
+def test_concurrent_query_service_correctness(dw):
+    """Round-10 serving-tier smoke: 16 threads fire mixed query types
+    against ONE shared SparkSession (the long-lived serving model,
+    SURVEY §3.3 — vs the reference's per-request DuckDB) and every
+    concurrent result must equal its serial twin.  Latency under
+    FIFO-vs-FAIR is probed in SCALE.md (scale_probe_r10.py serving);
+    this pins correctness under concurrency."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    lake, _ = dw
+    reqs = []
+    for hour in (None, 6, 9, 15):
+        f = QueryFilters(hour_from=hour)
+        reqs.extend([
+            lambda f=f: query_overview(lake, f),
+            lambda f=f: query_demand_by_day_type(lake, f),
+            lambda f=f: query_demand_by_mode(lake, f),
+            lambda f=f: query_top_boardings(lake, f),
+        ])  # fmt: skip
+    serial = [fn() for fn in reqs]
+    with ThreadPoolExecutor(16) as ex:
+        concurrent = list(ex.map(lambda fn: fn(), reqs))
+    assert concurrent == serial
