@@ -90,6 +90,11 @@ HEADLINE = [
     # passes measure the file-pruned ADC scan (n_probe/n_cells of the
     # ~32x-smaller code files) + exact rescore
     "ivfpq_knn",
+    # residual-codebook IVF-PQ (round 10, the FAISS-default encoding):
+    # same two-phase file-pruned shape, per-cell cross-term LUTs in
+    # the screen — benched next to ivfpq_knn so the residual screen's
+    # CASE-over-probed-cells cost is measured, not assumed
+    "ivfpq_knn_residual",
     # composed retrieval stack (round 9): cell-pruned ADC screen +
     # cell-partitioned vector pool fetch + driver greedy MMR — the
     # source float corpus is never scanned; benched next to

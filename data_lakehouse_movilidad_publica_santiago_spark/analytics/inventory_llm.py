@@ -406,7 +406,8 @@ def _cleanup_index_caches() -> None:
     import shutil as _shutil
 
     for cache in (_IVF_INDEX_CACHE, _MINHASH_INDEX_CACHE, _PQ_INDEX_CACHE,
-                  _IVFPQ_INDEX_CACHE, _IVFPQ_INCR_INDEX_CACHE):
+                  _IVFPQ_INDEX_CACHE, _IVFPQ_INCR_INDEX_CACHE,
+                  _IVFPQ_RES_INDEX_CACHE):
         for d in cache.values():
             _shutil.rmtree(d, ignore_errors=True)
         cache.clear()
@@ -1377,6 +1378,7 @@ ORACLE["pq_knn_indexed"] = _pq_oracle_sql()
 
 _IVFPQ_INDEX_CACHE: dict[str, str] = {}
 _IVFPQ_INCR_INDEX_CACHE: dict[str, str] = {}
+_IVFPQ_RES_INDEX_CACHE: dict[str, str] = {}
 
 
 def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -1497,3 +1499,46 @@ def q_ivfpq_knn_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ivfpq_knn_incremental"] = q_ivfpq_knn_incremental
 ORACLE["ivfpq_knn_incremental"] = ORACLE_EMBEDDING_KNN
+
+
+def _ivfpq_res_index_for(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _IVFPQ_RES_INDEX_CACHE:
+        import tempfile
+
+        from ..operators.pq import build_ivfpq_index
+
+        d = tempfile.mkdtemp(prefix="dlmps_ivfpq_res_")
+        build_ivfpq_index(
+            t(spark, sf_dir, "embeddings"), d,
+            n_cells=8, m=8, ksub=16, iters=2, seed=7,
+            residual=True,
+        )  # fmt: skip
+        _IVFPQ_RES_INDEX_CACHE[sf_dir] = d
+    return _IVFPQ_RES_INDEX_CACHE[sf_dir]
+
+
+def q_ivfpq_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-codebook IVF-PQ (round 10; FAISS's default IVFPQ
+    encoding): PQ is trained and encoded over r = x − anchor(cell)
+    with the anchor the cell MEAN, and the ADC screen scores
+    x = a + recon(r) with per-cell cross-term lookup tables
+    (pq._approx_cos_sql_residual).  Exists because the GLOBAL-codebook
+    screen degenerates on clustered corpora — whole clusters share one
+    code, measured at 5M in SCALE.md r10; residual codes stay
+    near-unique per vector (pinned in tests/test_pq.py).  Same
+    file-pruned two-phase query shape as ``ivfpq_knn``; exact-kNN
+    oracle justified identically: deterministic build + measured
+    recall 1.0 with exact order match at these parameters on the gate
+    corpus."""
+    from ..operators.pq import ivfpq_topk
+
+    idx = _ivfpq_res_index_for(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        spark, idx, emb, _query_vec(spark, sf_dir),
+        k=10, n_probe=4, overfetch=16,
+    )  # fmt: skip
+
+
+QUERIES["ivfpq_knn_residual"] = q_ivfpq_knn_residual
+ORACLE["ivfpq_knn_residual"] = ORACLE_EMBEDDING_KNN

@@ -480,6 +480,127 @@ def pq_reconstruction_mse(
 # ── IVF-PQ: coarse-cell pruning × PQ codes (the billion-scale layout) ─
 
 
+def _cents_arr_sql(cent: list[list[float]]) -> str:
+    """Literal array-of-arrays of the coarse centroids (n_cells × dim
+    rounded doubles — a few KB of SQL text; constant-folded once)."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_dlit(float(x)) for x in c) + ")"
+            for c in cent
+        )
+        + ")"
+    )
+
+
+def _residual_sql(vec_col: str, anchors: list[list[float]]) -> str:
+    """Residual array r = x − anchor(ivf_cell) as one ``zip_with``
+    over the literal anchor table — a pure map expression, no join.
+    The anchor is the CELL MEAN, not the spherical-kmeans direction:
+    cell assignment is by cosine against UNIT centroids, but data
+    vectors have norm ≫ 1, so x − c_unit ≈ x and the residuals would
+    degenerate back to the raw vectors (measured: 1 distinct code per
+    2000-vector cluster before this anchor).  Exact double arithmetic
+    (float→double cast is exact; the anchor literals are the same
+    rounded doubles on any engine), so encode at build, encode at
+    ``ivfpq_add``, and an oracle replay all see bit-identical
+    residuals."""
+    return (
+        f"zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), "
+        f"element_at({_cents_arr_sql(anchors)}, ivf_cell + 1), "
+        "(a, b) -> a - b)"
+    )
+
+
+def _cell_anchors(
+    assigned: DataFrame, vec_col: str, n_cells: int
+) -> list[list[float]]:
+    """Per-cell mean vector (the residual anchor): ONE bounded
+    posexplode shuffle → n_cells × dim rounded doubles back to the
+    driver.  Cells with no members anchor at the zero vector (no rows
+    will ever encode against them)."""
+    dim_rows = (
+        assigned.select(
+            "ivf_cell",
+            F.posexplode(F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)")).alias(
+                "__i", "__x"
+            ),
+        )
+        .groupBy("ivf_cell", "__i")
+        .agg(F.round(F.avg("__x"), 6).alias("__v"))
+        .collect()
+    )
+    dim = 1 + max(r["__i"] for r in dim_rows)
+    anchors = [[0.0] * dim for _ in range(n_cells)]
+    for r in dim_rows:
+        anchors[r["ivf_cell"]][r["__i"]] = float(r["__v"])
+    return anchors
+
+
+def _approx_cos_sql_residual(
+    codes_col: str,
+    cell_col: str,
+    probe: list[int],
+    anchors: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    qnorm: float,
+) -> str:
+    """ADC approximate cosine for RESIDUAL codes, x = a + recon(r)
+    with ``a`` the cell's mean-vector anchor:
+
+        dot    = a·q + Σ_j lut_dot[j][code_j]
+        norm²  = ‖a‖² + 2·Σ_j lut_cross_a[j][code_j]
+                      + Σ_j lut_norm2[j][code_j]
+
+    where ``lut_dot`` / ``lut_norm2`` are the global residual-codeword
+    tables and ``lut_cross_a[j][k] = a_subj · codeword_{j,k}`` is a
+    PER-CELL table (the cross term of ‖a + recon‖²; subspace
+    cross-terms vanish blockwise as in the global variant).  The
+    expression is a CASE over the PROBED cells only — n_probe branches
+    of 3·m lookups + 2 per-cell constants, all folded left-to-right
+    and ROUNDed 6 before the cut (same determinism contract as
+    :func:`_approx_cos_sql`)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut_dot, lut_norm2 = _adc_luts(codebooks, query_vec)
+
+    def arr(vals: list[float]) -> str:
+        return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+
+    dot_lu = " + ".join(
+        f"element_at({arr(lut_dot[j])}, {codes_col}[{j}] + 1)"
+        for j in range(m)
+    )
+    n2_lu = " + ".join(
+        f"element_at({arr(lut_norm2[j])}, {codes_col}[{j}] + 1)"
+        for j in range(m)
+    )
+    branches = []
+    for c in probe:
+        cvec = [float(x) for x in anchors[c]]
+        cq = _fold_dot_py(cvec, [float(x) for x in query_vec])
+        c2 = _fold_dot_py(cvec, cvec)
+        lut_cross = [
+            [
+                _fold_dot_py(cvec[j * dsub : (j + 1) * dsub], cw)
+                for cw in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+        cross_lu = " + ".join(
+            f"element_at({arr(lut_cross[j])}, {codes_col}[{j}] + 1)"
+            for j in range(m)
+        )
+        score = (
+            f"({_dlit(cq)} + {dot_lu}) / "
+            f"(SQRT({_dlit(c2)} + 2.0D * ({cross_lu}) + {n2_lu}) "
+            f"* {_dlit(qnorm)})"
+        )
+        branches.append(f"WHEN {cell_col} = {c} THEN ROUND({score}, 6)")
+    return "CASE " + " ".join(branches) + " END"
+
+
 def build_ivfpq_index(
     embeddings: DataFrame,
     index_dir: str,
@@ -493,12 +614,21 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     dim: int = 64,
     store_vectors: bool = False,
+    residual: bool = False,
 ) -> None:
     """Materialize the canonical billion-scale ANN layout (Jégou et
-    al. 2011 §V; what FAISS calls IVFPQ, here with GLOBAL codebooks
-    over raw vectors rather than per-cell residual codebooks — the
-    variant whose encoding stays a pure map stage and whose codes are
-    reusable across cells):
+    al. 2011 §V; what FAISS calls IVFPQ).  ``residual=False`` trains
+    GLOBAL codebooks over raw vectors — the variant whose codes are
+    reusable across cells.  ``residual=True`` is FAISS's actual
+    default: PQ is trained and encoded over r = x − centroid(cell),
+    which restores WITHIN-cluster discrimination — SCALE.md's round-10
+    probe measured the global variant collapsing to recall 0.1 on a
+    5M clustered corpus (every within-cluster vector shares one code;
+    the ADC screen cannot rank inside the cluster where all true
+    neighbors live, and no amount of Lloyd training fixes it), the
+    exact regime residual codebooks exist for.  Encoding stays one map
+    stage either way (the residual is a ``zip_with`` against the
+    literal centroid table).  The layout:
 
     - IVF coarse quantizer: seeded spherical k-means on a bounded
       driver-side sample (O(sample) at any corpus size);
@@ -529,12 +659,23 @@ def build_ivfpq_index(
     cent = train_ivf_centroids(
         embeddings, n_cells, vec_col, sample_cap=sample_cap, seed=seed
     )
-    codebooks = pq_train(
-        embeddings, m=m, ksub=ksub, iters=iters,
-        id_col=id_col, vec_col=vec_col, dim=dim,
-    )
     dsub = dim // m
     assigned = assign_ivf_cells(embeddings, cent, vec_col)
+    enc_col = vec_col
+    anchors: list[list[float]] | None = None
+    if residual:
+        enc_col = "__res"
+        anchors = _cell_anchors(assigned, vec_col, len(cent))
+        assigned = assigned.withColumn(
+            enc_col, F.expr(_residual_sql(vec_col, anchors))
+        )
+    # non-residual training reads the raw corpus (no need to pay the
+    # cell-assign matmul per Lloyd pass); residual training needs the
+    # assigned + residual columns
+    codebooks = pq_train(
+        assigned if residual else embeddings, m=m, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=enc_col, dim=dim,
+    )
     if store_vectors:
         # codes/ and vectors/ must hold the SAME rows: persist the
         # assignment so a nondeterministic input lineage cannot diverge
@@ -547,7 +688,7 @@ def build_ivfpq_index(
             codebooks,
             dsub,
             keep=[id_col, "ivf_cell"],
-            vec_col=vec_col,
+            vec_col=enc_col,
         ).select(
             F.col(id_col),
             F.col("ivf_cell"),
@@ -581,13 +722,20 @@ def build_ivfpq_index(
     # build-time reconstruction MSE: the reference point
     # ivfpq_drift_stats compares incoming batches against (one extra
     # bounded aggregate over the corpus at build time)
+    # residual indexes measure MSE over the residuals (what the
+    # codebooks actually quantize) — drift batches are scored the same
     build_mse = pq_reconstruction_mse(
-        embeddings, codebooks, id_col=id_col, vec_col=vec_col
+        assigned if residual else embeddings,
+        codebooks,
+        id_col=id_col,
+        vec_col=enc_col,
     )
     meta = {
         "m": m, "ksub": ksub, "dim": dim, "iters": iters,
         "n_cells": int(len(cent)), "seed": seed, "id_col": id_col,
         "vec_col": vec_col, "store_vectors": bool(store_vectors),
+        "residual": bool(residual),
+        "anchors": anchors,
         "build_mse": build_mse,
         "codebooks": codebooks,
     }  # fmt: skip
@@ -644,7 +792,10 @@ def ivfpq_topk(
     Recall = cell recall × ADC screen recall; both corpus-dependent.
     The gate corpus measures recall 1.0 at n_probe=4/8 cells,
     overfetch=16 (pinned by tests/test_pq.py); precision within the
-    candidate set is 1.0 by exact rescore."""
+    candidate set is 1.0 by exact rescore.  Residual indexes
+    (``build_ivfpq_index(residual=True)``) screen with the per-cell
+    residual ADC (:func:`_approx_cos_sql_residual`) — same two-phase
+    shape, same file pruning, the codes just mean r = x − c."""
     from .similarity import _dot_q_sql, _fold_norm, _norm_sql_name
 
     meta, cent = load_ivfpq_meta(spark, index_dir)
@@ -653,8 +804,14 @@ def ivfpq_topk(
 
     dim = len(query_vec)
     qnorm = _fold_norm(query_vec)
-    lut_dot, lut_norm2 = _adc_luts(codebooks, query_vec)
-    approx = _approx_cos_sql("codes", lut_dot, lut_norm2, qnorm)
+    if meta.get("residual"):
+        approx = _approx_cos_sql_residual(
+            "codes", "ivf_cell", probe, meta["anchors"], codebooks,
+            query_vec, qnorm,
+        )  # fmt: skip
+    else:
+        lut_dot, lut_norm2 = _adc_luts(codebooks, query_vec)
+        approx = _approx_cos_sql("codes", lut_dot, lut_norm2, qnorm)
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("ivf_cell").isin(probe)
     )
@@ -733,7 +890,14 @@ def ivfpq_add(
     )
     m = meta["m"]
     dsub = meta["dim"] // m
-    assigned = assign_ivf_cells(batch, cent, meta_vec).persist()
+    assigned = assign_ivf_cells(batch, cent, meta_vec)
+    enc_col = meta_vec
+    if meta.get("residual"):
+        enc_col = "__res"
+        assigned = assigned.withColumn(
+            enc_col, F.expr(_residual_sql(meta_vec, meta["anchors"]))
+        )
+    assigned = assigned.persist()
     try:
         n_new = assigned.count()
         coded = _with_codes(
@@ -741,7 +905,7 @@ def ivfpq_add(
             meta["codebooks"],
             dsub,
             keep=[meta_id, "ivf_cell"],
-            vec_col=meta_vec,
+            vec_col=enc_col,
         ).select(
             F.col(meta_id),
             F.col("ivf_cell"),
@@ -906,11 +1070,9 @@ def ivfpq_drift_stats(
         F.col(vec_col or meta_vec).alias(meta_vec),
     )
     n_cells = int(meta["n_cells"])
+    assigned = assign_ivf_cells(b, cent, meta_vec)
     batch_rows = (
-        assign_ivf_cells(b, cent, meta_vec)
-        .groupBy("ivf_cell")
-        .agg(F.count("*").alias("n"))
-        .collect()
+        assigned.groupBy("ivf_cell").agg(F.count("*").alias("n")).collect()
     )
     index_rows = (
         spark.read.parquet(os.path.join(index_dir, "codes"))
@@ -929,8 +1091,17 @@ def ivfpq_drift_stats(
         for c in range(n_cells)
     )
     hottest = max(bc.values()) / n_batch
+    # residual indexes quantize r = x − centroid(cell): the batch MSE
+    # must be over the same representation build_mse was
+    if meta.get("residual"):
+        mse_df = assigned.withColumn(
+            "__res", F.expr(_residual_sql(meta_vec, meta["anchors"]))
+        )
+        mse_vec = "__res"
+    else:
+        mse_df, mse_vec = b, meta_vec
     batch_mse = pq_reconstruction_mse(
-        b, meta["codebooks"], id_col=meta_id, vec_col=meta_vec
+        mse_df, meta["codebooks"], id_col=meta_id, vec_col=mse_vec
     )
     build_mse = meta.get("build_mse")
     return {

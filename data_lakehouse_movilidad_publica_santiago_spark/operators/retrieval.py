@@ -702,7 +702,13 @@ def mmr_topk_ivfpq(
     relevance, redundancy, mmr_score)."""
     import os
 
-    from .pq import _adc_luts, _approx_cos_sql, load_ivfpq_meta, probe_cells
+    from .pq import (
+        _adc_luts,
+        _approx_cos_sql,
+        _approx_cos_sql_residual,
+        load_ivfpq_meta,
+        probe_cells,
+    )
     from .similarity import _dot_q_sql, _norm_sql_name
 
     meta, cent = load_ivfpq_meta(spark, index_dir)
@@ -725,8 +731,16 @@ def mmr_topk_ivfpq(
 
     dim = len(query_vec)
     qnorm = _fold_norm(query_vec)
-    lut_dot, lut_norm2 = _adc_luts(meta["codebooks"], query_vec)
-    approx = _approx_cos_sql("codes", lut_dot, lut_norm2, qnorm)
+    if meta.get("residual"):
+        # residual index: per-cell ADC over r = x − c (same screen
+        # shape, same file pruning; see pq._approx_cos_sql_residual)
+        approx = _approx_cos_sql_residual(
+            "codes", "ivf_cell", probe, meta["anchors"],
+            meta["codebooks"], query_vec, qnorm,
+        )  # fmt: skip
+    else:
+        lut_dot, lut_norm2 = _adc_luts(meta["codebooks"], query_vec)
+        approx = _approx_cos_sql("codes", lut_dot, lut_norm2, qnorm)
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("ivf_cell").isin(probe)
     )

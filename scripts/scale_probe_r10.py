@@ -147,6 +147,75 @@ def pqcluster_probe(n_vecs: int, dim: int = 64, n_centers: int = 64) -> None:
         spark.stop()
 
 
+def pqclusterivf_probe(
+    n_vecs: int, dim: int = 64, n_centers: int = 64
+) -> None:
+    """The composed counterpoint to pqcluster: on the SAME clustered
+    corpus where the flat PQ-ADC screen collapses (within-cluster
+    candidates share codes — the screen cannot rank 78k same-cluster
+    rows), IVF coarse cells sized to the cluster structure should
+    recover recall by pruning TO the right cluster first.  Measures
+    ivfpq_topk recall@10 across an n_probe ladder."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    spark = get_spark(
+        app_name="scale-probe-r10-pqclusterivf",
+        extra_conf={"spark.network.timeout": "600s"},
+    )
+    work = Path(tempfile.mkdtemp(prefix="probe_r10_pqcivf_"))
+    n_queries = 8
+    try:
+        src = str(work / "vecs.parquet")
+        _gen_clustered_vectors(spark, n_vecs, src, n_centers=n_centers)
+        emb = spark.read.parquet(src).persist()
+        qrows = emb.filter(f"vec_id < {n_queries}").collect()
+        queries = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in qrows
+        }
+        exact = {
+            qid: {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+            for qid, qv in queries.items()
+        }
+        idx = str(work / "ivfpq")
+        t0 = time.perf_counter()
+        build_ivfpq_index(
+            emb, idx, n_cells=n_centers, m=8, ksub=16, iters=2,
+            sample_cap=200_000,
+        )  # fmt: skip
+        build_wall = round(time.perf_counter() - t0, 2)
+        emb.unpersist()
+        for np_ in (1, 2, 4, 8):
+            per_q, walls = [], []
+            for qid, qv in queries.items():
+                t0 = time.perf_counter()
+                got = {
+                    r["vec_id"]
+                    for r in ivfpq_topk(
+                        spark, idx, emb, qv, k=10,
+                        n_probe=np_, overfetch=16,
+                    ).collect()
+                }  # fmt: skip
+                walls.append(time.perf_counter() - t0)
+                per_q.append(len(got & exact[qid]) / 10)
+            probe("ivfpq_recall_clustered", {
+                "n_vecs": n_vecs, "n_centers": n_centers,
+                "n_cells": n_centers, "n_probe": np_,
+                "build_sec": build_wall,
+                "recall@10_of16": round(sum(per_q) / len(per_q), 3),
+                "query_sec_median": round(sorted(walls)[len(walls) // 2], 2),
+            })  # fmt: skip
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 def _shifted_batch(spark, n: int, start_id: int, alpha: float):
     """50k-style add batch: uniform base progressively pulled toward a
     fixed direction (first 16 dims offset by 1.5*alpha) — models a
@@ -390,6 +459,8 @@ def main() -> None:
     if modes & {"pqcluster", "all"}:
         pqcluster_probe(min(n, 5_000_000), n_centers=64)
         pqcluster_probe(min(n, 5_000_000), n_centers=16)
+    if modes & {"pqclusterivf"}:
+        pqclusterivf_probe(min(n, 5_000_000))
     if modes & {"lifecycle", "all"}:
         lifecycle_probe(min(n, 1_000_000))
     if modes & {"serving", "all"}:

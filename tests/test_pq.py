@@ -592,3 +592,204 @@ class TestIvfpqLifecycle:
             for r in cosine_topk(emb, q, k=10).collect()
         ]
         assert got == exact
+
+
+class TestIvfpqResidual:
+    """Round-10: residual-codebook IVF-PQ (FAISS's actual default).
+    Motivation measured in SCALE.md r10: on a 5M clustered corpus the
+    GLOBAL-codebook ADC screen collapses to recall 0.1 at every
+    training depth — all within-cluster vectors share one code, and
+    every true neighbor is within-cluster.  Encoding r = x − c
+    restores within-cluster discrimination."""
+
+    def _clustered(self, spark, n=4000, centers=8, noise=0.2):
+        from pyspark.sql import functions as F
+
+        comps = []
+        for w in range(16):
+            hc = F.md5(F.concat(
+                F.lit(f"ctr{w}:"), (F.col("id") % centers).cast("string")
+            ))  # fmt: skip
+            hn = F.md5(F.concat(F.lit(f"v{w}:"), F.col("id").cast("string")))
+            for c in range(4):
+                ctr = (
+                    F.conv(F.substring(hc, 1 + 8 * c, 8), 16, 10)
+                    .cast("double") / F.lit(2147483648.0) - F.lit(1.0)
+                )  # fmt: skip
+                jit = (
+                    F.conv(F.substring(hn, 1 + 8 * c, 8), 16, 10)
+                    .cast("double") / F.lit(2147483648.0) - F.lit(1.0)
+                )  # fmt: skip
+                comps.append(ctr + jit * F.lit(noise))
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*comps).cast("array<float>").alias("embedding"),
+        )
+
+    def test_residual_fixes_within_cluster_code_ties(self, spark, tmp_path):
+        """The degeneracy the residual layout exists for, pinned on
+        the mechanical invariant (SCALE.md r10 measures the recall
+        side at 5M): with more clusters than codewords (64 > ksub=16)
+        GLOBAL codes collapse within clusters — every member's raw
+        subvectors sit at the cluster center, so whole clusters share
+        a handful of codes and the ADC screen cannot rank inside the
+        cluster where all true neighbors live.  RESIDUAL codes
+        (r = x − cell-mean anchor) quantize the within-cluster offsets
+        instead and stay near-unique per vector."""
+        from pyspark.sql import functions as F
+
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_topk,
+        )
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+            cosine_topk,
+        )
+
+        emb = self._clustered(spark, n=4000, centers=64)
+        src = tmp_path / "cl.parquet"
+        emb.write.parquet(str(src))
+        emb = spark.read.parquet(str(src))
+        diversity = {}
+        for variant, kw in (("global", {}), ("residual", {"residual": True})):
+            idx = str(tmp_path / variant)
+            build_ivfpq_index(
+                emb, idx, n_cells=64, m=8, ksub=16, iters=2,
+                sample_cap=10_000, **kw,
+            )  # fmt: skip
+            codes = spark.read.parquet(f"{idx}/codes").withColumn(
+                "gcl", F.col("vec_id") % 64
+            )
+            per_cluster = [
+                r["d"]
+                for r in codes.groupBy("gcl")
+                .agg(F.countDistinct("codes").alias("d"))
+                .collect()
+            ]
+            per_cluster.sort()
+            diversity[variant] = {
+                "median": per_cluster[len(per_cluster) // 2],
+                "total": codes.select("codes").distinct().count(),
+            }
+        # measured on this corpus: global median ~7 distinct codes per
+        # 62-member cluster (min 1 = a fully tied cluster); residual
+        # median ~62 = near-unique codes (measured 542 vs 3015 total)
+        assert diversity["residual"]["median"] >= 45
+        assert diversity["global"]["median"] <= 20
+        assert (
+            diversity["residual"]["total"] > 3 * diversity["global"]["total"]
+        )
+        # and the residual index still reproduces the exact top-k at
+        # full probe + generous overfetch (same pin as the global gate)
+        qv = [
+            float(x)
+            for x in emb.filter("vec_id = 0").collect()[0]["embedding"]
+        ]
+        got = [
+            (r["vec_id"], r["cos_sim"])
+            for r in ivfpq_topk(
+                spark, str(tmp_path / "residual"), emb, qv,
+                k=10, n_probe=64, overfetch=64,
+            ).collect()
+        ]  # fmt: skip
+        want = [
+            (r["vec_id"], r["cos_sim"])
+            for r in cosine_topk(emb, qv, k=10).collect()
+        ]
+        assert got == want
+
+    def test_residual_grown_index_and_filepruned_mmr(self, spark, tmp_path):
+        """ivfpq_add encodes batches through the residual path (frozen
+        centroids, bit-equal to build-time encode), and the file-pruned
+        MMR stack runs the per-cell residual screen."""
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_add,
+            ivfpq_topk,
+        )
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+            mmr_topk,
+            mmr_topk_ivfpq,
+        )
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.similarity import (
+            cosine_topk,
+        )
+
+        emb = self._clustered(spark)
+        src = tmp_path / "cl2.parquet"
+        emb.write.parquet(str(src))
+        emb = spark.read.parquet(str(src))
+        idx = str(tmp_path / "res_grow")
+        build_ivfpq_index(
+            emb.filter("vec_id % 2 = 0"), idx, n_cells=8, m=8, ksub=16,
+            iters=2, residual=True, store_vectors=True,
+        )  # fmt: skip
+        n = ivfpq_add(spark, idx, emb.filter("vec_id % 2 = 1"))
+        assert n == emb.filter("vec_id % 2 = 1").count()
+        qv = [
+            float(x)
+            for x in emb.filter("vec_id = 1").collect()[0]["embedding"]
+        ]
+        got = [
+            (r["vec_id"], r["cos_sim"])
+            for r in ivfpq_topk(
+                spark, idx, emb, qv, k=10, n_probe=8, overfetch=64
+            ).collect()
+        ]
+        want = [
+            (r["vec_id"], r["cos_sim"])
+            for r in cosine_topk(emb, qv, k=10).collect()
+        ]
+        assert got == want
+        exact = [tuple(r) for r in mmr_topk(emb, qv, k=5, lam=0.7).collect()]
+        mmr = [
+            tuple(r)
+            for r in mmr_topk_ivfpq(
+                spark, idx, qv, k=5, lam=0.7, pool_size=2000, n_probe=8
+            ).collect()
+        ]
+        assert mmr == exact
+
+    def test_residual_drift_and_optimize(self, spark, tmp_path):
+        """Drift stats score residual batches in residual space
+        (mse_ratio ~1 for an in-distribution batch), and compaction
+        preserves residual-index query results."""
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_add,
+            ivfpq_drift_stats,
+            ivfpq_optimize,
+            ivfpq_topk,
+        )
+
+        emb = self._clustered(spark)
+        src = tmp_path / "cl3.parquet"
+        emb.write.parquet(str(src))
+        emb = spark.read.parquet(str(src))
+        idx = str(tmp_path / "res_life")
+        build_ivfpq_index(
+            emb.filter("vec_id % 3 = 0"), idx, n_cells=8, residual=True
+        )
+        batch = emb.filter("vec_id % 3 = 1")
+        stats = ivfpq_drift_stats(spark, idx, batch)
+        assert stats["mse_ratio"] == pytest.approx(1.0, rel=0.35)
+        ivfpq_add(spark, idx, batch)
+        ivfpq_add(spark, idx, emb.filter("vec_id % 3 = 2"))
+        qv = [
+            float(x)
+            for x in emb.filter("vec_id = 2").collect()[0]["embedding"]
+        ]
+        before = [
+            tuple(r)
+            for r in ivfpq_topk(
+                spark, idx, emb, qv, k=10, n_probe=8, overfetch=64
+            ).collect()
+        ]
+        ivfpq_optimize(spark, idx, max_files_per_cell=1)
+        after = [
+            tuple(r)
+            for r in ivfpq_topk(
+                spark, idx, emb, qv, k=10, n_probe=8, overfetch=64
+            ).collect()
+        ]
+        assert after == before
