@@ -126,16 +126,26 @@ def pq_train(
     past iter 2).  Per-iteration cluster cost is identical in either
     mode; only the cap differs.
 
-    How many iterations?  Measure recall per corpus before buying
-    training time.  SCALE.md's round-9 probe (5M structureless
-    uniform vectors, 8-query mean) found reconstruction MSE improves
-    monotonically with iters while screen recall monotonically DROPS
-    (0.475 → 0.263 recall@10 at overfetch 16 going 2 → 20 iters):
-    MSE-optimal codebooks are not ranking-optimal — converged
-    centroids contract reconstructions toward subspace means and
-    compress the ADC score spread.  Extra Lloyd rounds pay off only
-    where codewords capture real cluster structure; on structureless
-    corpora OVERFETCH is the recall lever."""
+    How many iterations?  Both corpus classes are now measured
+    (SCALE.md r9 + r10, 5M × dim-64, 8-query mean) and the answer is
+    that **iterations are never the recall lever**:
+
+    - uniform/structureless (r9): MSE improves monotonically with
+      iters while screen recall monotonically DROPS (0.475 → 0.263
+      recall@10 at overfetch 16 going 2 → 20 iters) — MSE-optimal
+      codebooks are not ranking-optimal; OVERFETCH is the lever.
+    - clustered (r10, 64 and 16 centers): recall is pinned at 0.1 at
+      EVERY training depth, even when Lloyd captures the centers
+      perfectly (16 centers: MSE 0.0133, converged after one update).
+      Whole clusters share one code, so the screen cannot rank inside
+      the cluster where every true neighbor lives — the lever is the
+      ENCODING: ``build_ivfpq_index(residual=True)`` quantizes
+      within-cluster offsets instead (measured per-cluster code
+      diversity 62/62 vs 7 median in tests/test_pq.py).
+
+    The iters=2 default is therefore empirically defensible on both
+    corpus classes; there is no measured regime where buying more
+    Lloyd rounds buys recall."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     if iters < 1:

@@ -151,11 +151,12 @@ def pqclusterivf_probe(
     n_vecs: int, dim: int = 64, n_centers: int = 64
 ) -> None:
     """The composed counterpoint to pqcluster: on the SAME clustered
-    corpus where the flat PQ-ADC screen collapses (within-cluster
-    candidates share codes — the screen cannot rank 78k same-cluster
-    rows), IVF coarse cells sized to the cluster structure should
-    recover recall by pruning TO the right cluster first.  Measures
-    ivfpq_topk recall@10 across an n_probe ladder."""
+    corpus where the flat global-codebook PQ screen collapses to 0.1
+    (within-cluster code ties — every true neighbor is within-cluster
+    and unrankable), measure GLOBAL vs RESIDUAL IVF-PQ with cells
+    sized to the cluster structure, across an n_probe × overfetch
+    grid.  The residual variant's per-vector codes are the designed
+    fix; this is the recall money table for SCALE.md r10."""
     from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
         build_ivfpq_index,
         ivfpq_topk,
@@ -183,34 +184,41 @@ def pqclusterivf_probe(
             qid: {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
             for qid, qv in queries.items()
         }
-        idx = str(work / "ivfpq")
-        t0 = time.perf_counter()
-        build_ivfpq_index(
-            emb, idx, n_cells=n_centers, m=8, ksub=16, iters=2,
-            sample_cap=200_000,
-        )  # fmt: skip
-        build_wall = round(time.perf_counter() - t0, 2)
-        emb.unpersist()
-        for np_ in (1, 2, 4, 8):
-            per_q, walls = [], []
-            for qid, qv in queries.items():
-                t0 = time.perf_counter()
-                got = {
-                    r["vec_id"]
-                    for r in ivfpq_topk(
-                        spark, idx, emb, qv, k=10,
-                        n_probe=np_, overfetch=16,
-                    ).collect()
-                }  # fmt: skip
-                walls.append(time.perf_counter() - t0)
-                per_q.append(len(got & exact[qid]) / 10)
-            probe("ivfpq_recall_clustered", {
-                "n_vecs": n_vecs, "n_centers": n_centers,
-                "n_cells": n_centers, "n_probe": np_,
-                "build_sec": build_wall,
-                "recall@10_of16": round(sum(per_q) / len(per_q), 3),
-                "query_sec_median": round(sorted(walls)[len(walls) // 2], 2),
-            })  # fmt: skip
+        for variant, kw in (
+            ("global", {}),
+            ("residual", {"residual": True}),
+        ):
+            idx = str(work / f"ivfpq_{variant}")
+            t0 = time.perf_counter()
+            build_ivfpq_index(
+                emb, idx, n_cells=n_centers, m=8, ksub=16, iters=2,
+                sample_cap=200_000, **kw,
+            )  # fmt: skip
+            build_wall = round(time.perf_counter() - t0, 2)
+            for np_ in (1, 4):
+                for of in (16, 64):
+                    per_q, walls = [], []
+                    for qid, qv in queries.items():
+                        t0 = time.perf_counter()
+                        got = {
+                            r["vec_id"]
+                            for r in ivfpq_topk(
+                                spark, idx, emb, qv, k=10,
+                                n_probe=np_, overfetch=of,
+                            ).collect()
+                        }  # fmt: skip
+                        walls.append(time.perf_counter() - t0)
+                        per_q.append(len(got & exact[qid]) / 10)
+                    probe("ivfpq_recall_clustered", {
+                        "n_vecs": n_vecs, "n_centers": n_centers,
+                        "n_cells": n_centers, "variant": variant,
+                        "n_probe": np_, "overfetch": of,
+                        "build_sec": build_wall,
+                        "recall@10": round(sum(per_q) / len(per_q), 3),
+                        "query_sec_median": round(
+                            sorted(walls)[len(walls) // 2], 2
+                        ),
+                    })  # fmt: skip
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
