@@ -1,7 +1,10 @@
 """Round-9 refresh of the real-shape end-to-end baseline (VERDICT r8
-ask #4): generate the reference's EXACT production shape — one 3.6M-row
-viajes day + one 28.4M-row etapas week + one 750k-row subidas month
-(the row counts in BASELINE.md) — and replay the full silver→gold load
+ask #4): generate the reference's EXACT production shape — one 3,621,017-row
+viajes day + one 28,447,535-row etapas week + one 747,593-row subidas
+month (the exact quality.json totals, so the round-10 quarantine
+parity assertion checks the reference's EXACT published per-reason
+counts: viajes NEG_DISTANCE 14,854 + BAD_RANGE_N_ETAPAS 272; etapas
+NEG_DISTANCE 100,606 + BAD_UTM_X 6,364; subidas 0) — and replay the full silver→gold load
 through the real CLI code paths (``run_silver`` + ``GoldLoader``) on
 local[32], timing each layer.
 
@@ -54,9 +57,9 @@ from data_lakehouse_movilidad_publica_santiago_spark.sources.catalog import (  #
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", type=Path, default=Path("/tmp/scale_lake_r9"))
-    ap.add_argument("--viajes", type=int, default=3_600_000)
-    ap.add_argument("--etapas", type=int, default=28_400_000)
-    ap.add_argument("--subidas", type=int, default=750_000)
+    ap.add_argument("--viajes", type=int, default=3_621_017)
+    ap.add_argument("--etapas", type=int, default=28_447_535)
+    ap.add_argument("--subidas", type=int, default=747_593)
     ap.add_argument("--keep", action="store_true", help="keep the work dir")
     args = ap.parse_args()
 
