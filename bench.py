@@ -95,6 +95,11 @@ HEADLINE = [
     # the screen — benched next to ivfpq_knn so the residual screen's
     # CASE-over-probed-cells cost is measured, not assumed
     "ivfpq_knn_residual",
+    # large-cell-count residual IVF-PQ (round 11): broadcast-joined
+    # anchor encode (plan text O(1) in n_cells) + the 300-branch
+    # per-cell CASE screen at n_probe = n_cells — benched so the
+    # big-cell screen's analysis/codegen cost is measured, not assumed
+    "ivfpq_knn_residual_bigcells",
     # composed retrieval stack (round 9): cell-pruned ADC screen +
     # cell-partitioned vector pool fetch + driver greedy MMR — the
     # source float corpus is never scanned; benched next to

@@ -407,7 +407,7 @@ def _cleanup_index_caches() -> None:
 
     for cache in (_IVF_INDEX_CACHE, _MINHASH_INDEX_CACHE, _PQ_INDEX_CACHE,
                   _IVFPQ_INDEX_CACHE, _IVFPQ_INCR_INDEX_CACHE,
-                  _IVFPQ_RES_INDEX_CACHE):
+                  _IVFPQ_RES_INDEX_CACHE, _IVFPQ_RES_BIG_INDEX_CACHE):
         for d in cache.values():
             _shutil.rmtree(d, ignore_errors=True)
         cache.clear()
@@ -1379,6 +1379,7 @@ ORACLE["pq_knn_indexed"] = _pq_oracle_sql()
 _IVFPQ_INDEX_CACHE: dict[str, str] = {}
 _IVFPQ_INCR_INDEX_CACHE: dict[str, str] = {}
 _IVFPQ_RES_INDEX_CACHE: dict[str, str] = {}
+_IVFPQ_RES_BIG_INDEX_CACHE: dict[str, str] = {}
 
 
 def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -1542,3 +1543,52 @@ def q_ivfpq_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ivfpq_knn_residual"] = q_ivfpq_knn_residual
 ORACLE["ivfpq_knn_residual"] = ORACLE_EMBEDDING_KNN
+
+
+def _ivfpq_res_big_index_for(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _IVFPQ_RES_BIG_INDEX_CACHE:
+        import tempfile
+
+        from ..operators.pq import build_ivfpq_index
+
+        d = tempfile.mkdtemp(prefix="dlmps_ivfpq_resbig_")
+        build_ivfpq_index(
+            t(spark, sf_dir, "embeddings"), d,
+            n_cells=300, m=8, ksub=16, iters=2, seed=7,
+            residual=True,
+        )  # fmt: skip
+        _IVFPQ_RES_BIG_INDEX_CACHE[sf_dir] = d
+    return _IVFPQ_RES_BIG_INDEX_CACHE[sf_dir]
+
+
+def q_ivfpq_knn_residual_bigcells(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-11: the LARGE-cell-count residual regime.  Past
+    ``pq._ANCHOR_LITERAL_MAX_CELLS`` (256) the encode broadcast-joins
+    a tiny anchors relation instead of inlining the n_cells×dim
+    anchor table as literal SQL (``pq._with_residual`` — plan text
+    O(1) in n_cells; at 100-TB-realistic coarse counts, n_cells ~ √N,
+    the literal would be tens of MB per build/add), and the anchors
+    persist in an ``anchors/`` parquet instead of inline
+    codebooks.json.  n_cells=300 puts this gate in that regime on the
+    gate corpus, so the driver covers the new path end to end: build
+    → parquet anchors → per-cell CASE screen over EVERY cell
+    (n_probe = n_cells, the 256+-branch expression ADVICE r10 asked
+    to exercise) → exact rescore.  The exact-kNN oracle is GUARANTEED
+    here, not merely measured: probing all cells with k·overfetch =
+    640 ≥ the 500-row correctness corpus passes every row through the
+    screen to the exact rescore.  Bit-parity of broadcast-joined vs
+    literal encodes is pinned in tests/test_pq.py."""
+    from ..operators.pq import ivfpq_topk
+
+    idx = _ivfpq_res_big_index_for(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        spark, idx, emb, _query_vec(spark, sf_dir),
+        k=10, n_probe=300, overfetch=64,
+    )  # fmt: skip
+
+
+QUERIES["ivfpq_knn_residual_bigcells"] = q_ivfpq_knn_residual_bigcells
+ORACLE["ivfpq_knn_residual_bigcells"] = ORACLE_EMBEDDING_KNN

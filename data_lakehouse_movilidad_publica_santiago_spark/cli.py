@@ -287,6 +287,37 @@ def main(argv: list[str] | None = None) -> int:
     ep.add_argument("--lake", required=True, type=Path)
     ep.add_argument("--out", required=True, type=Path)
 
+    im = sub.add_parser(
+        "index-maintain",
+        help="IVF-PQ index maintenance for one incoming batch: drift "
+        "stats → incremental add → compaction when cells exceed the "
+        "file threshold → JSON report with a rebuild_recommended flag "
+        "(the SCALE.md lifecycle recipe as one verb)",
+    )
+    im.add_argument("--index-dir", required=True, type=Path,
+                    help="build_ivfpq_index layout root")
+    im.add_argument("--batch", required=True, type=Path,
+                    help="parquet with the new vectors to add")
+    im.add_argument("--id-col", default=None,
+                    help="batch id column when it differs from the index's")
+    im.add_argument("--vec-col", default=None,
+                    help="batch vector column when it differs from the "
+                    "index's")
+    im.add_argument("--max-files-per-cell", type=int, default=4,
+                    help="compact any cell accreting more files than this")
+    im.add_argument(
+        "--mse-rebuild-threshold", type=float, default=1.5,
+        help="recommend a rebuild when the batch's PQ reconstruction "
+        "MSE exceeds this multiple of the build-time corpus MSE "
+        "(SCALE.md r10: drift trajectories separate cleanly at 1.5)",
+    )
+    im.add_argument(
+        "--tv-rebuild-threshold", type=float, default=0.5,
+        help="recommend a rebuild when the batch's cell-occupancy "
+        "total-variation distance from the at-rest index exceeds this "
+        "(drifted data piles into few cells and erodes n_probe pruning)",
+    )
+
     rv = sub.add_parser(
         "retrieve",
         help="diversified vector retrieval: IVF-PQ cell-pruned ADC "
@@ -465,6 +496,61 @@ def main(argv: list[str] | None = None) -> int:
         loader = GoldLoader(spark, args.lake / "gold")
         counts = export_gold_to_sqlite(loader.store, args.out)
         print(json.dumps(counts))
+
+    elif args.cmd == "index-maintain":
+        from .operators.pq import (
+            _cell_files,
+            ivfpq_add,
+            ivfpq_drift_stats,
+            ivfpq_optimize,
+        )
+
+        idx = str(args.index_dir)
+        batch = spark.read.parquet(str(args.batch))
+        # drift is measured BEFORE the add (against the quantizers'
+        # current at-rest fit — after the add the batch is part of the
+        # index and dilutes its own signal)
+        drift = ivfpq_drift_stats(
+            spark, idx, batch, id_col=args.id_col, vec_col=args.vec_col
+        )
+        n_added = ivfpq_add(
+            spark, idx, batch, id_col=args.id_col, vec_col=args.vec_col
+        )
+        over = [
+            c
+            for c, fs in _cell_files(str(args.index_dir / "codes")).items()
+            if len(fs) > args.max_files_per_cell
+        ]
+        opt = (
+            ivfpq_optimize(
+                spark, idx, max_files_per_cell=args.max_files_per_cell
+            )
+            if over
+            else None
+        )
+        reasons = []
+        if (
+            drift["mse_ratio"] is not None
+            and drift["mse_ratio"] > args.mse_rebuild_threshold
+        ):
+            reasons.append(
+                f"mse_ratio {drift['mse_ratio']} > "
+                f"{args.mse_rebuild_threshold}"
+            )
+        if drift["cell_tv_distance"] > args.tv_rebuild_threshold:
+            reasons.append(
+                f"cell_tv_distance {drift['cell_tv_distance']} > "
+                f"{args.tv_rebuild_threshold}"
+            )
+        print(json.dumps({
+            "index_dir": idx,
+            "n_added": n_added,
+            "drift": drift,
+            "compacted": opt is not None,
+            "optimize": opt,
+            "rebuild_recommended": bool(reasons),
+            "rebuild_reason": "; ".join(reasons) or None,
+        }))  # fmt: skip
 
     elif args.cmd == "retrieve":
         from .operators.pq import (

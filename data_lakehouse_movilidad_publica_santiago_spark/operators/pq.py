@@ -489,6 +489,16 @@ def pq_reconstruction_mse(
 
 # ── IVF-PQ: coarse-cell pruning × PQ codes (the billion-scale layout) ─
 
+# Cell counts at or below this inline the residual anchor table as
+# literal SQL (constant-folded once; ≤ ~300 KB of text at dim 64).
+# Above it the encode broadcast-joins a tiny anchors DataFrame instead:
+# at 100-TB-realistic coarse counts (n_cells ~ √N — tens of thousands
+# of cells for 10⁹+ vectors) the literal would be tens of MB of SQL
+# whose Catalyst parse/analysis cost grows with it, while the join
+# keeps plan size flat and the broadcast stays n_cells·dim doubles.
+# Arithmetic is bit-identical either way (pinned by tests/test_pq.py).
+_ANCHOR_LITERAL_MAX_CELLS = 256
+
 
 def _cents_arr_sql(cent: list[list[float]]) -> str:
     """Literal array-of-arrays of the coarse centroids (n_cells × dim
@@ -519,6 +529,42 @@ def _residual_sql(vec_col: str, anchors: list[list[float]]) -> str:
         f"zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), "
         f"element_at({_cents_arr_sql(anchors)}, ivf_cell + 1), "
         "(a, b) -> a - b)"
+    )
+
+
+def _with_residual(
+    assigned: DataFrame, anchors: list[list[float]], vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    """``assigned`` + ``out_col`` = x − anchor(ivf_cell), dispatched on
+    cell count.  At ≤ ``_ANCHOR_LITERAL_MAX_CELLS`` the anchor table
+    inlines as a literal (:func:`_residual_sql` — a pure map
+    expression, no join); above it a tiny (ivf_cell, anchor) DataFrame
+    is broadcast-joined instead, so the plan's SQL text stays O(1) in
+    n_cells while the broadcast carries the same n_cells·dim rounded
+    doubles.  The subtraction is the same ``zip_with`` over the same
+    doubles in both paths (Python floats land in the DataFrame as
+    exact IEEE doubles, as the `_dlit` literals do), so the residuals
+    — and therefore the codes — are bit-identical; tests/test_pq.py
+    pins the equality."""
+    if len(anchors) <= _ANCHOR_LITERAL_MAX_CELLS:
+        return assigned.withColumn(
+            out_col, F.expr(_residual_sql(vec_col, anchors))
+        )
+    adf = assigned.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in a]) for c, a in enumerate(anchors)],
+        "ivf_cell INT, __anchor ARRAY<DOUBLE>",
+    )
+    return (
+        assigned.join(F.broadcast(adf), "ivf_cell")
+        .withColumn(
+            out_col,
+            F.expr(
+                f"zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), __anchor, "
+                "(a, b) -> a - b)"
+            ),
+        )
+        .drop("__anchor")
     )
 
 
@@ -570,7 +616,10 @@ def _approx_cos_sql_residual(
     expression is a CASE over the PROBED cells only — n_probe branches
     of 3·m lookups + 2 per-cell constants, all folded left-to-right
     and ROUNDed 6 before the cut (same determinism contract as
-    :func:`_approx_cos_sql`)."""
+    :func:`_approx_cos_sql`).  Used up to
+    ``_SCREEN_LITERAL_MAX_PROBE`` probes; past that the callers switch
+    to :func:`_residual_screen_joined` (bit-identical scores, plan
+    text O(1) in n_probe)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     lut_dot, lut_norm2 = _adc_luts(codebooks, query_vec)
@@ -609,6 +658,88 @@ def _approx_cos_sql_residual(
         )
         branches.append(f"WHEN {cell_col} = {c} THEN ROUND({score}, 6)")
     return "CASE " + " ".join(branches) + " END"
+
+
+# Probe counts at or below this inline the per-cell LUTs as a literal
+# CASE (n_probe branches of 3·m lookups — cheap to analyze and fully
+# constant-folded).  Above it the literal expression grows
+# O(n_probe·m·ksub) — at the full-probe/large-cell regimes it is MBs
+# of SQL whose generated Java breaks Janino's 64 KB method limit and
+# whose compile alone can exhaust a default-sized driver heap — so the
+# screen switches to a broadcast-joined per-cell LUT relation instead
+# (same folded doubles, bit-identical scores; pinned in
+# tests/test_pq.py).
+_SCREEN_LITERAL_MAX_PROBE = 64
+
+
+def _residual_screen_joined(
+    codes: DataFrame,
+    probe: list[int],
+    anchors: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    qnorm: float,
+    id_col: str,
+    codes_col: str = "codes",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """The large-``n_probe`` twin of :func:`_approx_cos_sql_residual`:
+    per-cell constants (a·q, ‖a‖²) and the per-cell cross-term LUT
+    ride a tiny broadcast relation joined on the cell id, so the plan
+    text is O(m·ksub) regardless of probe count.  Every value is the
+    SAME left-to-right-folded rounded double the literal path inlines
+    (``_dlit`` literals repr-round-trip exactly; Python floats land in
+    a DataFrame as the same IEEE doubles), and the score expression
+    applies them in the same order — scores are bit-identical to the
+    CASE screen.  Returns (id, __approx)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut_dot, lut_norm2 = _adc_luts(codebooks, query_vec)
+    qd = [float(x) for x in query_vec]
+    rows = []
+    for c in probe:
+        cvec = [float(x) for x in anchors[c]]
+        lut_cross = [
+            [
+                _fold_dot_py(cvec[j * dsub : (j + 1) * dsub], cw)
+                for cw in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+        rows.append((
+            int(c),
+            _fold_dot_py(cvec, qd),
+            _fold_dot_py(cvec, cvec),
+            lut_cross,
+        ))  # fmt: skip
+    lut_df = codes.sparkSession.createDataFrame(
+        rows,
+        f"{cell_col} INT, __cq DOUBLE, __c2 DOUBLE, "
+        "__lx ARRAY<ARRAY<DOUBLE>>",
+    )
+
+    def arr(vals: list[float]) -> str:
+        return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+
+    dot_lu = " + ".join(
+        f"element_at({arr(lut_dot[j])}, {codes_col}[{j}] + 1)"
+        for j in range(m)
+    )
+    n2_lu = " + ".join(
+        f"element_at({arr(lut_norm2[j])}, {codes_col}[{j}] + 1)"
+        for j in range(m)
+    )
+    cross_lu = " + ".join(
+        f"element_at(element_at(__lx, {j + 1}), {codes_col}[{j}] + 1)"
+        for j in range(m)
+    )
+    score = (
+        f"ROUND((__cq + {dot_lu}) / "
+        f"(SQRT(__c2 + 2.0D * ({cross_lu}) + {n2_lu}) * {_dlit(qnorm)}), 6)"
+    )
+    return codes.join(F.broadcast(lut_df), cell_col).select(
+        F.col(id_col), F.expr(score).alias("__approx")
+    )
 
 
 def build_ivfpq_index(
@@ -676,9 +807,7 @@ def build_ivfpq_index(
     if residual:
         enc_col = "__res"
         anchors = _cell_anchors(assigned, vec_col, len(cent))
-        assigned = assigned.withColumn(
-            enc_col, F.expr(_residual_sql(vec_col, anchors))
-        )
+        assigned = _with_residual(assigned, anchors, vec_col, enc_col)
     # non-residual training reads the raw corpus (no need to pay the
     # cell-assign matmul per Lloyd pass); residual training needs the
     # assigned + residual columns
@@ -740,12 +869,26 @@ def build_ivfpq_index(
         id_col=id_col,
         vec_col=enc_col,
     )
+    # large-cell-count residual indexes keep the anchors OUT of the
+    # inline JSON (a 4096-cell dim-64 table is ~4 MB of JSON parsed on
+    # every meta load) — they live in a tiny anchors/ parquet next to
+    # centroids/, read back by load_ivfpq_meta
+    anchors_inline = anchors
+    if residual and len(cent) > _ANCHOR_LITERAL_MAX_CELLS:
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in a]) for c, a in enumerate(anchors)],
+            "cell INT, anchor ARRAY<DOUBLE>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "anchors")
+        )
+        anchors_inline = None
     meta = {
         "m": m, "ksub": ksub, "dim": dim, "iters": iters,
         "n_cells": int(len(cent)), "seed": seed, "id_col": id_col,
         "vec_col": vec_col, "store_vectors": bool(store_vectors),
         "residual": bool(residual),
-        "anchors": anchors,
+        "anchors": anchors_inline,
+        "anchors_dataset": bool(residual and anchors_inline is None),
         "build_mse": build_mse,
         "codebooks": codebooks,
     }  # fmt: skip
@@ -758,13 +901,25 @@ def build_ivfpq_index(
 def load_ivfpq_meta(spark, index_dir: str) -> tuple[dict, list[list[float]]]:
     """Read the index's ``codebooks.json`` + the tiny centroid table
     (one driver-side read each); returns ``(meta, centroids)`` with
-    ``centroids[cell]`` the float list for that coarse cell."""
+    ``centroids[cell]`` the float list for that coarse cell.  Residual
+    indexes built past ``_ANCHOR_LITERAL_MAX_CELLS`` store their
+    anchors in an ``anchors/`` parquet instead of inline JSON; this
+    loader folds them back into ``meta["anchors"]`` so callers never
+    see the difference."""
     with open(os.path.join(index_dir, "codebooks.json")) as f:
         meta = json.load(f)
     rows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
     cent: list[list[float]] = [[] for _ in rows]
     for r in rows:
         cent[r["cell"]] = [float(x) for x in r["centroid"]]
+    if meta.get("anchors_dataset") and meta.get("anchors") is None:
+        arows = spark.read.parquet(
+            os.path.join(index_dir, "anchors")
+        ).collect()
+        anchors: list[list[float]] = [[] for _ in arows]
+        for r in arows:
+            anchors[r["cell"]] = [float(x) for x in r["anchor"]]
+        meta["anchors"] = anchors
     return meta, cent
 
 
@@ -814,20 +969,26 @@ def ivfpq_topk(
 
     dim = len(query_vec)
     qnorm = _fold_norm(query_vec)
-    if meta.get("residual"):
-        approx = _approx_cos_sql_residual(
-            "codes", "ivf_cell", probe, meta["anchors"], codebooks,
-            query_vec, qnorm,
-        )  # fmt: skip
-    else:
-        lut_dot, lut_norm2 = _adc_luts(codebooks, query_vec)
-        approx = _approx_cos_sql("codes", lut_dot, lut_norm2, qnorm)
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("ivf_cell").isin(probe)
     )
+    if meta.get("residual") and len(probe) > _SCREEN_LITERAL_MAX_PROBE:
+        scored = _residual_screen_joined(
+            codes, probe, meta["anchors"], codebooks, query_vec, qnorm,
+            id_col,
+        )  # fmt: skip
+    else:
+        if meta.get("residual"):
+            approx = _approx_cos_sql_residual(
+                "codes", "ivf_cell", probe, meta["anchors"], codebooks,
+                query_vec, qnorm,
+            )  # fmt: skip
+        else:
+            lut_dot, lut_norm2 = _adc_luts(codebooks, query_vec)
+            approx = _approx_cos_sql("codes", lut_dot, lut_norm2, qnorm)
+        scored = codes.select(F.col(id_col), F.expr(approx).alias("__approx"))
     cand = (
-        codes.select(F.col(id_col), F.expr(approx).alias("__approx"))
-        .orderBy(F.desc("__approx"), F.asc(id_col))
+        scored.orderBy(F.desc("__approx"), F.asc(id_col))
         .limit(k * overfetch)
         .select(id_col)
     )
@@ -904,9 +1065,7 @@ def ivfpq_add(
     enc_col = meta_vec
     if meta.get("residual"):
         enc_col = "__res"
-        assigned = assigned.withColumn(
-            enc_col, F.expr(_residual_sql(meta_vec, meta["anchors"]))
-        )
+        assigned = _with_residual(assigned, meta["anchors"], meta_vec, enc_col)
     assigned = assigned.persist()
     try:
         n_new = assigned.count()
@@ -959,6 +1118,53 @@ def _cell_files(ds_dir: str) -> dict[int, list[str]]:
     return out
 
 
+def _recover_optimize_tmp(index_dir: str, datasets: list[str]) -> int:
+    """Crash recovery for :func:`ivfpq_optimize`: restore every cell
+    directory a died-mid-swap run left parked under ``_optimize_tmp``.
+
+    The swap window per cell is two renames — live → ``trash/``, then
+    ``staged/`` → live — so a crash can leave a cell's ONLY copies
+    under the tmp root.  For each cell dir found there whose live
+    directory is missing, move back the staged copy when the staging
+    write completed (its ``_SUCCESS`` marker exists — the compacted
+    rows, identical content), else the trash copy (the pre-compaction
+    original).  Cells whose live directory exists are already swapped
+    (or were never touched) and their tmp copies are redundant.  Only
+    after every missing cell is restored is the tmp root removed —
+    deleting it first (the pre-round-11 behavior) destroyed the only
+    remaining copy of a mid-swap cell.  Returns the number of cell
+    directories restored."""
+    import shutil
+
+    tmp_root = os.path.join(index_dir, "_optimize_tmp")
+    if not os.path.isdir(tmp_root):
+        return 0
+    restored = 0
+    for ds in datasets:
+        ds_dir = os.path.join(index_dir, ds)
+        staged = os.path.join(tmp_root, ds, "staged")
+        trash = os.path.join(tmp_root, ds, "trash")
+        staged_ok = os.path.isfile(os.path.join(staged, "_SUCCESS"))
+        names: set[str] = set()
+        for d in (trash, staged if staged_ok else None):
+            if d and os.path.isdir(d):
+                names.update(
+                    n for n in os.listdir(d) if n.startswith("ivf_cell=")
+                )
+        for name in sorted(names):
+            live = os.path.join(ds_dir, name)
+            if os.path.isdir(live):
+                continue
+            src = os.path.join(staged, name)
+            if not (staged_ok and os.path.isdir(src)):
+                src = os.path.join(trash, name)
+            os.makedirs(ds_dir, exist_ok=True)
+            os.rename(src, live)
+            restored += 1
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return restored
+
+
 def ivfpq_optimize(
     spark,
     index_dir: str,
@@ -978,23 +1184,35 @@ def ivfpq_optimize(
     Row content is untouched: queries before and after compaction are
     identical (pinned by tests/test_pq.py).  Crash contract: compacted
     data is fully staged first, then each cell directory is swapped
-    with two renames; a crash inside one cell's swap window can leave
-    that single cell relocated under ``_optimize_tmp/trash`` — the
-    index is DERIVED data, so recovery is re-running the optimize (the
-    staging dir is rebuilt from live data each run) or rebuilding the
-    index.  This is exactly the gap table formats close; the gold
-    tables use ``lake/txn_table.py`` for that reason (SURVEY §2 S5),
-    while the index trades that machinery for plain-directory reads.
+    with two renames; a crash inside one cell's swap window leaves
+    that single cell relocated under ``_optimize_tmp`` — RE-RUNNING
+    the optimize is the safe recovery: on entry every such parked cell
+    is restored into the live dataset (:func:`_recover_optimize_tmp`,
+    preferring the fully-staged compacted copy, falling back to the
+    pre-compaction original; crash-injected in tests/test_pq.py)
+    BEFORE the tmp root is cleaned, so no state a crash can produce
+    loses rows.  Concurrency: the swap is not reader-atomic — a query
+    or ``ivfpq_add`` listing files inside one cell's two-rename window
+    would see that cell absent (silently short results) or double-
+    write it, so do NOT run ``ivfpq_optimize`` concurrently with
+    queries or adds; it is an offline maintenance step, serialized
+    with the rest of the lifecycle by the caller (``cli.py
+    index-maintain`` runs it after the batch add, never alongside).
+    This single-writer window is exactly the gap table formats close;
+    the gold tables use ``lake/txn_table.py`` for that reason (SURVEY
+    §2 S5), while the index trades that machinery for plain-directory
+    reads.
 
     Returns per-dataset stats: ``{dataset: {"cells_compacted": n,
-    "files_before": n, "files_after": n}}``."""
+    "files_before": n, "files_after": n}}`` plus top-level
+    ``recovered_cells`` (cells restored from a crashed prior run)."""
     import shutil
 
     meta, _ = load_ivfpq_meta(spark, index_dir)
     datasets = ["codes"] + (["vectors"] if meta.get("store_vectors") else [])
+    recovered = _recover_optimize_tmp(index_dir, datasets)
     tmp_root = os.path.join(index_dir, "_optimize_tmp")
-    shutil.rmtree(tmp_root, ignore_errors=True)
-    stats: dict[str, dict] = {}
+    stats: dict[str, dict] = {"recovered_cells": recovered}
     for ds in datasets:
         ds_dir = os.path.join(index_dir, ds)
         files = _cell_files(ds_dir)
@@ -1104,9 +1322,7 @@ def ivfpq_drift_stats(
     # residual indexes quantize r = x − centroid(cell): the batch MSE
     # must be over the same representation build_mse was
     if meta.get("residual"):
-        mse_df = assigned.withColumn(
-            "__res", F.expr(_residual_sql(meta_vec, meta["anchors"]))
-        )
+        mse_df = _with_residual(assigned, meta["anchors"], meta_vec, "__res")
         mse_vec = "__res"
     else:
         mse_df, mse_vec = b, meta_vec

@@ -495,6 +495,7 @@ def mmr_topk_pooled(
     vec_col: str = "embedding",
     return_certificate: bool = False,
     candidates: DataFrame | None = None,
+    max_candidates: int | None = None,
 ):
     """:func:`mmr_topk` re-ranked over a bounded relevance pool — the
     100 TB execution shape.  Two narrow distributed passes: a
@@ -528,7 +529,10 @@ def mmr_topk_pooled(
     ANN prefetch from ``ivf_topk_indexed`` / ``sq8_topk_indexed`` /
     ``ivfpq_topk`` with a generous overfetch) restricts the pool to
     the candidate ids: the plan is materialized ONCE (its id list is
-    bounded by construction) and the pool then comes from a single
+    bounded by construction — the driver-side collect raises past
+    ``max_candidates``, default ``max(16·pool_size, 100_000)``; pass a
+    larger ``max_candidates`` for a known-bounded bigger prefetch) and
+    the pool then comes from a single
     fused map-only broadcast-id scan — no full-corpus ordering queue.
     Note the scan itself still reads the source float column (the
     broadcast join filters rows, not bytes); the FULLY file-pruned
@@ -561,17 +565,27 @@ def mmr_topk_pooled(
         # this fix).  The collect is CAPPED: the contract is a bounded
         # ANN prefetch (≤ pool·overfetch rows), and an oversized frame
         # must raise instead of OOMing the driver — pool over a big
-        # frame by passing it as ``embeddings``.
-        hard_cap = max(16 * pool_size, 100_000)
+        # frame by passing it as ``embeddings``, or raise the cap via
+        # ``max_candidates`` when the prefetch is known-bounded but
+        # larger than the default formula allows.
+        hard_cap = (
+            max_candidates
+            if max_candidates is not None
+            else max(16 * pool_size, 100_000)
+        )
+        if hard_cap < 1:
+            raise ValueError(f"max_candidates={max_candidates} must be >= 1")
         cand_rows = (
             candidates.select(id_col).distinct().limit(hard_cap + 1).collect()
         )
         if len(cand_rows) > hard_cap:
             raise ValueError(
                 f"candidates holds more than {hard_cap} distinct ids "
-                f"(cap = max(16*pool_size, 100_000)); a candidate "
-                "prefetch must be bounded — to pool over a large "
-                "corpus pass it as `embeddings` instead"
+                f"(cap = max_candidates or max(16*pool_size, 100_000)); "
+                "a candidate prefetch must be bounded — raise "
+                "`max_candidates` for a known-bounded larger prefetch, "
+                "or pool over a large corpus by passing it as "
+                "`embeddings` instead"
             )
         cand_ids = [r[0] for r in cand_rows]
         id_df = spark.createDataFrame(
@@ -703,9 +717,11 @@ def mmr_topk_ivfpq(
     import os
 
     from .pq import (
+        _SCREEN_LITERAL_MAX_PROBE,
         _adc_luts,
         _approx_cos_sql,
         _approx_cos_sql_residual,
+        _residual_screen_joined,
         load_ivfpq_meta,
         probe_cells,
     )
@@ -731,22 +747,30 @@ def mmr_topk_ivfpq(
 
     dim = len(query_vec)
     qnorm = _fold_norm(query_vec)
-    if meta.get("residual"):
-        # residual index: per-cell ADC over r = x − c (same screen
-        # shape, same file pruning; see pq._approx_cos_sql_residual)
-        approx = _approx_cos_sql_residual(
-            "codes", "ivf_cell", probe, meta["anchors"],
-            meta["codebooks"], query_vec, qnorm,
-        )  # fmt: skip
-    else:
-        lut_dot, lut_norm2 = _adc_luts(meta["codebooks"], query_vec)
-        approx = _approx_cos_sql("codes", lut_dot, lut_norm2, qnorm)
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("ivf_cell").isin(probe)
     )
+    if meta.get("residual") and len(probe) > _SCREEN_LITERAL_MAX_PROBE:
+        # large probe counts: broadcast-joined per-cell LUT relation
+        # (plan text O(m·ksub), bit-identical scores — pq module doc)
+        scored = _residual_screen_joined(
+            codes, probe, meta["anchors"], meta["codebooks"], query_vec,
+            qnorm, id_col,
+        )  # fmt: skip
+    else:
+        if meta.get("residual"):
+            # residual index: per-cell ADC over r = x − c (same screen
+            # shape, same file pruning; pq._approx_cos_sql_residual)
+            approx = _approx_cos_sql_residual(
+                "codes", "ivf_cell", probe, meta["anchors"],
+                meta["codebooks"], query_vec, qnorm,
+            )  # fmt: skip
+        else:
+            lut_dot, lut_norm2 = _adc_luts(meta["codebooks"], query_vec)
+            approx = _approx_cos_sql("codes", lut_dot, lut_norm2, qnorm)
+        scored = codes.select(F.col(id_col), F.expr(approx).alias("__approx"))
     screened = (
-        codes.select(F.col(id_col), F.expr(approx).alias("__approx"))
-        .orderBy(F.desc("__approx"), F.asc(id_col))
+        scored.orderBy(F.desc("__approx"), F.asc(id_col))
         .limit(pool_size * overfetch)
         .select(id_col)
     )

@@ -54,6 +54,45 @@ from data_lakehouse_movilidad_publica_santiago_spark.sources.catalog import (  #
 )
 
 
+def _proc_tree_cpu_sec(root_pid: int | None = None) -> float:
+    """User+system CPU seconds of this process and every live
+    descendant (plus reaped children via cutime/cstime), read from
+    /proc.  In local mode the whole engine is one process tree —
+    Python driver → executor JVM → forked Python workers — so the
+    delta of this across a layer is that layer's total CPU burn.
+    Round-11 motivation (VERDICT r10 ask #5): the full-shape WALL
+    swings 90↔148s between identical runs from box-state contention
+    alone, so wall cannot distinguish a code regression from noise on
+    4–7-minute jobs; CPU time is stable under contention and is the
+    round-over-round comparator SCALE.md now tracks."""
+    import os
+
+    tck = float(os.sysconf("SC_CLK_TCK"))
+    children: dict[int, list[int]] = {}
+    cpu: dict[int, int] = {}
+    for name in os.listdir("/proc"):
+        if not name.isdigit():
+            continue
+        try:
+            with open(f"/proc/{name}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue  # process exited between listdir and open
+        rest = s[s.rindex(")") + 2 :].split()
+        pid = int(name)
+        cpu[pid] = sum(int(rest[i]) for i in (11, 12, 13, 14))
+        children.setdefault(int(rest[1]), []).append(pid)
+    total, stack, seen = 0, [root_pid or os.getpid()], set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in cpu:
+            continue
+        seen.add(p)
+        total += cpu[p]
+        stack.extend(children.get(p, []))
+    return total / tck
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", type=Path, default=Path("/tmp/scale_lake_r9"))
@@ -87,13 +126,21 @@ def main() -> None:
     assert len(parts) == 3, parts
 
     silver = {}
+    silver_cpu = {}
     t1 = time.perf_counter()
+    c1 = _proc_tree_cpu_sec()
     for p in parts:
-        ts = time.perf_counter()
+        ts, cs = time.perf_counter(), _proc_tree_cpu_sec()
         run_silver(spark, p, lake)
         silver[p.dataset] = round(time.perf_counter() - ts, 1)
-        print(f"silver {p.dataset}: {silver[p.dataset]}s", file=sys.stderr)
+        silver_cpu[p.dataset] = round(_proc_tree_cpu_sec() - cs, 1)
+        print(
+            f"silver {p.dataset}: {silver[p.dataset]}s "
+            f"cpu={silver_cpu[p.dataset]}s",
+            file=sys.stderr,
+        )
     t2 = time.perf_counter()
+    c2 = _proc_tree_cpu_sec()
 
     # quarantine parity (round 10): the generator plants the
     # reference's EXACT published per-reason quarantine distribution
@@ -127,24 +174,36 @@ def main() -> None:
             "invalid_rows": stats["invalid_row_count"],
             "match": ok,
         }
-        assert ok, f"{p.dataset}: expected {expected}, got {actual} " \
-                   f"(invalid={stats['invalid_row_count']})"
+        if not ok:
+            # not `assert` — that compiles out under python -O and
+            # would turn the parity gate into a no-op (ADVICE r10)
+            raise SystemExit(
+                f"{p.dataset}: quarantine parity MISMATCH — expected "
+                f"{expected}, got {actual} "
+                f"(invalid={stats['invalid_row_count']})"
+            )
         print(f"quarantine {p.dataset}: EXACT match {actual}", file=sys.stderr)
 
     loader = GoldLoader(spark, args.work / "gold")
     gold = {}
+    gold_cpu = {}
     inserted = {}
+    cg = _proc_tree_cpu_sec()
     for p in parts:
-        ts = time.perf_counter()
+        ts, cs = time.perf_counter(), _proc_tree_cpu_sec()
         res = loader.run(p, lake)
-        assert res["status"] == "OK", res
+        if res["status"] != "OK":
+            raise SystemExit(f"gold load failed: {res}")
         gold[p.dataset] = round(time.perf_counter() - ts, 1)
+        gold_cpu[p.dataset] = round(_proc_tree_cpu_sec() - cs, 1)
         inserted[p.dataset] = res.get("rows_inserted")
         print(
-            f"gold {p.dataset}: {gold[p.dataset]}s ins={inserted[p.dataset]}",
+            f"gold {p.dataset}: {gold[p.dataset]}s "
+            f"cpu={gold_cpu[p.dataset]}s ins={inserted[p.dataset]}",
             file=sys.stderr,
         )
     t3 = time.perf_counter()
+    c3 = _proc_tree_cpu_sec()
 
     silver_sec, gold_sec = t2 - t1, t3 - t2
     total = t3 - t1
@@ -153,9 +212,14 @@ def main() -> None:
         "raw_rows": n_raw,
         "gen_sec": round(gen_sec, 1),
         "silver_sec": round(silver_sec, 1),
+        "silver_cpu_sec": round(c2 - c1, 1),
         "silver_per_dataset": silver,
+        "silver_cpu_per_dataset": silver_cpu,
         "gold_sec": round(gold_sec, 1),
+        "gold_cpu_sec": round(c3 - cg, 1),
         "gold_per_dataset": gold,
+        "gold_cpu_per_dataset": gold_cpu,
+        "cpu_method": "proc_tree_utime+stime (driver+JVM+python workers)",
         "rows_inserted": inserted,
         "end_to_end_sec": round(total, 1),
         "raw_rows_per_sec": round(n_raw / total),

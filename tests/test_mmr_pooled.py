@@ -309,6 +309,35 @@ def test_oversized_candidates_raise_not_oom(spark):
         )
 
 
+def test_max_candidates_opt_up_and_down(spark):
+    """Round-11 ADVICE fix: the candidates cap is a keyword, not a
+    hardcoded formula — a caller with a known-bounded larger prefetch
+    opts UP (the same frame that raised under the default passes and
+    yields the exact pooled result), and an explicit tighter cap opts
+    DOWN (raises below the default threshold)."""
+    emb, q = _emb(spark), _q(spark)
+    big = spark.range(100_001).withColumnRenamed("id", "vec_id")
+    out = mmr_topk_pooled(
+        emb, q, k=5, lam=0.7, pool_size=16, candidates=big,
+        max_candidates=200_000,
+    )  # fmt: skip
+    base = mmr_topk_pooled(emb, q, k=5, lam=0.7, pool_size=16)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in base.collect()
+    ]
+    small = spark.range(50).withColumnRenamed("id", "vec_id")
+    with pytest.raises(ValueError, match="candidates holds more than"):
+        mmr_topk_pooled(
+            emb, q, k=5, lam=0.7, pool_size=16, candidates=small,
+            max_candidates=10,
+        )  # fmt: skip
+    with pytest.raises(ValueError, match="max_candidates"):
+        mmr_topk_pooled(
+            emb, q, k=5, lam=0.7, pool_size=16, candidates=small,
+            max_candidates=0,
+        )  # fmt: skip
+
+
 def test_null_embeddings_skipped_in_all_pool_paths(spark):
     """Round-10 ADVICE fix: a NULL-relevance row (null embedding)
     landing inside the pool (whenever non-null rows < pool_size) must
