@@ -100,6 +100,10 @@ HEADLINE = [
     # per-cell CASE screen at n_probe = n_cells — benched so the
     # big-cell screen's analysis/codegen cost is measured, not assumed
     "ivfpq_knn_residual_bigcells",
+    # batched ANN (round 11): 5 queries in ONE shared pass — benched
+    # next to ivfpq_knn_residual so the per-query amortization (one
+    # pruned scan + one windowed cut vs 5 job chains) is measured
+    "ivfpq_knn_batch",
     # composed retrieval stack (round 9): cell-pruned ADC screen +
     # cell-partitioned vector pool fetch + driver greedy MMR — the
     # source float corpus is never scanned; benched next to

@@ -1592,3 +1592,47 @@ def q_ivfpq_knn_residual_bigcells(
 
 QUERIES["ivfpq_knn_residual_bigcells"] = q_ivfpq_knn_residual_bigcells
 ORACLE["ivfpq_knn_residual_bigcells"] = ORACLE_EMBEDDING_KNN
+
+
+def q_ivfpq_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: BATCHED ANN — 5 queries answered in ONE shared pass
+    over the (cached residual) index: one pruned scan of the union of
+    probed cells, each code row fanned out to the queries probing its
+    cell via a broadcast per-query LUT relation, one windowed
+    per-query candidate cut, one exact-rescore join
+    (``pq.ivfpq_topk_batch``).  Per-query plans are O(Q) job chains —
+    a serving tier amortizes them to O(1).  Arithmetic is
+    bit-identical to Q separate ``ivfpq_topk`` calls (pinned in
+    tests/test_pq.py); the per-query exact-kNN oracle is GUARANTEED at
+    these parameters (full probe of the 8 cells + k·overfetch = 640 ≥
+    the 500-row correctness corpus passes every row to the exact
+    rescore)."""
+    from ..operators.pq import ivfpq_topk_batch
+
+    idx = _ivfpq_res_index_for(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    queries = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    return ivfpq_topk_batch(
+        spark, idx, emb, queries, k=10, n_probe=8, overfetch=64
+    )
+
+
+QUERIES["ivfpq_knn_batch"] = q_ivfpq_knn_batch
+ORACLE["ivfpq_knn_batch"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q)
+SELECT query_id, vec_id, cos_sim,
+       ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+       ) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""

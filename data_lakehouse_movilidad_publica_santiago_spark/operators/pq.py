@@ -786,6 +786,26 @@ def build_ivfpq_index(
     n_probe/n_cells = 1/2 of 1/32 ≈ 1.6 % of the corpus bytes, then
     an exact rescore of k·overfetch ids.
 
+    Code budget (``m``): the recall-per-byte trade is measured
+    (SCALE.md r11, 5M clustered corpus, 256 cells, residual): going
+    m=8 → m=16 lifts recall@10 from 0.512/0.712/0.75 to
+    0.637/0.837/0.862 across the n_probe×overfetch grid — closing
+    ~45 % of the remaining gap — for 1.74× the at-rest code bytes
+    (parquet-encoded; raw is 2×) and ~2.2× the build wall.  After
+    cells and overfetch saturate, ``m`` is the remaining recall
+    lever (Lloyd iterations never are — measured both corpus classes,
+    r9/r10).
+
+    Cell budget (``n_cells``): past ``_ANCHOR_LITERAL_MAX_CELLS`` the
+    residual encode switches to the broadcast-joined anchors relation
+    and the anchors persist in ``anchors/`` parquet instead of inline
+    JSON (plan text and meta size stay O(1) in cell count — at
+    100-TB-realistic coarse counts, n_cells ~ √N, the literal SQL
+    would be tens of MB).  Measured at 5M/4096 cells (SCALE.md r11):
+    build 854 s, recall saturates at the 256-cell figure once
+    n_probe covers the clusters — MORE cells than clusters buys
+    pruning granularity, not recall, on this corpus.
+
     ``store_vectors=True`` additionally writes ``vectors/`` — the
     (id, float vector) pairs Hive-partitioned by the SAME cell key —
     so the exact-rescore / pool-fetch side of a query is ALSO
@@ -1345,3 +1365,153 @@ def ivfpq_drift_stats(
             else None
         ),
     }
+
+
+def ivfpq_topk_batch(
+    spark,
+    index_dir: str,
+    embeddings: DataFrame,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    overfetch: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Answer a BATCH of ANN queries in one shared pass over the index
+    — the serving-tier amortization :func:`ivfpq_topk` cannot give.
+    Per-query execution runs Q independent job chains, each re-listing
+    and re-scanning its probed cells; at a serving tier's concurrency
+    the scheduler time-slices Q full-width scans (measured in the
+    SCALE.md r11 serving probes).  This operator reads the UNION of
+    all queries' probed cells ONCE (still partition-pruned — a cell no
+    query probes is never listed), fans each code row out to exactly
+    the queries probing its cell via a broadcast (query, cell) LUT
+    relation, cuts per-query candidates with ONE windowed shuffle on
+    the query id, and exact-rescores all candidates in one broadcast
+    join.  Plan count is O(1) in the batch size.
+
+    Arithmetic is bit-identical to Q separate :func:`ivfpq_topk`
+    calls, pinned in tests/test_pq.py: the per-query LUT values ride
+    DataFrame columns instead of literals (the same IEEE doubles,
+    folded in the same left-to-right order — the
+    :func:`_residual_screen_joined` argument, extended per query), the
+    candidate cut ranks by the same (ROUNDed approx DESC, id ASC) key,
+    and the exact rescore unrolls the same per-dimension fold with the
+    query vector as a joined array column.
+
+    ``queries`` maps a query id to its vector (driver-held — a serving
+    batch, bounded by construction; ~n_probe·m·ksub + dim doubles ride
+    the broadcast per query).  Works on global and residual indexes.
+    Returns (query_id, id, cos_sim, rank) with rank 1..k per query —
+    the per-query rows equal ``ivfpq_topk(...)`` for that query
+    vector."""
+    from .similarity import _dot_sql_names, _fold_norm
+
+    if not queries:
+        raise ValueError("queries must be a non-empty {qid: vector} dict")
+    meta, cent = load_ivfpq_meta(spark, index_dir)
+    codebooks = meta["codebooks"]
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    residual = bool(meta.get("residual"))
+    anchors = meta.get("anchors") if residual else None
+
+    qid_rows = []      # per query: (qid, qv, qnorm, ld, ln2)
+    probe_rows = []    # per (query, probed cell): + residual cq/c2/lx
+    probed_cells: set[int] = set()
+    for qid, qv in queries.items():
+        qd = [float(x) for x in qv]
+        probe = probe_cells(cent, qd, n_probe)
+        probed_cells.update(probe)
+        lut_dot, lut_norm2 = _adc_luts(codebooks, qd)
+        qid_rows.append((int(qid), qd, _fold_norm(qd), lut_dot, lut_norm2))
+        for c in probe:
+            if residual:
+                cvec = [float(x) for x in anchors[c]]
+                lut_cross = [
+                    [
+                        _fold_dot_py(cvec[j * dsub : (j + 1) * dsub], cw)
+                        for cw in codebooks[j]
+                    ]
+                    for j in range(m)
+                ]
+                probe_rows.append((
+                    int(qid), int(c),
+                    _fold_dot_py(cvec, qd), _fold_dot_py(cvec, cvec),
+                    lut_cross,
+                ))  # fmt: skip
+            else:
+                probe_rows.append((int(qid), int(c), 0.0, 0.0, None))
+    q_df = spark.createDataFrame(
+        qid_rows,
+        "__qid BIGINT, __qv ARRAY<DOUBLE>, __qnorm DOUBLE, "
+        "__ld ARRAY<ARRAY<DOUBLE>>, __ln2 ARRAY<ARRAY<DOUBLE>>",
+    )
+    p_df = spark.createDataFrame(
+        probe_rows,
+        "__qid BIGINT, ivf_cell INT, __cq DOUBLE, __c2 DOUBLE, "
+        "__lx ARRAY<ARRAY<DOUBLE>>",
+    )
+
+    def lu(arrs: str) -> str:
+        return " + ".join(
+            f"element_at(element_at({arrs}, {j + 1}), codes[{j}] + 1)"
+            for j in range(m)
+        )
+
+    if residual:
+        score = (
+            f"ROUND((__cq + {lu('__ld')}) / "
+            f"(SQRT(__c2 + 2.0D * ({lu('__lx')}) + {lu('__ln2')}) "
+            "* __qnorm), 6)"
+        )
+    else:
+        score = (
+            f"ROUND(({lu('__ld')}) / "
+            f"(SQRT({lu('__ln2')}) * __qnorm), 6)"
+        )
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+        F.col("ivf_cell").isin(sorted(probed_cells))
+    )
+    cand = (
+        codes.join(F.broadcast(p_df), "ivf_cell")
+        .join(F.broadcast(q_df.select("__qid", "__qnorm", "__ld", "__ln2")),
+              "__qid")
+        .select(
+            "__qid", F.col(id_col), F.expr(score).alias("__approx")
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__qid").orderBy(
+                    F.desc("__approx"), F.asc(id_col)
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= k * overfetch)
+        .select("__qid", id_col)
+    )  # fmt: skip
+    dim = meta["dim"]
+    dot = " + ".join(
+        f"(CAST({vec_col}[{i}] AS DOUBLE) * __qv[{i}])" for i in range(dim)
+    )
+    exact = (
+        f"ROUND(({dot}) / "
+        f"(SQRT({_dot_sql_names(vec_col, vec_col, dim)}) * __qnorm), 6)"
+    )
+    order = [F.desc("cos_sim"), F.asc(id_col)]
+    return (
+        embeddings.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(q_df.select("__qid", "__qv", "__qnorm")), "__qid")
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col),
+            F.expr(exact).alias("cos_sim"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("query_id").orderBy(*order)),
+        )
+        .filter(F.col("rank") <= k)
+    )

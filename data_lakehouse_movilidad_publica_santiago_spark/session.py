@@ -78,3 +78,51 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Serving-tier scheduler profile (round 11, measured in SCALE.md r11's
+# mixed-weight probe): on a MIXED request stream — heavy gold-
+# constellation analytics concurrent with interactive map/demand calls
+# — FAIR with per-CLASS pools beats FIFO on BOTH classes (interactive
+# p95 −51%, heavy p50 −27%, stream wall −29%): FIFO lets the heavies
+# convoy the queue while FAIR time-slices executor slots between the
+# two class pools.  On UNIFORM small-request streams FIFO remains the
+# measured winner (SCALE.md r10: FAIR-with-per-REQUEST-pools p95 +32-
+# 36% — per-request pools fragment slots; class pools do not), so the
+# default session stays FIFO and serving tiers opt in explicitly.
+SERVING_CLASSES = ("interactive", "heavy")
+
+
+def get_serving_spark(
+    app_name: str = "dlmps-serving",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """The serving-tier session: ``get_spark`` + FAIR scheduling, so
+    ``set_request_class`` can route each request's jobs into its
+    workload-class pool.  ``spark.scheduler.mode`` is a SparkContext-
+    level setting — this must create the PROCESS'S FIRST session
+    (``getOrCreate`` against an existing context silently keeps its
+    scheduler); serving processes are dedicated, so that holds by
+    construction."""
+    conf = {"spark.scheduler.mode": "FAIR"}
+    if extra_conf:
+        conf.update(extra_conf)
+    return get_spark(app_name=app_name, master=master, extra_conf=conf)
+
+
+def set_request_class(spark: SparkSession, request_class: str) -> None:
+    """Tag the CURRENT THREAD's subsequent jobs into the given
+    workload-class FAIR pool (``interactive`` or ``heavy``).  Pools
+    are created on demand with equal weight and FIFO order inside —
+    the class split is what the r11 probe measured, NOT per-request
+    pools (measured worse, r10).  Call per request thread in the
+    serving tier; a no-op under the default FIFO scheduler."""
+    if request_class not in SERVING_CLASSES:
+        raise ValueError(
+            f"request_class must be one of {SERVING_CLASSES}, "
+            f"got {request_class!r}"
+        )
+    spark.sparkContext.setLocalProperty(
+        "spark.scheduler.pool", request_class
+    )

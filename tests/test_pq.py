@@ -1069,3 +1069,134 @@ class TestIvfpqRound11:
             ).collect()
         }
         assert s_join == s_lit and len(s_lit) == 2000
+
+    def test_batch_topk_bit_identical_to_per_query(
+        self, spark, tmp_path
+    ):
+        """ivfpq_topk_batch answers Q queries in ONE shared pass (one
+        pruned scan of the union of probed cells, one windowed cut,
+        one rescore join) and must reproduce Q separate ivfpq_topk
+        calls bit for bit — on BOTH index variants, at a partial probe
+        where per-query cell pruning actually differs."""
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_topk,
+            ivfpq_topk_batch,
+        )
+
+        emb = TestIvfpqResidual._clustered(
+            TestIvfpqResidual(), spark, n=2000, centers=8
+        )
+        src = tmp_path / "bt.parquet"
+        emb.write.parquet(str(src))
+        emb = spark.read.parquet(str(src))
+        queries = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.filter("vec_id < 4").collect()
+        }
+        for variant, kw in (("global", {}), ("residual", {"residual": True})):
+            idx = str(tmp_path / f"bt_{variant}")
+            build_ivfpq_index(
+                emb, idx, n_cells=8, sample_cap=10_000, **kw
+            )
+            for n_probe in (3, 8):
+                batch = ivfpq_topk_batch(
+                    spark, idx, emb, queries, k=10, n_probe=n_probe,
+                    overfetch=16,
+                )  # fmt: skip
+                got = {}
+                for r in batch.collect():
+                    got.setdefault(r["query_id"], []).append(
+                        (r["rank"], r["vec_id"], r["cos_sim"])
+                    )
+                for qid, qv in queries.items():
+                    solo = [
+                        (r["rank"], r["vec_id"], r["cos_sim"])
+                        for r in ivfpq_topk(
+                            spark, idx, emb, qv, k=10, n_probe=n_probe,
+                            overfetch=16,
+                        ).collect()
+                    ]  # fmt: skip
+                    assert sorted(got[qid]) == sorted(solo), (
+                        variant, n_probe, qid,
+                    )
+
+    def test_batch_topk_validation(self, spark, tmp_path):
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            ivfpq_topk_batch,
+        )
+
+        with pytest.raises(ValueError, match="non-empty"):
+            ivfpq_topk_batch(spark, str(tmp_path), None, {})
+
+    def test_optimize_crash_recovery_vectors_dataset(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Same injected crash, but inside the VECTORS dataset's swap
+        of a store_vectors index (codes already fully compacted) — the
+        asymmetric state where codes/ and vectors/ disagree on a cell
+        and every file-pruned pool fetch silently drops that cell's
+        rows.  Re-running the optimize must restore the vectors cell
+        and the file-pruned MMR must match its pre-crash output."""
+        import os as _os
+
+        import data_lakehouse_movilidad_publica_santiago_spark.operators.pq as pq_mod
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            _cell_files,
+            build_ivfpq_index,
+            ivfpq_add,
+            ivfpq_optimize,
+        )
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.retrieval import (
+            mmr_topk_ivfpq,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        idx = str(tmp_path / "vcrash")
+        build_ivfpq_index(
+            emb.filter("vec_id % 3 = 0"), idx, n_cells=4,
+            store_vectors=True,
+        )  # fmt: skip
+        for r in (1, 2):
+            ivfpq_add(spark, idx, emb.filter(f"vec_id % 3 = {r}"))
+        qv = [
+            float(x)
+            for x in emb.filter("vec_id = 0").collect()[0]["embedding"]
+        ]
+
+        def mmr():
+            return [
+                tuple(r)
+                for r in mmr_topk_ivfpq(
+                    spark, idx, qv, k=5, pool_size=600, n_probe=4
+                ).collect()
+            ]
+
+        before = mmr()
+        n_vec_rows = spark.read.parquet(f"{idx}/vectors").count()
+
+        real_rename = _os.rename
+        vec_calls = {"n": 0}
+
+        def dying_rename(src, dst):
+            if "/vectors/" in src or "/vectors/" in dst:
+                vec_calls["n"] += 1
+                if vec_calls["n"] == 2:  # inside the first cell's swap
+                    raise RuntimeError("injected crash in vectors swap")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(pq_mod.os, "rename", dying_rename)
+        with pytest.raises(RuntimeError, match="vectors swap"):
+            ivfpq_optimize(spark, idx, max_files_per_cell=1)
+        monkeypatch.undo()
+
+        # codes fully compacted, vectors missing one live cell — the
+        # silent-row-loss state
+        assert len(_cell_files(f"{idx}/vectors")) == 3
+        assert spark.read.parquet(f"{idx}/vectors").count() < n_vec_rows
+
+        stats = ivfpq_optimize(spark, idx, max_files_per_cell=1)
+        assert stats["recovered_cells"] == 1
+        assert len(_cell_files(f"{idx}/vectors")) == 4
+        assert spark.read.parquet(f"{idx}/vectors").count() == n_vec_rows
+        assert mmr() == before

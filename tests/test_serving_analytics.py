@@ -154,3 +154,29 @@ def test_concurrent_query_service_correctness(dw):
     with ThreadPoolExecutor(16) as ex:
         concurrent = list(ex.map(lambda fn: fn(), reqs))
     assert concurrent == serial
+
+
+def test_request_class_pools(spark):
+    """Round-11 serving profile: set_request_class routes the calling
+    thread's jobs into the workload-class FAIR pool (local property),
+    rejects unknown classes, and the serving conf asks for FAIR
+    scheduling (the mode itself is SparkContext-level, so it can only
+    take effect as the process's first session — asserted on the conf
+    dict, not the shared test context)."""
+    import pytest as _pytest
+
+    from data_lakehouse_movilidad_publica_santiago_spark.session import (
+        SERVING_CLASSES,
+        set_request_class,
+    )
+
+    for cls in SERVING_CLASSES:
+        set_request_class(spark, cls)
+        assert (
+            spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+            == cls
+        )
+    with _pytest.raises(ValueError, match="request_class"):
+        set_request_class(spark, "batch")
+    # restore the default pool for the shared session
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
