@@ -18,8 +18,11 @@
              calls and compares FIFO vs FAIR-with-class-pools
              p50/p95 PER CLASS — the starvation scenario FAIR exists
              for.
+  batchq     ivfpq_topk_batch amortization at 5M: Q=8 queries in one
+             shared pass vs 8 sequential ivfpq_topk calls, results
+             asserted equal.
 
-Run:  python scripts/scale_probe_r11.py [n] [bigcells|m16|servingmix|all]
+Run:  python scripts/scale_probe_r11.py [n] [bigcells|m16|servingmix|batchq|all]
 Emits one JSON line per probe; summarize into SCALE.md.
 """
 
@@ -306,6 +309,80 @@ def main() -> None:
         m16_probe(min(n, 5_000_000))
     if modes & {"servingmix", "all"}:
         servingmix_probe()
+    if modes & {"batchq"}:
+        batchq_probe(min(n, 5_000_000))
+
+
+
+
+def batchq_probe(n_vecs: int, n_cells: int = 256, n_queries: int = 8) -> None:
+    """Quantify the batch-ANN amortization at scale: Q residual-index
+    queries answered by ONE ivfpq_topk_batch pass vs Q sequential
+    ivfpq_topk calls, same parameters, same (m=8) index."""
+    from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        ivfpq_topk_batch,
+    )
+
+    spark = get_spark(
+        app_name="scale-probe-r11-batchq",
+        extra_conf={"spark.network.timeout": "600s"},
+    )
+    work = Path(tempfile.mkdtemp(prefix="probe_r11_bq_"))
+    try:
+        emb, queries, _exact = _clustered_fixture(
+            spark, work, n_vecs, n_queries=n_queries
+        )
+        idx = str(work / "ivfpq")
+        build_ivfpq_index(
+            emb, idx, n_cells=n_cells, m=8, ksub=16, iters=2,
+            sample_cap=200_000, residual=True,
+        )  # fmt: skip
+        for n_probe, of in ((4, 64), (16, 64)):
+            # warm both paths once (analysis/codegen), then time
+            ivfpq_topk_batch(
+                spark, idx, emb, queries, k=10, n_probe=n_probe,
+                overfetch=of,
+            ).collect()  # fmt: skip
+            t0 = time.perf_counter()
+            batch_rows = ivfpq_topk_batch(
+                spark, idx, emb, queries, k=10, n_probe=n_probe,
+                overfetch=of,
+            ).collect()  # fmt: skip
+            batch_wall = time.perf_counter() - t0
+            solo_walls = []
+            solo = {}
+            for qid, qv in queries.items():
+                t0 = time.perf_counter()
+                solo[qid] = [
+                    (r["vec_id"], r["cos_sim"], r["rank"])
+                    for r in ivfpq_topk(
+                        spark, idx, emb, qv, k=10, n_probe=n_probe,
+                        overfetch=of,
+                    ).collect()
+                ]  # fmt: skip
+                solo_walls.append(time.perf_counter() - t0)
+            got = {}
+            for r in batch_rows:
+                got.setdefault(int(r["query_id"]), []).append(
+                    (r["vec_id"], r["cos_sim"], r["rank"])
+                )
+            match = all(
+                sorted(got[q]) == sorted(solo[q]) for q in queries
+            )
+            probe("batchq", {
+                "n_vecs": n_vecs, "n_cells": n_cells,
+                "n_queries": n_queries, "n_probe": n_probe,
+                "overfetch": of,
+                "batch_wall_sec": round(batch_wall, 2),
+                "solo_total_sec": round(sum(solo_walls), 2),
+                "amortization_x": round(sum(solo_walls) / batch_wall, 2),
+                "results_match_solo": match,
+            })  # fmt: skip
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
 
 
 if __name__ == "__main__":
