@@ -28,6 +28,15 @@ Execution shape, built for the 100 TB corpus:
   ``element_at`` on ``m`` literal lookup arrays), TakeOrdered cuts
   ``k·overfetch`` ids per partition, and the rescore joins the float
   vectors for those ids only (broadcast semi-join).
+- **Constant tables dispatch on size** (round 11): anchor/LUT tables
+  inline as constant-folded literals in the small regimes and switch
+  to broadcast-joined relations past ``_ANCHOR_LITERAL_MAX_CELLS`` /
+  ``_SCREEN_LITERAL_MAX_PROBE`` — bit-identical arithmetic, plan text
+  O(1) in cell/probe count (the literal screen measurably breaks
+  Janino's 64 KB method limit and OOMs a default-heap driver at 300
+  branches).  ``ivfpq_topk_batch`` extends the joined-LUT design per
+  query: Q queries in ONE pruned pass, 4.6-6.9× the solo walls at 5M
+  (SCALE.md r11).
 
 Screen score: unlike the SQ8 screen (raw dequantized dot — biased
 toward large-norm vectors when rescoring by cosine), the PQ screen is
@@ -1377,6 +1386,7 @@ def ivfpq_topk_batch(
     overfetch: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_lut_doubles: int = 16_000_000,
 ) -> DataFrame:
     """Answer a BATCH of ANN queries in one shared pass over the index
     — the serving-tier amortization :func:`ivfpq_topk` cannot give.
@@ -1402,7 +1412,14 @@ def ivfpq_topk_batch(
 
     ``queries`` maps a query id to its vector (driver-held — a serving
     batch, bounded by construction; ~n_probe·m·ksub + dim doubles ride
-    the broadcast per query).  Works on global and residual indexes.
+    the broadcast per query, and the residual cross-term LUTs are
+    folded driver-side per (query, probed cell)).  The LUT budget is
+    GUARDED: past ``max_lut_doubles`` total broadcast doubles
+    (default 16M ≈ 128 MB — e.g. Q=2048 at n_probe=64/m=8/ksub=16)
+    the call raises instead of silently OOMing the driver — split the
+    batch (amortization is already saturated well below the cap;
+    SCALE.md r11 measures 4.6-6.9× at Q=8).  Works on global and
+    residual indexes.
     Returns (query_id, id, cos_sim, rank) with rank 1..k per query —
     the per-query rows equal ``ivfpq_topk(...)`` for that query
     vector."""
@@ -1416,6 +1433,18 @@ def ivfpq_topk_batch(
     dsub = len(codebooks[0][0])
     residual = bool(meta.get("residual"))
     anchors = meta.get("anchors") if residual else None
+
+    ksub = len(codebooks[0])
+    per_query = (3 if residual else 2) * m * ksub * max(
+        min(n_probe, int(meta["n_cells"])), 1
+    ) + meta["dim"]
+    if len(queries) * per_query > max_lut_doubles:
+        raise ValueError(
+            f"batch of {len(queries)} queries at n_probe={n_probe} "
+            f"needs ~{len(queries) * per_query} broadcast LUT doubles "
+            f"(cap max_lut_doubles={max_lut_doubles}); split the "
+            "batch — amortization saturates at small Q (SCALE.md r11)"
+        )
 
     qid_rows = []      # per query: (qid, qv, qnorm, ld, ln2)
     probe_rows = []    # per (query, probed cell): + residual cq/c2/lx

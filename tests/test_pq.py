@@ -1200,3 +1200,28 @@ class TestIvfpqRound11:
         assert len(_cell_files(f"{idx}/vectors")) == 4
         assert spark.read.parquet(f"{idx}/vectors").count() == n_vec_rows
         assert mmr() == before
+
+    def test_batch_topk_lut_budget_guard(self, spark, tmp_path):
+        """The batch LUT broadcast grows Q·n_probe·m·ksub doubles —
+        an unbounded batch must raise a clear ValueError (the r10
+        candidates-collect hardening pattern), not OOM the driver."""
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_topk_batch,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        idx = str(tmp_path / "budget")
+        build_ivfpq_index(emb, idx, n_cells=4, residual=True)
+        queries = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.filter("vec_id < 3").collect()
+        }
+        with pytest.raises(ValueError, match="broadcast LUT doubles"):
+            ivfpq_topk_batch(
+                spark, idx, emb, queries, k=5, n_probe=4,
+                max_lut_doubles=100,
+            )  # fmt: skip
+        # at the default cap the same batch runs
+        out = ivfpq_topk_batch(spark, idx, emb, queries, k=5, n_probe=4)
+        assert out.count() == 15
