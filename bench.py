@@ -100,6 +100,12 @@ HEADLINE = [
     # per-cell CASE screen at n_probe = n_cells — benched so the
     # big-cell screen's analysis/codegen cost is measured, not assumed
     "ivfpq_knn_residual_bigcells",
+    # hierarchical coarse quantizer (round 12): two-level training +
+    # two-argmax assignment (O(√n_cells·dim) both sides — the 100-TB
+    # cell-count path); benched so the hierarchy's query-side cost
+    # (same flat-list probing, different at-rest placement) is
+    # measured, not assumed
+    "ivfpq_knn_twolevel",
     # batched ANN (round 11): 5 queries in ONE shared pass — benched
     # next to ivfpq_knn_residual so the per-query amortization (one
     # pruned scan + one windowed cut vs 5 job chains) is measured

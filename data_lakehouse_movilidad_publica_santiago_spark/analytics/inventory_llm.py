@@ -1380,6 +1380,7 @@ _IVFPQ_INDEX_CACHE: dict[str, str] = {}
 _IVFPQ_INCR_INDEX_CACHE: dict[str, str] = {}
 _IVFPQ_RES_INDEX_CACHE: dict[str, str] = {}
 _IVFPQ_RES_BIG_INDEX_CACHE: dict[str, str] = {}
+_IVFPQ_TWOLEVEL_INDEX_CACHE: dict[str, str] = {}
 
 
 def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -1592,6 +1593,54 @@ def q_ivfpq_knn_residual_bigcells(
 
 QUERIES["ivfpq_knn_residual_bigcells"] = q_ivfpq_knn_residual_bigcells
 ORACLE["ivfpq_knn_residual_bigcells"] = ORACLE_EMBEDDING_KNN
+
+
+def _ivfpq_twolevel_index_for(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _IVFPQ_TWOLEVEL_INDEX_CACHE:
+        import tempfile
+
+        from ..operators.pq import build_ivfpq_index
+
+        d = tempfile.mkdtemp(prefix="dlmps_ivfpq_2l_")
+        build_ivfpq_index(
+            t(spark, sf_dir, "embeddings"), d,
+            n_cells=9, m=8, ksub=16, iters=2, seed=7,
+            residual=True, coarse="two_level", branch=3,
+        )  # fmt: skip
+        _IVFPQ_TWOLEVEL_INDEX_CACHE[sf_dir] = d
+    return _IVFPQ_TWOLEVEL_INDEX_CACHE[sf_dir]
+
+
+def q_ivfpq_knn_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12: HIERARCHICAL (two-level) coarse quantizer — the
+    100-TB-scale coarse-cell path.  Flat k-means training costs
+    O(sample·n_cells·dim) per Lloyd iteration and flat per-row
+    assignment O(n_cells·dim); at n_cells ~ √N (tens of thousands of
+    cells for 10⁹+ vectors) those terms dominated the r11 4096-cell
+    build (854 s at 5M vectors).  ``coarse="two_level"``
+    (``similarity.train_ivf_centroids_two_level``, FAISS-IMI-style)
+    trains k1 ≈ √n_cells level-1 centers then k2 sub-centers per
+    region and assigns each row with TWO small argmaxes —
+    O(√n_cells·dim) on both sides.  Leaf ids index the same flat
+    centroid list, so the at-rest layout, probing, residual screens
+    and this oracle are identical to the flat build; ``ivfpq_add`` /
+    ``ivfpq_drift_stats`` reproduce the frozen hierarchical
+    assignment via ``pq._assign_index_cells`` (pinned in
+    tests/test_pq.py).  The exact-kNN oracle is GUARANTEED: full
+    probe (n_probe = n_cells = 9) + covering overfetch passes every
+    row through the screen to the exact rescore."""
+    from ..operators.pq import ivfpq_topk
+
+    idx = _ivfpq_twolevel_index_for(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        spark, idx, emb, _query_vec(spark, sf_dir),
+        k=10, n_probe=9, overfetch=64,
+    )  # fmt: skip
+
+
+QUERIES["ivfpq_knn_twolevel"] = q_ivfpq_knn_twolevel
+ORACLE["ivfpq_knn_twolevel"] = ORACLE_EMBEDDING_KNN
 
 
 def q_ivfpq_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -500,12 +500,26 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "index-maintain":
         from .operators.pq import (
             _cell_files,
+            _recover_optimize_tmp,
             ivfpq_add,
             ivfpq_drift_stats,
             ivfpq_optimize,
+            load_ivfpq_meta,
         )
 
         idx = str(args.index_dir)
+        # crash recovery FIRST (ADVICE r11): a prior optimize that died
+        # mid-swap leaves a cell's only copies parked under
+        # _optimize_tmp.  Running drift/add against that index reads a
+        # silently-truncated cell, and if the batch recreates the
+        # missing live directory a LATER recovery would skip the cell
+        # (live exists) and delete the parked originals — permanent
+        # row loss.  Restoring before anything else closes both paths.
+        meta, _ = load_ivfpq_meta(spark, idx)
+        recovered = _recover_optimize_tmp(
+            idx,
+            ["codes"] + (["vectors"] if meta.get("store_vectors") else []),
+        )
         batch = spark.read.parquet(str(args.batch))
         # drift is measured BEFORE the add (against the quantizers'
         # current at-rest fit — after the add the batch is part of the
@@ -544,6 +558,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         print(json.dumps({
             "index_dir": idx,
+            "recovered_cells": recovered,
             "n_added": n_added,
             "drift": drift,
             "compacted": opt is not None,

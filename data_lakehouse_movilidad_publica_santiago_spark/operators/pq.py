@@ -508,6 +508,32 @@ def pq_reconstruction_mse(
 # Arithmetic is bit-identical either way (pinned by tests/test_pq.py).
 _ANCHOR_LITERAL_MAX_CELLS = 256
 
+# ``coarse="auto"`` builds switch from flat to two-level coarse
+# quantization above this cell count: below it the flat
+# O(n_cells·dim) training/assignment terms are cheap; above it they
+# grow toward the measured 854 s wall at 4096 cells / 5M vectors
+# (SCALE.md r11) and the hierarchical O(√n_cells·dim) path wins.
+_TWO_LEVEL_MIN_CELLS = 1024
+
+
+def _assign_index_cells(df, meta: dict, cent, vec_col: str):
+    """Assign ``ivf_cell`` with an EXISTING index's frozen coarse
+    quantizer, reproducing the build's assignment exactly — flat
+    argmax or the two-level argmax pair, per the index's recorded
+    ``coarse`` structure.  Every frozen-quantizer path
+    (:func:`ivfpq_add`, :func:`ivfpq_drift_stats`) must route through
+    this: assigning a two-level index's batch with the flat rule
+    would silently place rows in different leaves than the build."""
+    from .similarity import assign_ivf_cells
+
+    if meta.get("coarse") == "two_level":
+        return assign_ivf_cells(
+            df, cent, vec_col,
+            l1_centroids=meta["l1_centroids"],
+            branch_k2=meta["branch_k2"],
+        )  # fmt: skip
+    return assign_ivf_cells(df, cent, vec_col)
+
 
 def _cents_arr_sql(cent: list[list[float]]) -> str:
     """Literal array-of-arrays of the coarse centroids (n_cells × dim
@@ -765,6 +791,8 @@ def build_ivfpq_index(
     dim: int = 64,
     store_vectors: bool = False,
     residual: bool = False,
+    coarse: str = "auto",
+    branch: int | None = None,
 ) -> None:
     """Materialize the canonical billion-scale ANN layout (Jégou et
     al. 2011 §V; what FAISS calls IVFPQ).  ``residual=False`` trains
@@ -822,15 +850,53 @@ def build_ivfpq_index(
     float corpus (the layout :func:`retrieval.mmr_topk_ivfpq` needs
     to be fully sub-scan; FAISS keeps the same cell-major raw-vector
     store when rescoring is enabled).  Costs one extra corpus pass at
-    build and duplicates the float bytes cell-major at rest."""
-    from .similarity import assign_ivf_cells, train_ivf_centroids
+    build and duplicates the float bytes cell-major at rest.
+
+    ``coarse`` selects the coarse-quantizer structure: ``"flat"`` is
+    single-level k-means (training O(sample·n_cells·dim)/iter, row
+    assignment O(n_cells·dim)); ``"two_level"`` is the hierarchical
+    quantizer (:func:`similarity.train_ivf_centroids_two_level`,
+    FAISS-IMI-style, ``branch`` = level-1 width, default ≈ √n_cells)
+    whose training AND per-row assignment cost O(√n_cells·dim) — the
+    100-TB path, where n_cells ~ √N makes the flat terms the build
+    bottleneck (854 s at just 4096 flat cells / 5M vectors, SCALE.md
+    r11).  ``"auto"`` (default) picks two_level past
+    ``_TWO_LEVEL_MIN_CELLS`` cells.  Leaf cells index the same flat
+    centroid list either way, so the at-rest layout, probing, screens
+    and oracles are identical; only per-row assignment becomes
+    hierarchical-approximate (a row can land in the leaf of the
+    second-best level-1 region — recall vs flat is measured in
+    SCALE.md r12).  Note two_level rounds n_cells UP to the k1·k2
+    grid."""
+    from .similarity import (
+        assign_ivf_cells,
+        train_ivf_centroids,
+        train_ivf_centroids_two_level,
+    )
 
     spark = embeddings.sparkSession
-    cent = train_ivf_centroids(
-        embeddings, n_cells, vec_col, sample_cap=sample_cap, seed=seed
-    )
+    if coarse not in ("auto", "flat", "two_level"):
+        raise ValueError(
+            f"coarse must be 'auto', 'flat' or 'two_level', got {coarse!r}"
+        )
+    if coarse == "auto":
+        coarse = "two_level" if n_cells > _TWO_LEVEL_MIN_CELLS else "flat"
+    l1_cent = None
+    branch_k2: int | None = None
+    if coarse == "two_level":
+        cent, l1_cent, branch_k2 = train_ivf_centroids_two_level(
+            embeddings, n_cells, vec_col, sample_cap=sample_cap,
+            seed=seed, branch=branch,
+        )  # fmt: skip
+    else:
+        cent = train_ivf_centroids(
+            embeddings, n_cells, vec_col, sample_cap=sample_cap, seed=seed
+        )
     dsub = dim // m
-    assigned = assign_ivf_cells(embeddings, cent, vec_col)
+    assigned = assign_ivf_cells(
+        embeddings, cent, vec_col,
+        l1_centroids=l1_cent, branch_k2=branch_k2,
+    )  # fmt: skip
     enc_col = vec_col
     anchors: list[list[float]] | None = None
     if residual:
@@ -920,6 +986,17 @@ def build_ivfpq_index(
         "anchors_dataset": bool(residual and anchors_inline is None),
         "build_mse": build_mse,
         "codebooks": codebooks,
+        # hierarchical coarse quantizer: the l1 centers are what the
+        # frozen-quantizer paths (ivfpq_add / ivfpq_drift_stats) need
+        # to reproduce the build's leaf assignment bit-for-bit; small
+        # (k1 ≈ √n_cells rows) so inline JSON is fine at any scale
+        "coarse": coarse,
+        "branch_k2": branch_k2,
+        "l1_centroids": (
+            [[float(x) for x in c] for c in l1_cent]
+            if l1_cent is not None
+            else None
+        ),
     }  # fmt: skip
     tmp = os.path.join(index_dir, "codebooks.json.tmp")
     with open(tmp, "w") as f:
@@ -1079,8 +1156,6 @@ def ivfpq_add(
     out of every downstream inner join with no error.
 
     Returns the number of vectors added."""
-    from .similarity import assign_ivf_cells
-
     meta, cent = load_ivfpq_meta(spark, index_dir)
     meta_id = meta["id_col"]
     meta_vec = meta.get("vec_col", "embedding")
@@ -1090,7 +1165,7 @@ def ivfpq_add(
     )
     m = meta["m"]
     dsub = meta["dim"] // m
-    assigned = assign_ivf_cells(batch, cent, meta_vec)
+    assigned = _assign_index_cells(batch, meta, cent, meta_vec)
     enc_col = meta_vec
     if meta.get("residual"):
         enc_col = "__res"
@@ -1232,16 +1307,18 @@ def ivfpq_optimize(
     §2 S5), while the index trades that machinery for plain-directory
     reads.
 
-    Returns per-dataset stats: ``{dataset: {"cells_compacted": n,
-    "files_before": n, "files_after": n}}`` plus top-level
-    ``recovered_cells`` (cells restored from a crashed prior run)."""
+    Returns ``{"recovered_cells": n, "datasets": {dataset:
+    {"cells_compacted": n, "files_before": n, "files_after": n}}}`` —
+    ``recovered_cells`` counts cell directories restored from a
+    crashed prior run, kept OUTSIDE the per-dataset map so consumers
+    iterating ``result["datasets"].items()`` see uniform dicts."""
     import shutil
 
     meta, _ = load_ivfpq_meta(spark, index_dir)
     datasets = ["codes"] + (["vectors"] if meta.get("store_vectors") else [])
     recovered = _recover_optimize_tmp(index_dir, datasets)
     tmp_root = os.path.join(index_dir, "_optimize_tmp")
-    stats: dict[str, dict] = {"recovered_cells": recovered}
+    stats: dict[str, dict] = {}
     for ds in datasets:
         ds_dir = os.path.join(index_dir, ds)
         files = _cell_files(ds_dir)
@@ -1278,7 +1355,7 @@ def ivfpq_optimize(
             "files_after": sum(len(fs) for fs in after_files.values()),
         }
     shutil.rmtree(tmp_root, ignore_errors=True)
-    return stats
+    return {"recovered_cells": recovered, "datasets": stats}
 
 
 def ivfpq_drift_stats(
@@ -1317,8 +1394,6 @@ def ivfpq_drift_stats(
     "batch_hottest_cell_share", "batch_mse", "build_mse",
     "mse_ratio"}`` (``build_mse``/``mse_ratio`` are None for indexes
     built before the field existed)."""
-    from .similarity import assign_ivf_cells
-
     meta, cent = load_ivfpq_meta(spark, index_dir)
     meta_id = meta["id_col"]
     meta_vec = meta.get("vec_col", "embedding")
@@ -1327,7 +1402,7 @@ def ivfpq_drift_stats(
         F.col(vec_col or meta_vec).alias(meta_vec),
     )
     n_cells = int(meta["n_cells"])
-    assigned = assign_ivf_cells(b, cent, meta_vec)
+    assigned = _assign_index_cells(b, meta, cent, meta_vec)
     batch_rows = (
         assigned.groupBy("ivf_cell").agg(F.count("*").alias("n")).collect()
     )

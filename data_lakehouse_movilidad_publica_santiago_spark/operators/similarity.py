@@ -268,23 +268,13 @@ def lsh_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
-def train_ivf_centroids(
-    embeddings: DataFrame,
-    n_cells: int,
-    vec_col: str = "embedding",
-    sample_cap: int = 100_000,
-    n_iter: int = 10,
-    seed: int = 7,
+def _collect_training_sample(
+    embeddings: DataFrame, vec_col: str, sample_cap: int, seed: int
 ):
-    """Train IVF coarse-quantizer centroids: seeded k-means on a
-    bounded driver-side sample (the FAISS recipe — IVF lists are
-    trained on ≤ ~100k sampled vectors regardless of corpus size, so
-    this step is O(sample), not O(N), at 100 TB). Deterministic:
-    seeded init, fixed iteration count, spherical update (centroids
-    re-normalized each round ⇒ assignment by max cosine).
-
-    Returns an (n_cells × dim) numpy array of unit-norm centroids.
-    """
+    """Bounded driver-side unit-norm sample matrix for quantizer
+    training (the FAISS recipe — coarse/sub quantizers train on
+    ≤ ~100k sampled vectors regardless of corpus size, so training is
+    O(sample), not O(N), at 100 TB)."""
     import numpy as np
 
     n = embeddings.count()
@@ -297,45 +287,181 @@ def train_ivf_centroids(
     if not sample:
         return np.zeros((0, 0))
     x = np.stack([np.asarray(r[0], dtype="float64") for r in sample])
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    # tiny corpora: never ask for more cells than sampled vectors
-    n_cells = min(n_cells, len(x))
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _spherical_kmeans(x, k: int, n_iter: int, seed: int):
+    """Seeded spherical k-means over a driver-side (n × dim) unit-norm
+    matrix.  Deterministic: seeded init, fixed iteration count,
+    re-normalized mean update ⇒ assignment by max cosine.  The mean
+    update is a per-dimension ``bincount`` segment sum — O(n·dim) with
+    no per-cell Python loop, which matters at 100-TB-realistic coarse
+    counts (the r11 4096-cell build spent most of its 854 s wall in
+    the training loop; the per-cell masked-mean loop alone was O(k·n)
+    mask scans per iteration)."""
+    import numpy as np
+
+    k = min(k, len(x))  # never ask for more cells than sample vectors
     rng = np.random.RandomState(seed)
-    cent = x[rng.choice(len(x), size=n_cells, replace=False)]
+    cent = x[rng.choice(len(x), size=k, replace=False)]
     for _ in range(n_iter):
         assign = (x @ cent.T).argmax(axis=1)
-        for c in range(n_cells):
-            members = x[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
+        counts = np.bincount(assign, minlength=k).astype("float64")
+        sums = np.empty_like(cent)
+        for d in range(x.shape[1]):
+            sums[:, d] = np.bincount(
+                assign, weights=x[:, d], minlength=k
+            )
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
         cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
     return cent
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    sample_cap: int = 100_000,
+    n_iter: int = 10,
+    seed: int = 7,
+):
+    """Train IVF coarse-quantizer centroids: seeded spherical k-means
+    on a bounded driver-side sample (:func:`_spherical_kmeans`; the
+    FAISS recipe — O(sample) at any corpus size).
+
+    Returns an (n_cells × dim) numpy array of unit-norm centroids.
+    """
+    import numpy as np
+
+    x = _collect_training_sample(embeddings, vec_col, sample_cap, seed)
+    if x.size == 0:
+        return np.zeros((0, 0))
+    return _spherical_kmeans(x, n_cells, n_iter, seed)
+
+
+def train_ivf_centroids_two_level(
+    embeddings: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    sample_cap: int = 100_000,
+    n_iter: int = 10,
+    seed: int = 7,
+    branch: int | None = None,
+):
+    """Hierarchical (two-level) coarse-quantizer training — the
+    100-TB-scale path for large cell counts.  Flat k-means training
+    costs O(sample · n_cells · dim) per Lloyd iteration and flat
+    per-row assignment costs O(n_cells · dim): at n_cells ~ √N
+    (tens of thousands of cells for 10⁹+ vectors) both become the
+    build bottleneck — SCALE.md r11 measured 854 s at just 4096 flat
+    cells on 5M vectors, dominated by exactly these terms.  The
+    standard fix (FAISS IMI / hierarchical coarse quantizers): train
+    k1 ≈ √n_cells level-1 centers, then k2 sub-centers INSIDE each
+    level-1 region, giving n_cells = k1·k2 leaf cells for
+    O(sample · (k1 + k2) · dim) training and O((k1 + k2) · dim)
+    per-row assignment — √n_cells-factor cheaper on both sides.
+
+    Level-2 sub-centers are trained on each level-1 region's RAW
+    member vectors (unit-norm, spherical), so every leaf center is a
+    unit vector in the ORIGINAL space and the flat concatenated list
+    drops into the existing query-side machinery unchanged
+    (``probe_cells`` ranks leaves exactly; only per-ROW assignment is
+    hierarchical-approximate).  Regions with ≤ k2 sample members keep
+    the members themselves as centers, padded with the level-1 center
+    (deterministic; duplicate centers lose argmax ties to the lower
+    index and simply leave some leaves empty).
+
+    Returns ``(flat, l1, k2)``: ``flat`` the (k1·k2 × dim) leaf
+    centers with leaf id = l1_cell · k2 + sub_cell, ``l1`` the
+    (k1 × dim) level-1 centers, ``k2`` the branch width.  Note
+    k1·k2 ≥ n_cells (rounded up to a full grid)."""
+    import math
+
+    import numpy as np
+
+    x = _collect_training_sample(embeddings, vec_col, sample_cap, seed)
+    if x.size == 0:
+        return np.zeros((0, 0)), np.zeros((0, 0)), 1
+    k1 = branch or max(1, int(round(math.sqrt(n_cells))))
+    k1 = min(k1, len(x))
+    k2 = max(1, math.ceil(n_cells / k1))
+    l1 = _spherical_kmeans(x, k1, n_iter, seed)
+    k1 = len(l1)
+    assign = (x @ l1.T).argmax(axis=1)
+    flat = np.empty((k1 * k2, x.shape[1]), dtype="float64")
+    for c in range(k1):
+        members = x[assign == c]
+        if len(members) == 0:
+            flat[c * k2 : (c + 1) * k2] = l1[c]
+        elif len(members) <= k2:
+            flat[c * k2 : c * k2 + len(members)] = members
+            flat[c * k2 + len(members) : (c + 1) * k2] = l1[c]
+        else:
+            flat[c * k2 : (c + 1) * k2] = _spherical_kmeans(
+                members, k2, n_iter, seed + 1 + c
+            )
+    return flat, l1, k2
 
 
 def assign_ivf_cells(
     embeddings: DataFrame,
     centroids,
     vec_col: str = "embedding",
+    l1_centroids=None,
+    branch_k2: int | None = None,
 ) -> DataFrame:
     """Add an ``ivf_cell`` column: argmax-cosine centroid id, via one
     Arrow-batched matmul per batch (map-only; embarrassingly parallel).
     At rest, CLUSTER BY ivf_cell so a query's probed cells
-    partition-prune to a handful of files."""
+    partition-prune to a handful of files.
+
+    With ``l1_centroids``/``branch_k2`` (a
+    :func:`train_ivf_centroids_two_level` hierarchy) assignment is
+    TWO small argmaxes — level-1 center, then that region's ``k2``
+    leaf centers — O((k1 + k2) · dim) per row instead of the flat
+    O(n_cells · dim) matmul, the term that dominates encode cost at
+    100-TB-realistic cell counts.  The returned leaf id indexes the
+    same flat centroid list, so everything downstream (partition
+    layout, probing, screens) is unchanged."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    cent_t = np.asarray(centroids, dtype="float64").T.copy()  # (D, C)
+    cent = np.asarray(centroids, dtype="float64")
+    if l1_centroids is not None:
+        l1_t = np.asarray(l1_centroids, dtype="float64").T.copy()
+        k1 = l1_t.shape[1]
+        k2 = int(branch_k2)
+        sub = cent.reshape(k1, k2, cent.shape[1])  # (k1, k2, D)
 
-    @pandas_udf("int")
-    def _cell(v):
-        import numpy as _np
-        import pandas as _pd
+        @pandas_udf("int")
+        def _cell(v):
+            import numpy as _np
+            import pandas as _pd
 
-        if len(v) == 0:
-            return _pd.Series([], dtype="int32")
-        x = _np.stack([_np.asarray(e, dtype="float64") for e in v])
-        x = x / _np.linalg.norm(x, axis=1, keepdims=True)
-        return _pd.Series((x @ cent_t).argmax(axis=1).astype("int32"))
+            if len(v) == 0:
+                return _pd.Series([], dtype="int32")
+            x = _np.stack([_np.asarray(e, dtype="float64") for e in v])
+            x = x / _np.linalg.norm(x, axis=1, keepdims=True)
+            top = (x @ l1_t).argmax(axis=1)
+            scores = _np.einsum("nd,nkd->nk", x, sub[top])
+            return _pd.Series(
+                (top * k2 + scores.argmax(axis=1)).astype("int32")
+            )
+
+    else:
+        cent_t = cent.T.copy()  # (D, C)
+
+        @pandas_udf("int")
+        def _cell(v):
+            import numpy as _np
+            import pandas as _pd
+
+            if len(v) == 0:
+                return _pd.Series([], dtype="int32")
+            x = _np.stack([_np.asarray(e, dtype="float64") for e in v])
+            x = x / _np.linalg.norm(x, axis=1, keepdims=True)
+            return _pd.Series((x @ cent_t).argmax(axis=1).astype("int32"))
 
     return embeddings.withColumn("ivf_cell", _cell(F.col(vec_col)))
 

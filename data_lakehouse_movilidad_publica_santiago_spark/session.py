@@ -104,11 +104,24 @@ def get_serving_spark(
     level setting — this must create the PROCESS'S FIRST session
     (``getOrCreate`` against an existing context silently keeps its
     scheduler); serving processes are dedicated, so that holds by
-    construction."""
+    construction — and VERIFIED here: if some earlier code created a
+    FIFO context first, ``set_request_class`` would silently become a
+    no-op and the serving tier would run misconfigured, so a scheduler
+    mismatch raises instead of being swallowed (ADVICE r11)."""
     conf = {"spark.scheduler.mode": "FAIR"}
     if extra_conf:
         conf.update(extra_conf)
-    return get_spark(app_name=app_name, master=master, extra_conf=conf)
+    spark = get_spark(app_name=app_name, master=master, extra_conf=conf)
+    mode = spark.sparkContext.getConf().get("spark.scheduler.mode", "FIFO")
+    if mode != "FAIR":
+        raise RuntimeError(
+            "get_serving_spark got an existing SparkContext with "
+            f"spark.scheduler.mode={mode!r}; FAIR is a context-level "
+            "setting, so the serving session must be the process's "
+            "first — stop the existing context (spark.stop()) or run "
+            "the serving tier in its own process"
+        )
+    return spark
 
 
 def set_request_class(spark: SparkSession, request_class: str) -> None:

@@ -309,7 +309,7 @@ def main() -> None:
         m16_probe(min(n, 5_000_000))
     if modes & {"servingmix", "all"}:
         servingmix_probe()
-    if modes & {"batchq"}:
+    if modes & {"batchq", "all"}:
         batchq_probe(min(n, 5_000_000))
 
 

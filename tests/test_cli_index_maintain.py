@@ -75,10 +75,10 @@ def test_three_batch_lifecycle_report(spark, tmp_path, capsys):
     assert rc == 0
     assert rep2["rebuild_recommended"] is False
     assert rep2["compacted"] is True
-    assert rep2["optimize"]["codes"]["cells_compacted"] > 0
+    assert rep2["optimize"]["datasets"]["codes"]["cells_compacted"] > 0
     assert (
-        rep2["optimize"]["codes"]["files_after"]
-        < rep2["optimize"]["codes"]["files_before"]
+        rep2["optimize"]["datasets"]["codes"]["files_after"]
+        < rep2["optimize"]["datasets"]["codes"]["files_before"]
     )
 
     # batch 3: hard-shifted — the drift monitor flips the rebuild flag
@@ -102,3 +102,49 @@ def test_three_batch_lifecycle_report(spark, tmp_path, capsys):
         spark, str(idx), emb, qv, k=5, n_probe=4, overfetch=64
     ).collect()
     assert len(got) == 5 and got[0]["vec_id"] == 0
+
+
+def test_maintain_recovers_crashed_optimize_before_add(
+    spark, tmp_path, capsys
+):
+    """ADVICE r11 (medium): a prior ``ivfpq_optimize`` that died inside
+    one cell's two-rename swap leaves that cell's ONLY copies parked
+    under ``_optimize_tmp``.  ``index-maintain`` must restore it FIRST
+    — before drift stats (which would silently read a truncated index)
+    and before ``ivfpq_add`` (which could recreate the missing live
+    directory with batch rows only, making a later recovery skip the
+    cell and DELETE the parked originals: permanent row loss)."""
+    import os
+    import shutil
+
+    emb = spark.read.parquet(EMB)
+    idx = tmp_path / "idx"
+    build_ivfpq_index(
+        emb.filter("vec_id % 2 = 0"), str(idx), n_cells=4, m=8, ksub=16
+    )
+    n_base = emb.filter("vec_id % 2 = 0").count()
+
+    # simulate the documented crash state: one live cell relocated to
+    # the trash side of the swap (live -> trash done, staged -> live
+    # never happened)
+    cells = sorted(
+        d for d in os.listdir(idx / "codes") if d.startswith("ivf_cell=")
+    )
+    victim = cells[0]
+    trash = idx / "_optimize_tmp" / "codes" / "trash"
+    trash.mkdir(parents=True)
+    shutil.move(str(idx / "codes" / victim), str(trash / victim))
+    assert spark.read.parquet(f"{idx}/codes").count() < n_base
+
+    batch = tmp_path / "batch.parquet"
+    emb.filter("vec_id % 2 = 1").write.parquet(str(batch))
+    rc, rep = _run(
+        ["index-maintain", "--index-dir", str(idx), "--batch", str(batch)],
+        capsys,
+    )
+    assert rc == 0
+    assert rep["recovered_cells"] == 1
+    assert rep["compacted"] is False  # recovery must not need optimize
+    assert not (idx / "_optimize_tmp").exists()
+    # every base row survived the crash + maintenance, plus the batch
+    assert spark.read.parquet(f"{idx}/codes").count() == emb.count()

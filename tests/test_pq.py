@@ -459,10 +459,18 @@ class TestIvfpqLifecycle:
         ]
         stats = ivfpq_optimize(spark, idx, max_files_per_cell=1)
         for ds in ("codes", "vectors"):
-            assert stats[ds]["files_after"] <= stats[ds]["files_before"]
+            ds_stats = stats["datasets"][ds]
+            assert ds_stats["files_after"] <= ds_stats["files_before"]
             after = _cell_files(f"{idx}/{ds}")
             assert all(len(fs) == 1 for fs in after.values()), after
-        assert stats["codes"]["cells_compacted"] > 0
+        assert stats["datasets"]["codes"]["cells_compacted"] > 0
+        # uniform per-dataset dicts (ADVICE r11: recovered_cells must
+        # not be mixed into the dataset map)
+        assert all(
+            set(d) == {"cells_compacted", "files_before", "files_after"}
+            for d in stats["datasets"].values()
+        )
+        assert stats["recovered_cells"] == 0
         knn_after = [
             tuple(r)
             for r in ivfpq_topk(
@@ -489,8 +497,11 @@ class TestIvfpqLifecycle:
 
         emb, used, idx = self._built(spark, tmp_path, n_adds=1)
         stats = ivfpq_optimize(spark, idx, max_files_per_cell=10)
-        assert stats["codes"]["cells_compacted"] == 0
-        assert stats["codes"]["files_before"] == stats["codes"]["files_after"]
+        assert stats["datasets"]["codes"]["cells_compacted"] == 0
+        assert (
+            stats["datasets"]["codes"]["files_before"]
+            == stats["datasets"]["codes"]["files_after"]
+        )
 
     def test_drift_stats_in_distribution_vs_shifted(self, spark, tmp_path):
         """A batch drawn from the build distribution scores near-zero
@@ -1225,3 +1236,141 @@ class TestIvfpqRound11:
         # at the default cap the same batch runs
         out = ivfpq_topk_batch(spark, idx, emb, queries, k=5, n_probe=4)
         assert out.count() == 15
+
+
+class TestIvfpqTwoLevel:
+    """Round-12: hierarchical (two-level) coarse quantizer — the
+    100-TB path for n_cells ~ √N cell counts, where flat k-means
+    training (O(sample·n_cells·dim)/iter) and flat per-row assignment
+    (O(n_cells·dim)) dominated the r11 4096-cell build at 854 s.
+    Training and assignment become O(√n_cells·dim); leaf ids index the
+    same flat centroid list so probing/screens/oracles are unchanged."""
+
+    def test_build_query_exact_at_full_probe(self, emb, qvec, spark, tmp_path):
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_topk,
+            load_ivfpq_meta,
+        )
+
+        idx = str(tmp_path / "idx2l")
+        build_ivfpq_index(
+            emb, idx, n_cells=9, m=8, ksub=16, coarse="two_level",
+            branch=3, residual=True,
+        )  # fmt: skip
+        meta, cent = load_ivfpq_meta(spark, idx)
+        assert meta["coarse"] == "two_level"
+        assert meta["branch_k2"] == 3
+        assert meta["n_cells"] == 9 == len(cent)
+        assert len(meta["l1_centroids"]) == 3
+        # full probe + covering overfetch passes every row through the
+        # screen to the exact rescore → must equal exact kNN
+        got = [
+            r["vec_id"]
+            for r in ivfpq_topk(
+                spark, idx, emb, qvec, k=10, n_probe=9, overfetch=64
+            ).collect()
+        ]
+        want = [r["vec_id"] for r in cosine_topk(emb, qvec, 10).collect()]
+        assert got == want
+
+    def test_leaf_assignment_respects_hierarchy(self, emb, spark, tmp_path):
+        """Every row's leaf must live under its OWN level-1 winner:
+        recompute the two argmaxes driver-side from the persisted
+        hierarchy and compare with the at-rest partition keys."""
+        import numpy as np
+
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            build_ivfpq_index,
+            load_ivfpq_meta,
+        )
+
+        idx = str(tmp_path / "idxh")
+        build_ivfpq_index(
+            emb, idx, n_cells=9, m=8, ksub=16, coarse="two_level", branch=3
+        )
+        meta, cent = load_ivfpq_meta(spark, idx)
+        l1 = np.asarray(meta["l1_centroids"])
+        k2 = meta["branch_k2"]
+        sub = np.asarray(cent).reshape(len(l1), k2, -1)
+        at_rest = {
+            r["vec_id"]: r["ivf_cell"]
+            for r in spark.read.parquet(f"{idx}/codes").collect()
+        }
+        rows = emb.collect()
+        assert len(at_rest) == len(rows)
+        for r in rows:
+            x = np.asarray(r["embedding"], dtype="float64")
+            x = x / np.linalg.norm(x)
+            top = int((x @ l1.T).argmax())
+            leaf = top * k2 + int((sub[top] @ x).argmax())
+            assert at_rest[r["vec_id"]] == leaf
+
+    def test_add_reproduces_frozen_two_level_assignment(
+        self, emb, spark, tmp_path
+    ):
+        """ivfpq_add on a two-level index must place batch rows with
+        the BUILD's hierarchical rule (flat argmax would scatter them
+        into different leaves — the _assign_index_cells contract)."""
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            _assign_index_cells,
+            build_ivfpq_index,
+            ivfpq_add,
+            load_ivfpq_meta,
+        )
+
+        idx = str(tmp_path / "idxadd")
+        build_ivfpq_index(
+            emb.filter("vec_id % 2 = 0"), idx, n_cells=9, m=8, ksub=16,
+            coarse="two_level", branch=3, residual=True,
+        )  # fmt: skip
+        n = ivfpq_add(spark, idx, emb.filter("vec_id % 2 = 1"))
+        assert n == emb.filter("vec_id % 2 = 1").count()
+        meta, cent = load_ivfpq_meta(spark, idx)
+        want = {
+            r["vec_id"]: r["ivf_cell"]
+            for r in _assign_index_cells(
+                emb.filter("vec_id % 2 = 1"), meta, cent, "embedding"
+            ).collect()
+        }
+        at_rest = {
+            r["vec_id"]: r["ivf_cell"]
+            for r in spark.read.parquet(f"{idx}/codes")
+            .filter("vec_id % 2 = 1")
+            .collect()
+        }
+        assert at_rest == want
+        # drift stats run the same frozen hierarchical assignment
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            ivfpq_drift_stats,
+        )
+
+        stats = ivfpq_drift_stats(
+            spark, idx, emb.filter("vec_id % 2 = 1")
+        )
+        assert 0.0 <= stats["cell_tv_distance"] <= 1.0
+
+    def test_auto_coarse_switches_at_threshold(
+        self, emb, spark, tmp_path, monkeypatch
+    ):
+        import data_lakehouse_movilidad_publica_santiago_spark.operators.pq as pq_mod
+        from data_lakehouse_movilidad_publica_santiago_spark.operators.pq import (
+            build_ivfpq_index,
+            load_ivfpq_meta,
+        )
+
+        idx = str(tmp_path / "idxauto")
+        build_ivfpq_index(emb, idx, n_cells=8, m=8, ksub=16)
+        meta, _ = load_ivfpq_meta(spark, idx)
+        assert meta["coarse"] == "flat" and meta["l1_centroids"] is None
+
+        monkeypatch.setattr(pq_mod, "_TWO_LEVEL_MIN_CELLS", 4)
+        idx2 = str(tmp_path / "idxauto2")
+        build_ivfpq_index(emb, idx2, n_cells=8, m=8, ksub=16)
+        meta2, cent2 = load_ivfpq_meta(spark, idx2)
+        assert meta2["coarse"] == "two_level"
+        assert len(cent2) == len(meta2["l1_centroids"]) * meta2["branch_k2"]
+        with pytest.raises(ValueError, match="coarse"):
+            build_ivfpq_index(
+                emb, str(tmp_path / "bad"), n_cells=8, coarse="nope"
+            )

@@ -180,3 +180,19 @@ def test_request_class_pools(spark):
         set_request_class(spark, "batch")
     # restore the default pool for the shared session
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+
+def test_get_serving_spark_rejects_foreign_fifo_context(spark):
+    """ADVICE r11: spark.scheduler.mode is SparkContext-level, so
+    get_serving_spark against an ALREADY-RUNNING FIFO context (the
+    shared test session here) silently keeps FIFO — it must raise
+    instead of handing back a session where set_request_class is a
+    misconfigured no-op."""
+    import pytest as _pytest
+
+    from data_lakehouse_movilidad_publica_santiago_spark.session import (
+        get_serving_spark,
+    )
+
+    with _pytest.raises(RuntimeError, match="scheduler.mode"):
+        get_serving_spark()
