@@ -1381,6 +1381,7 @@ _IVFPQ_INCR_INDEX_CACHE: dict[str, str] = {}
 _IVFPQ_RES_INDEX_CACHE: dict[str, str] = {}
 _IVFPQ_RES_BIG_INDEX_CACHE: dict[str, str] = {}
 _IVFPQ_TWOLEVEL_INDEX_CACHE: dict[str, str] = {}
+_IVFPQ_STREAM_INDEX_CACHE: dict[str, str] = {}
 
 
 def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -1641,6 +1642,76 @@ def q_ivfpq_knn_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ivfpq_knn_twolevel"] = q_ivfpq_knn_twolevel
 ORACLE["ivfpq_knn_twolevel"] = ORACLE_EMBEDDING_KNN
+
+
+def _ivfpq_stream_index_for(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _IVFPQ_STREAM_INDEX_CACHE:
+        import os
+        import shutil
+        import tempfile
+
+        from ..operators.pq import build_ivfpq_index
+        from ..streaming.index_stream import stream_index_maintenance
+
+        work = tempfile.mkdtemp(prefix="dlmps_ivfpq_stream_")
+        d = os.path.join(work, "idx")
+        emb = t(spark, sf_dir, "embeddings")
+        build_ivfpq_index(
+            emb.filter(F.col("vec_id") % 3 == 0), d,
+            n_cells=4, m=8, ksub=16, iters=2, seed=7, residual=True,
+        )  # fmt: skip
+        src = os.path.join(work, "arrivals")
+        os.makedirs(src)
+        for i in (1, 2):
+            tmp = os.path.join(work, f"_stage{i}")
+            (
+                emb.filter(F.col("vec_id") % 3 == i)
+                .coalesce(1).write.mode("overwrite").parquet(tmp)
+            )  # fmt: skip
+            part = next(
+                p for p in os.listdir(tmp) if p.endswith(".parquet")
+            )
+            os.replace(
+                os.path.join(tmp, part), os.path.join(src, f"b{i}.parquet")
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+        q = stream_index_maintenance(
+            spark, src, d, os.path.join(work, "ckpt")
+        )
+        q.awaitTermination()
+        _IVFPQ_STREAM_INDEX_CACHE[sf_dir] = d
+    return _IVFPQ_STREAM_INDEX_CACHE[sf_dir]
+
+
+def q_ivfpq_knn_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12: STREAMING index maintenance — the IVF-PQ lifecycle
+    (recover → drift monitor → threshold-gated compaction →
+    incremental add) as a Structured Streaming query
+    (``streaming.index_stream``), with row-level EXACTLY-ONCE adds
+    across micro-batch replays: the frozen-quantizer encode is
+    deterministic and ``ivfpq_add(write_token=batch_id)`` writes each
+    touched cell's rows onto the deterministic name
+    ``add-b<id>.parquet`` via os.replace, so a replayed batch rewrites
+    the same rows onto the same files instead of appending duplicates
+    (crash-injected in tests/test_index_stream.py).  This gate builds
+    the index on a THIRD of the corpus, lands the other two thirds as
+    two parquet arrival files, drains the stream (AvailableNow), and
+    queries the maintained index — the result must be the exact
+    top-10 over ALL vectors (full probe + covering overfetch passes
+    every built AND streamed row through the screen to the exact
+    rescore, so the exact-kNN oracle is GUARANTEED)."""
+    from ..operators.pq import ivfpq_topk
+
+    idx = _ivfpq_stream_index_for(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        spark, idx, emb, _query_vec(spark, sf_dir),
+        k=10, n_probe=4, overfetch=64,
+    )  # fmt: skip
+
+
+QUERIES["ivfpq_knn_streamed"] = q_ivfpq_knn_streamed
+ORACLE["ivfpq_knn_streamed"] = ORACLE_EMBEDDING_KNN
 
 
 def q_ivfpq_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

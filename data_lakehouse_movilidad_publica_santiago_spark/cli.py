@@ -318,6 +318,32 @@ def main(argv: list[str] | None = None) -> int:
         "(drifted data piles into few cells and erodes n_probe pruning)",
     )
 
+    ist = sub.add_parser(
+        "index-stream",
+        help="resident/drain streaming index maintenance: a parquet "
+        "file source of arriving embedding batches drives the "
+        "index-maintain cycle per micro-batch with row-level "
+        "exactly-once adds across crash replays (deterministic "
+        "re-encode + deterministic per-cell file names)",
+    )
+    ist.add_argument("--index-dir", required=True, type=Path,
+                     help="build_ivfpq_index layout root")
+    ist.add_argument("--source", required=True, type=Path,
+                     help="directory where embedding batches land as "
+                     "flat parquet files")
+    ist.add_argument("--checkpoint", required=True, type=Path,
+                     help="streaming checkpoint dir (source offsets)")
+    ist.add_argument("--id-col", default=None)
+    ist.add_argument("--vec-col", default=None)
+    ist.add_argument("--max-files-per-cell", type=int, default=8)
+    ist.add_argument("--mse-rebuild-threshold", type=float, default=1.5)
+    ist.add_argument("--tv-rebuild-threshold", type=float, default=0.5)
+    ist.add_argument(
+        "--resident", action="store_true",
+        help="keep running and absorb future arrivals (default drains "
+        "pending files AvailableNow and exits)",
+    )
+
     rv = sub.add_parser(
         "retrieve",
         help="diversified vector retrieval: IVF-PQ cell-pruned ADC "
@@ -565,6 +591,37 @@ def main(argv: list[str] | None = None) -> int:
             "optimize": opt,
             "rebuild_recommended": bool(reasons),
             "rebuild_reason": "; ".join(reasons) or None,
+        }))  # fmt: skip
+
+    elif args.cmd == "index-stream":
+        from .streaming.index_stream import stream_index_maintenance
+
+        q = stream_index_maintenance(
+            spark,
+            args.source,
+            args.index_dir,
+            args.checkpoint,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            max_files_per_cell=args.max_files_per_cell,
+            mse_rebuild_threshold=args.mse_rebuild_threshold,
+            tv_rebuild_threshold=args.tv_rebuild_threshold,
+            available_now=not args.resident,
+        )
+        q.awaitTermination()
+        log_path = args.index_dir / "maintenance_log.jsonl"
+        last = None
+        if log_path.exists():
+            lines = log_path.read_text().splitlines()
+            last = json.loads(lines[-1]) if lines else None
+        print(json.dumps({
+            "index_dir": str(args.index_dir),
+            "batches_logged": (
+                len(log_path.read_text().splitlines())
+                if log_path.exists()
+                else 0
+            ),
+            "last_report": last,
         }))  # fmt: skip
 
     elif args.cmd == "retrieve":

@@ -1119,6 +1119,7 @@ def ivfpq_add(
     new_embeddings: DataFrame,
     id_col: str | None = None,
     vec_col: str | None = None,
+    write_token: str | None = None,
 ) -> int:
     """Incrementally add vectors to an existing ``build_ivfpq_index``
     layout — the index-maintenance twin of the incremental MinHash
@@ -1155,6 +1156,23 @@ def ivfpq_add(
     disagree — an id present in codes but missing from vectors drops
     out of every downstream inner join with no error.
 
+    ``write_token`` turns the append into an IDEMPOTENT commit — the
+    exactly-once primitive :mod:`streaming.index_stream` is built on.
+    Instead of ``mode=append`` part files with random names, each
+    dataset is staged then each touched cell's file is moved to the
+    DETERMINISTIC name ``ivf_cell=<c>/add-<token>.parquet`` via
+    ``os.replace``.  Because the frozen-quantizer encode is itself
+    deterministic, re-running the same (batch, token) — a replayed
+    streaming micro-batch after a crash anywhere in the add — rewrites
+    the SAME row sets onto the SAME file names instead of appending
+    duplicates: row-level exactly-once by construction, no ledger or
+    marker files whose own crash window would reopen the problem.
+    Tokens must be unique per logical batch (the stream uses the
+    checkpointed ``batch_id``) and token files must not be compacted
+    until their batch's offsets are committed — ``index_stream`` runs
+    ``ivfpq_optimize`` BEFORE the add, never after, for exactly that
+    reason.
+
     Returns the number of vectors added."""
     meta, cent = load_ivfpq_meta(spark, index_dir)
     meta_id = meta["id_col"]
@@ -1184,25 +1202,59 @@ def ivfpq_add(
             F.col("ivf_cell"),
             F.array(*[F.col(f"__code{j}") for j in range(m)]).alias("codes"),
         )
-        (
-            coded.repartition(F.col("ivf_cell"))
-            .write.mode("append")
-            .partitionBy("ivf_cell")
-            .parquet(os.path.join(index_dir, "codes"))
-        )
+        _add_write(coded, os.path.join(index_dir, "codes"), write_token)
         if meta.get("store_vectors"):
-            (
+            _add_write(
                 assigned.select(
                     F.col(meta_id), F.col("ivf_cell"), F.col(meta_vec)
-                )
-                .repartition(F.col("ivf_cell"))
-                .write.mode("append")
-                .partitionBy("ivf_cell")
-                .parquet(os.path.join(index_dir, "vectors"))
+                ),
+                os.path.join(index_dir, "vectors"),
+                write_token,
             )
     finally:
         assigned.unpersist()
     return int(n_new)
+
+
+def _add_write(df: DataFrame, ds_dir: str, token: str | None) -> None:
+    """One :func:`ivfpq_add` dataset write.  Without a token: plain
+    ``mode=append`` (one new random-named file per touched cell).
+    With a token: stage, then ``os.replace`` each cell's file onto the
+    deterministic name ``add-<token>.parquet`` — the idempotent-commit
+    path (see the ``write_token`` contract in :func:`ivfpq_add`).
+    ``repartition(ivf_cell)`` puts every cell's rows in exactly one
+    shuffle partition, so staging yields exactly one part file per
+    cell; a defensive suffix keeps the move lossless (and still
+    replay-stable: deterministic assignment ⇒ same per-cell row sets
+    ⇒ same file count) if that invariant ever breaks."""
+    import shutil
+
+    out = df.repartition(F.col("ivf_cell")).write.partitionBy("ivf_cell")
+    if token is None:
+        out.mode("append").parquet(ds_dir)
+        return
+    staging = os.path.join(
+        os.path.dirname(ds_dir),
+        f"_add_tmp_{os.path.basename(ds_dir)}_{token}",
+    )
+    out.mode("overwrite").parquet(staging)
+    for name in sorted(os.listdir(staging)):
+        if not name.startswith("ivf_cell="):
+            continue
+        parts = sorted(
+            f
+            for f in os.listdir(os.path.join(staging, name))
+            if f.endswith(".parquet")
+        )
+        live_cell = os.path.join(ds_dir, name)
+        os.makedirs(live_cell, exist_ok=True)
+        for i, p in enumerate(parts):
+            suffix = f"-{i}" if i else ""
+            os.replace(
+                os.path.join(staging, name, p),
+                os.path.join(live_cell, f"add-{token}{suffix}.parquet"),
+            )
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def _cell_files(ds_dir: str) -> dict[int, list[str]]:

@@ -148,3 +148,36 @@ def test_maintain_recovers_crashed_optimize_before_add(
     assert not (idx / "_optimize_tmp").exists()
     # every base row survived the crash + maintenance, plus the batch
     assert spark.read.parquet(f"{idx}/codes").count() == emb.count()
+
+
+def test_index_stream_cli_drains_arrivals(spark, tmp_path, capsys):
+    """Round-12 ``index-stream`` verb: drains pending arrival files
+    AvailableNow through the per-batch maintenance cycle and reports
+    the batch count + last maintenance record."""
+    import os
+    import shutil
+
+    emb = spark.read.parquet(EMB)
+    idx = tmp_path / "idx"
+    build_ivfpq_index(
+        emb.filter("vec_id % 3 = 0"), str(idx), n_cells=4, m=8, ksub=16
+    )
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    for i in (1, 2):
+        stage = tmp_path / f"_s{i}"
+        emb.filter(f"vec_id % 3 = {i}").coalesce(1).write.parquet(str(stage))
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        os.replace(stage / part, src / f"b{i}.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
+    rc, rep = _run(
+        [
+            "index-stream", "--index-dir", str(idx),
+            "--source", str(src), "--checkpoint", str(tmp_path / "ckpt"),
+        ],
+        capsys,
+    )  # fmt: skip
+    assert rc == 0
+    assert rep["batches_logged"] == 2
+    assert rep["last_report"]["rebuild_recommended"] is False
+    assert spark.read.parquet(f"{idx}/codes").count() == emb.count()
