@@ -459,6 +459,11 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram explode + model probes are compute-heavy narrow stages; a
     # one-file scan would single-thread them (no-op at cluster scale)
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    # round-12 negative result, recorded: BigramLM.materialized()
+    # measured a slight REGRESSION here (min 1.99 s vs 1.88 s baseline
+    # at sf0.1) — only one training-slice explode is saved and the
+    # checkpoint job costs more than it returns.  Reverted; the
+    # fused-DSIR and tfidf paths keep theirs (measured wins).
     model = train_bigram_lm(docs.filter(F.col("lang") == "en"))
     # lang rides the gram rows; bigram-free docs are excluded anyway,
     # so skip the join-back stage — train + score is ONE Spark plan
@@ -832,6 +837,17 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean_word_length(F.col("text")) / F.lit(10.0)).alias("f3"),
         (token_count(F.col("text")) / F.lit(100.0)).alias("f4"),
     )
+    # round-12 (guide §1.2 "don't compute things twice"): every GD
+    # aggregate AND the scoring pass re-derives the four text features
+    # (regex sweeps + HOF token filters — the dominant per-row cost);
+    # localCheckpoint materializes the narrow (doc_id, label, f1..f4)
+    # frame once, so 3 GD passes + scoring read doubles instead of
+    # re-tokenizing the corpus 4×.  Feature VALUES are unchanged
+    # (same expressions, computed once); blocks are GC-released with
+    # the returned plan (the release_pins discipline).  Scale-safe:
+    # the frame is 6 narrow columns per document, spilled to disk if
+    # needed — at 100 TB the alternative is 4 full text re-scans.
+    feats = feats.localCheckpoint(eager=True)
     fcols = ["f1", "f2", "f3", "f4"]
     w = logreg_fit(feats, fcols, "label", iters=3, lr=1.0)
     scored = logreg_score(feats, w, fcols)
@@ -1446,6 +1462,13 @@ def q_trigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.spread import ensure_parallelism
 
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    # round-12 negative result, recorded: TrigramLM.materialized()
+    # (checkpointing bigrams/unigrams to kill the 3 redundant
+    # training-slice explodes) measured NO win here (min 2.50 s vs
+    # 2.49 s baseline at sf0.1) — the re-exploded slice is the small
+    # English subset, and the checkpoint's extra materialization jobs
+    # offset the saved passes.  Production reuse should still persist
+    # the model once per revision (the operator docstring's contract).
     model = train_trigram_lm(docs.filter(F.col("lang") == "en"))
     return score_stupid_backoff(docs, model, passthrough=["lang"])
 

@@ -239,6 +239,10 @@ def scd2_upsert(
         return {"inserted": n, "expired": 0, "unchanged": 0}
 
     dim = store.read(table).cache()
+    # round-12: cand (the consolidated candidate aggregate) feeds the
+    # kept branch, the inserts branch and the counts — uncached it
+    # re-ran its groupBy once per consumer inside the overwrite job
+    cand = cand.cache()
     try:
         history = dim.filter(~F.col("is_current"))
         current = dim.filter(F.col("is_current"))
@@ -259,8 +263,27 @@ def scd2_upsert(
         def new(c: str) -> Column:
             return F.col(f"n.{c}")
 
+        # round-12 (guide §1.2): the decision counts ride the rebuild
+        # write as ``observe`` metrics on each branch — previously a
+        # separate aggregate job re-ran the full-outer join just to
+        # count categories.  Same predicates, same values; the write
+        # executes each branch exactly once (plain union + parquet
+        # write, no resampling shuffle, so no double-count hazard).
+        from pyspark.sql import Observation
+
+        obs_kept = Observation()
+        obs_ins = Observation()
+        kept_src = j.filter(~is_new).observe(
+            obs_kept,
+            F.sum(
+                F.when(~no_cand & ~same & ~stale & ~same_day, 1).otherwise(0)
+            ).alias("expired"),
+            F.sum(
+                F.when(~no_cand & (same | stale | same_day), 1).otherwise(0)
+            ).alias("unchanged"),
+        )
         # surviving current-generation rows (possibly expired / enriched)
-        kept = j.filter(~is_new).select(
+        kept = kept_src.select(
             cur(sk_col).alias(sk_col),
             cur(bk_col).alias(bk_col),
             *[
@@ -287,7 +310,7 @@ def scd2_upsert(
 
         inserts = j.filter(
             is_new | (~no_cand & ~same & ~stale & ~same_day)
-        ).select(
+        ).observe(obs_ins, F.count(F.lit(1)).alias("inserted")).select(
             sk_of(new(bk_col), F.lit(str(event_date))).alias(sk_col),
             new(bk_col).alias(bk_col),
             *[new(a).alias(a) for a in attr_cols],
@@ -297,27 +320,17 @@ def scd2_upsert(
             F.lit(True).alias("is_current"),
         )
 
-        counts_row = j.agg(
-            F.sum(
-                F.when(is_new | (~no_cand & ~same & ~stale & ~same_day), 1).otherwise(0)
-            ).alias("inserted"),
-            F.sum(
-                F.when(~is_new & ~no_cand & ~same & ~stale & ~same_day, 1).otherwise(0)
-            ).alias("expired"),
-            F.sum(
-                F.when(~is_new & ~no_cand & (same | stale | same_day), 1).otherwise(0)
-            ).alias("unchanged"),
-        ).collect()[0]
-
         new_dim = history.unionByName(kept).unionByName(inserts)
         store.overwrite(new_dim, table)
+        km = obs_kept.get
         return {
-            "inserted": int(counts_row["inserted"] or 0),
-            "expired": int(counts_row["expired"] or 0),
-            "unchanged": int(counts_row["unchanged"] or 0),
+            "inserted": int(obs_ins.get["inserted"] or 0),
+            "expired": int(km["expired"] or 0),
+            "unchanged": int(km["unchanged"] or 0),
         }
     finally:
         dim.unpersist()
+        cand.unpersist()
 
 
 # ── SCD2 harvest queries ────────────────────────────────────────────

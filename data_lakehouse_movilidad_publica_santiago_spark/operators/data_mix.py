@@ -45,7 +45,14 @@ def _shingle_hashes(
 ) -> DataFrame:
     """(doc_id, shingle md5) rows: one per char-k-gram position of the
     normalized text — the same normalization/gram recipe as the
-    winnowing fingerprints (dedup_text.py), minus the window-min."""
+    winnowing fingerprints (dedup_text.py), minus the window-min.
+
+    The shingle key is the md5 as BINARY(16) (``unhex``) rather than
+    32-hex text (round-12, guide §2.3 'narrower types'): it is a pure
+    set key — joined, distinct-ed and counted, never surfaced — and
+    unhex is bijective, so every distinct/join result is identical
+    while the key's shuffle bytes halve (the (doc_id, shingle)
+    DISTINCT is the operator's only corpus-wide exchange)."""
     norm = F.expr(_NORM.format(c=text_col))
     return (
         df.select(F.col(id_col).alias("doc_id"), norm.alias("__nrm"))
@@ -63,7 +70,9 @@ def _shingle_hashes(
         )
         .select(
             "doc_id",
-            F.md5(F.expr(f"substr(__nrm, __pos, {k})")).alias("shingle"),
+            F.unhex(
+                F.md5(F.expr(f"substr(__nrm, __pos, {k})"))
+            ).alias("shingle"),
         )
     )
 

@@ -76,14 +76,49 @@ def kmeans_fit_assign(
         # k DISTINCT vectors with the smallest ids: duplicate low-id
         # embeddings (common in the dedup corpora this clusters) would
         # otherwise seed identical centroids and permanently empty
-        # clusters
-        rows = (
-            emb.groupBy(vec_col)
-            .agg(F.min(id_col).alias(id_col))
+        # clusters.
+        #
+        # Round-12 (guide §2.4): the straightforward
+        # ``groupBy(vec).agg(min(id))`` shuffles the ENTIRE corpus by
+        # the full embedding — a corpus-wide exchange of the heaviest
+        # column just to pick k rows.  Scanning ids ascending, the
+        # first occurrence of each distinct vector IS its min-id
+        # occurrence, so a bounded TakeOrdered prefix yields the
+        # IDENTICAL init set whenever it contains >= k distinct
+        # vectors (every id outside the prefix is larger than every id
+        # inside, so no outside vector can displace one found here);
+        # the exact groupBy remains as fallback for pathological
+        # prefixes (all duplicates).
+        prefix_n = max(64, 8 * k)
+        prefix = (
+            emb.select(id_col, vec_col)
             .orderBy(F.col(id_col))
-            .limit(k)
+            .limit(prefix_n)
             .collect()
         )
+        seen: dict[tuple, object] = {}
+        for r in prefix:
+            if r[vec_col] is None:
+                continue  # a NULL vector can't seed a centroid
+            # NaN-safe distinctness: SQL GROUP BY treats NaN = NaN
+            # (and -0.0 = 0.0, which Python tuples already do)
+            key = tuple(
+                "nan" if x != x else float(x) for x in r[vec_col]
+            )
+            if key not in seen:
+                seen[key] = r
+                if len(seen) == k:
+                    break
+        if len(seen) >= k:
+            rows = list(seen.values())
+        else:
+            rows = (
+                emb.groupBy(vec_col)
+                .agg(F.min(id_col).alias(id_col))
+                .orderBy(F.col(id_col))
+                .limit(k)
+                .collect()
+            )
     else:
         got = {
             r[id_col]: r

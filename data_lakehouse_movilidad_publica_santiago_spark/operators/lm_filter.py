@@ -61,6 +61,23 @@ class BigramLM:
         """|V| as a driver-side int (runs one small job)."""
         return self.vocab.collect()[0][0]
 
+    def materialized(self) -> "BigramLM":
+        """The model with multiply-referenced count tables snapshotted
+        (lazy ``localCheckpoint``) — round-12, guide §1.2.  Plans that
+        reference a lazy count table more than once (scoring joins +
+        the |V| scalar) re-explode the reference corpus per reference:
+        the higher-order-function tokenizers defeat Catalyst's plan
+        canonicalization, so exchange reuse never fires (0
+        ReusedExchange in the measured plans).  ``vocab`` is re-derived
+        from the CHECKPOINTED unigrams — the same row count, now a
+        vocab-sized aggregate instead of another corpus pass.  Count
+        VALUES are unchanged; this is the docstring's 'persist once
+        per reference-corpus revision' realized in-plan."""
+        uni = self.unigrams.localCheckpoint(eager=False)
+        return BigramLM(
+            self.bigrams, uni, uni.agg(F.count("*").alias("vocab"))
+        )
+
 
 def train_bigram_lm(
     reference: DataFrame, text_col: str = "text"
@@ -213,17 +230,70 @@ def dsir_logratio(
             "passthrough column 'logratio' collides with the DSIR "
             "output column of the same name"
         )
-    target_model = train_bigram_lm(docs.filter(target), text_col=text_col)
-    raw_model = train_bigram_lm(docs, text_col=text_col)
-    t_ce = score_perplexity(
-        docs, target_model, id_col=id_col, text_col=text_col,
-        passthrough=extra, include_empty=False,
-    ).select("doc_id", *extra, "n_bigrams", F.col("cross_entropy").alias("__ce_t"))
-    r_ce = score_perplexity(
-        docs, raw_model, id_col=id_col, text_col=text_col,
-        include_empty=False,
-    ).select("doc_id", F.col("cross_entropy").alias("__ce_r"))
-    return t_ce.join(r_ce, "doc_id").select(
+    # materialized(): each model's unigram table is referenced twice
+    # (scoring join + |V|) — checkpointing it saves one full corpus
+    # explode per model (see BigramLM.materialized)
+    target_model = train_bigram_lm(
+        docs.filter(target), text_col=text_col
+    ).materialized()
+    raw_model = train_bigram_lm(docs, text_col=text_col).materialized()
+    # FUSED scoring pass (round-12, guide §2.3/§2.4): both models score
+    # the SAME gram occurrences, so two score_perplexity passes explode
+    # the corpus twice and re-join per-doc results for nothing — one
+    # explode with BOTH models' count tables left-joined on, and one
+    # per-doc aggregate computing both cross-entropies, halves the
+    # corpus passes and drops the final doc_id join outright (measured
+    # 3.1 s → ~2 s at sf0.1; the explode is the dominant stage).  The
+    # per-gram log-probabilities are unchanged expressions; each
+    # cross-entropy is the same -avg over the same rows, and the gate
+    # rounds logratio to 4 before ranking, exactly as before.
+    t_big = target_model.bigrams.select(
+        F.col("gram").alias("__gram"), F.col("c12").alias("__tc12")
+    )
+    t_uni = target_model.unigrams.select(
+        F.col("w1").alias("__w1"), F.col("c1").alias("__tc1")
+    )
+    t_voc = target_model.vocab.select(F.col("vocab").alias("__tvocab"))
+    r_big = raw_model.bigrams.select(
+        F.col("gram").alias("__gram"), F.col("c12").alias("__rc12")
+    )
+    r_uni = raw_model.unigrams.select(
+        F.col("w1").alias("__w1"), F.col("c1").alias("__rc1")
+    )
+    r_voc = raw_model.vocab.select(F.col("vocab").alias("__rvocab"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *extra,
+        F.explode(word_ngrams_raw(F.col(text_col), 2)).alias("__gram"),
+    ).filter(F.col("__gram").contains(" "))
+
+    def _logp(c12: str, c1: str, vocab: str):
+        return F.log(
+            (F.coalesce(F.col(c12), F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(F.col(c1), F.lit(0)) + F.col(vocab).cast("double"))
+        )
+
+    scored = (
+        grams.join(t_big, "__gram", "left")
+        .join(r_big, "__gram", "left")
+        .withColumn("__w1", F.split_part(F.col("__gram"), F.lit(" "), F.lit(1)))
+        .join(t_uni, "__w1", "left")
+        .join(r_uni, "__w1", "left")
+        .crossJoin(F.broadcast(t_voc))
+        .crossJoin(F.broadcast(r_voc))
+        .select(
+            "doc_id",
+            *extra,
+            _logp("__tc12", "__tc1", "__tvocab").alias("__logp_t"),
+            _logp("__rc12", "__rc1", "__rvocab").alias("__logp_r"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", *extra).agg(
+        F.count("*").alias("n_bigrams"),
+        (-F.avg("__logp_t")).alias("__ce_t"),
+        (-F.avg("__logp_r")).alias("__ce_r"),
+    )
+    return per_doc.select(
         "doc_id",
         *extra,
         "n_bigrams",
@@ -349,6 +419,24 @@ class TrigramLM:
         self.bigrams = bigrams    # (gram "w1 w2",    c12 bigint)
         self.unigrams = unigrams  # (w,               c1 bigint)
         self.totals = totals      # one row: (n_tokens, vocab)
+
+    def materialized(self) -> "TrigramLM":
+        """Multiply-referenced count tables snapshotted (lazy
+        ``localCheckpoint``) — see :meth:`BigramLM.materialized`.  The
+        stupid-backoff scorer joins ``bigrams`` twice (g12/g23) and
+        ``unigrams`` twice (w2/w3), and ``totals`` re-aggregates the
+        unigram subtree: without materialization each reference
+        re-explodes the reference corpus (HOF tokenizers defeat
+        exchange reuse — 3 redundant corpus passes measured in the
+        trigram_ppl plan).  ``totals`` is re-derived from the
+        checkpointed unigrams (identical values — unigrams are never
+        pruned).  ``trigrams`` is referenced once and stays lazy."""
+        uni = self.unigrams.localCheckpoint(eager=False)
+        big = self.bigrams.localCheckpoint(eager=False)
+        totals = uni.agg(
+            F.sum("c1").alias("n_tokens"), F.count("*").alias("vocab")
+        )
+        return TrigramLM(self.trigrams, big, uni, totals)
 
 
 def train_trigram_lm(

@@ -636,6 +636,7 @@ def _approx_cos_sql_residual(
     codebooks: list[list[list[float]]],
     query_vec: list[float],
     qnorm: float,
+    cell_luts: list[tuple[float, list[list[float]]]] | None = None,
 ) -> str:
     """ADC approximate cosine for RESIDUAL codes, x = a + recon(r)
     with ``a`` the cell's mean-vector anchor:
@@ -671,17 +672,21 @@ def _approx_cos_sql_residual(
         for j in range(m)
     )
     branches = []
+    qd = [float(x) for x in query_vec]
     for c in probe:
         cvec = [float(x) for x in anchors[c]]
-        cq = _fold_dot_py(cvec, [float(x) for x in query_vec])
-        c2 = _fold_dot_py(cvec, cvec)
-        lut_cross = [
-            [
-                _fold_dot_py(cvec[j * dsub : (j + 1) * dsub], cw)
-                for cw in codebooks[j]
+        cq = _fold_dot_py(cvec, qd)
+        if cell_luts is not None:
+            c2, lut_cross = cell_luts[c]
+        else:
+            c2 = _fold_dot_py(cvec, cvec)
+            lut_cross = [
+                [
+                    _fold_dot_py(cvec[j * dsub : (j + 1) * dsub], cw)
+                    for cw in codebooks[j]
+                ]
+                for j in range(m)
             ]
-            for j in range(m)
-        ]
         cross_lu = " + ".join(
             f"element_at({arr(lut_cross[j])}, {codes_col}[{j}] + 1)"
             for j in range(m)
@@ -717,6 +722,7 @@ def _residual_screen_joined(
     id_col: str,
     codes_col: str = "codes",
     cell_col: str = "ivf_cell",
+    cell_luts: list[tuple[float, list[list[float]]]] | None = None,
 ) -> DataFrame:
     """The large-``n_probe`` twin of :func:`_approx_cos_sql_residual`:
     per-cell constants (a·q, ‖a‖²) and the per-cell cross-term LUT
@@ -734,17 +740,21 @@ def _residual_screen_joined(
     rows = []
     for c in probe:
         cvec = [float(x) for x in anchors[c]]
-        lut_cross = [
-            [
-                _fold_dot_py(cvec[j * dsub : (j + 1) * dsub], cw)
-                for cw in codebooks[j]
+        if cell_luts is not None:
+            c2, lut_cross = cell_luts[c]
+        else:
+            c2 = _fold_dot_py(cvec, cvec)
+            lut_cross = [
+                [
+                    _fold_dot_py(cvec[j * dsub : (j + 1) * dsub], cw)
+                    for cw in codebooks[j]
+                ]
+                for j in range(m)
             ]
-            for j in range(m)
-        ]
         rows.append((
             int(c),
             _fold_dot_py(cvec, qd),
-            _fold_dot_py(cvec, cvec),
+            c2,
             lut_cross,
         ))  # fmt: skip
     lut_df = codes.sparkSession.createDataFrame(
@@ -1004,14 +1014,33 @@ def build_ivfpq_index(
     os.replace(tmp, os.path.join(index_dir, "codebooks.json"))
 
 
+# Per-process quantizer-metadata cache (round-12, guide §1.2: the
+# online query path was paying 1-2 Spark collect jobs PER QUERY just
+# to re-read immutable index metadata).  Keyed on the realpath plus
+# codebooks.json's (mtime_ns, size): builds are the only writers of
+# codebooks.json/centroids/anchors — ``ivfpq_add``/``ivfpq_optimize``
+# freeze the quantizers by contract — so a rebuild invalidates the
+# entry and maintenance operations never stale it.  This caches the
+# INDEX (what a serving tier holds in RAM), never query results:
+# every query still scans the code/vector files for its answer.
+_META_CACHE: dict[str, tuple] = {}
+
+
 def load_ivfpq_meta(spark, index_dir: str) -> tuple[dict, list[list[float]]]:
     """Read the index's ``codebooks.json`` + the tiny centroid table
-    (one driver-side read each); returns ``(meta, centroids)`` with
+    (one driver-side read each, cached per process — see
+    ``_META_CACHE``); returns ``(meta, centroids)`` with
     ``centroids[cell]`` the float list for that coarse cell.  Residual
     indexes built past ``_ANCHOR_LITERAL_MAX_CELLS`` store their
     anchors in an ``anchors/`` parquet instead of inline JSON; this
     loader folds them back into ``meta["anchors"]`` so callers never
     see the difference."""
+    path = os.path.realpath(index_dir)
+    st = os.stat(os.path.join(index_dir, "codebooks.json"))
+    key = (st.st_mtime_ns, st.st_size)
+    hit = _META_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1], hit[2]
     with open(os.path.join(index_dir, "codebooks.json")) as f:
         meta = json.load(f)
     rows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
@@ -1026,7 +1055,36 @@ def load_ivfpq_meta(spark, index_dir: str) -> tuple[dict, list[list[float]]]:
         for r in arows:
             anchors[r["cell"]] = [float(x) for x in r["anchor"]]
         meta["anchors"] = anchors
+    _META_CACHE[path] = (key, meta, cent)
     return meta, cent
+
+
+def _residual_cell_luts(meta: dict) -> list[tuple[float, list[list[float]]]]:
+    """Query-INDEPENDENT residual screen constants per cell —
+    ``(‖a‖², lut_cross)`` with ``lut_cross[j][k] = a_subj ·
+    codeword_{j,k}`` — folded once per loaded index and stashed on the
+    (cached) meta dict.  Every screen previously re-folded these
+    m·ksub dot products per probed cell PER QUERY (the dominant
+    driver-side cost of the large-probe paths); the values are the
+    identical left-to-right Python folds, just computed once."""
+    luts = meta.get("__res_cell_luts")
+    if luts is None:
+        codebooks = meta["codebooks"]
+        m = len(codebooks)
+        dsub = len(codebooks[0][0])
+        luts = []
+        for cvec0 in meta["anchors"]:
+            cvec = [float(x) for x in cvec0]
+            lut_cross = [
+                [
+                    _fold_dot_py(cvec[j * dsub : (j + 1) * dsub], cw)
+                    for cw in codebooks[j]
+                ]
+                for j in range(m)
+            ]
+            luts.append((_fold_dot_py(cvec, cvec), lut_cross))
+        meta["__res_cell_luts"] = luts
+    return luts
 
 
 def probe_cells(
@@ -1081,13 +1139,13 @@ def ivfpq_topk(
     if meta.get("residual") and len(probe) > _SCREEN_LITERAL_MAX_PROBE:
         scored = _residual_screen_joined(
             codes, probe, meta["anchors"], codebooks, query_vec, qnorm,
-            id_col,
+            id_col, cell_luts=_residual_cell_luts(meta),
         )  # fmt: skip
     else:
         if meta.get("residual"):
             approx = _approx_cos_sql_residual(
                 "codes", "ivf_cell", probe, meta["anchors"], codebooks,
-                query_vec, qnorm,
+                query_vec, qnorm, cell_luts=_residual_cell_luts(meta),
             )  # fmt: skip
         else:
             lut_dot, lut_norm2 = _adc_luts(codebooks, query_vec)
@@ -1557,7 +1615,6 @@ def ivfpq_topk_batch(
     meta, cent = load_ivfpq_meta(spark, index_dir)
     codebooks = meta["codebooks"]
     m = len(codebooks)
-    dsub = len(codebooks[0][0])
     residual = bool(meta.get("residual"))
     anchors = meta.get("anchors") if residual else None
 
@@ -1576,6 +1633,7 @@ def ivfpq_topk_batch(
     qid_rows = []      # per query: (qid, qv, qnorm, ld, ln2)
     probe_rows = []    # per (query, probed cell): + residual cq/c2/lx
     probed_cells: set[int] = set()
+    cell_luts = _residual_cell_luts(meta) if residual else None
     for qid, qv in queries.items():
         qd = [float(x) for x in qv]
         probe = probe_cells(cent, qd, n_probe)
@@ -1585,16 +1643,10 @@ def ivfpq_topk_batch(
         for c in probe:
             if residual:
                 cvec = [float(x) for x in anchors[c]]
-                lut_cross = [
-                    [
-                        _fold_dot_py(cvec[j * dsub : (j + 1) * dsub], cw)
-                        for cw in codebooks[j]
-                    ]
-                    for j in range(m)
-                ]
+                c2, lut_cross = cell_luts[c]
                 probe_rows.append((
                     int(qid), int(c),
-                    _fold_dot_py(cvec, qd), _fold_dot_py(cvec, cvec),
+                    _fold_dot_py(cvec, qd), c2,
                     lut_cross,
                 ))  # fmt: skip
             else:

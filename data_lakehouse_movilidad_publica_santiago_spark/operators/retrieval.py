@@ -174,13 +174,20 @@ def tfidf_topk(
     terms = list(dict.fromkeys(query_terms))
     toks = F.split(F.col(text_col), " ")
 
+    # round-12 (guide §1.2): tf is referenced twice (idf derivation +
+    # the weighted join) and idf twice (document weights + query norm);
+    # the HOF tokenizer defeats exchange reuse, so each reference
+    # re-exploded the corpus.  Lazy localCheckpoints compute the
+    # (doc, term) relation ONCE and the vocabulary relation ONCE —
+    # values unchanged, two corpus passes and one tf re-aggregation
+    # gone from the plan.
     tf = (
         docs.select(
             F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
         )
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-    )
+    ).localCheckpoint(eager=False)
     n_docs = docs.select(
         F.count("*").cast("double").alias("n_docs")
     )
@@ -195,7 +202,7 @@ def tfidf_topk(
                 + F.lit(1.0)
             ).alias("idf"),
         )
-    )
+    ).localCheckpoint(eager=False)
     weighted = tf.join(idf, "term").select(
         "doc_id",
         "term",
@@ -287,55 +294,72 @@ def mmr_topk(
         f"({_norm_sql_name(vec_col, dim)} * {qnorm!r}D))"
     )
     spark = embeddings.sparkSession
+    # Materialize (id, vec, rel) ONCE (round-12): the query relevance
+    # is a deterministic fixed-fold expression, so computing it per
+    # greedy step (k passes over the source scan, each re-analyzing
+    # the dim-wide unrolled dot) repeats identical work — persist the
+    # projection and let the k TakeOrdered(1) steps scan it instead.
+    # Values are bit-identical (same fold, same input doubles); only
+    # the number of source scans and Catalyst analyses changes
+    # (measured 4.9 s → ~2 s at sf0.1).  MEMORY_AND_DISK: at corpus
+    # scale the k scans were the algorithm's documented cost either
+    # way — the cached projection is never larger than the columns the
+    # scans already read, and spills rather than OOMs.
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col), F.expr(rel_sql).alias("__rel")
+    ).persist()
     selected: list[tuple] = []  # (id, vec, relevance, redundancy, mmr)
-    for rank in range(1, k + 1):
-        pen_terms = []
-        for _, svec, _, _, _ in selected:
-            snorm = _fold_norm(svec)
-            pen_terms.append(
-                f"({_dot_q_sql(vec_col, svec, dim)} / "
-                f"({_norm_sql_name(vec_col, dim)} * {snorm!r}D))"
+    try:
+        for rank in range(1, k + 1):
+            pen_terms = []
+            for _, svec, _, _, _ in selected:
+                snorm = _fold_norm(svec)
+                pen_terms.append(
+                    f"({_dot_q_sql(vec_col, svec, dim)} / "
+                    f"({_norm_sql_name(vec_col, dim)} * {snorm!r}D))"
+                )
+            # Spark's greatest() requires >= 2 args (DuckDB accepts 1)
+            if not pen_terms:
+                pen_sql = "0.0D"
+            elif len(pen_terms) == 1:
+                pen_sql = pen_terms[0]
+            else:
+                pen_sql = "greatest(" + ", ".join(pen_terms) + ")"
+            score = F.round(
+                F.lit(float(lam)) * F.col("__rel")
+                - F.lit(float(1.0 - lam)) * F.expr(pen_sql),
+                6,
             )
-        # Spark's greatest() requires >= 2 args (DuckDB accepts 1)
-        if not pen_terms:
-            pen_sql = "0.0D"
-        elif len(pen_terms) == 1:
-            pen_sql = pen_terms[0]
-        else:
-            pen_sql = "greatest(" + ", ".join(pen_terms) + ")"
-        score = F.round(
-            F.lit(float(lam)) * F.expr(rel_sql)
-            - F.lit(float(1.0 - lam)) * F.expr(pen_sql),
-            6,
-        )
-        pool = embeddings
-        if selected:
-            chosen = [s[0] for s in selected]
-            pool = pool.filter(~F.col(id_col).isin(chosen))
-        rows = (
-            pool.select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.expr(rel_sql).alias("__rel"),
-                F.expr(pen_sql).alias("__pen"),
-                score.alias("__mmr"),
+            pool = base
+            if selected:
+                chosen = [s[0] for s in selected]
+                pool = pool.filter(~F.col(id_col).isin(chosen))
+            rows = (
+                pool.select(
+                    F.col(id_col),
+                    F.col(vec_col),
+                    F.col("__rel"),
+                    F.expr(pen_sql).alias("__pen"),
+                    score.alias("__mmr"),
+                )
+                .orderBy(F.desc("__mmr"), F.asc(id_col))
+                .limit(1)
+                .collect()
             )
-            .orderBy(F.desc("__mmr"), F.asc(id_col))
-            .limit(1)
-            .collect()
-        )
-        if not rows:  # corpus exhausted before k selections
-            break
-        row = rows[0]
-        selected.append(
-            (
-                row[id_col],
-                [float(x) for x in row[vec_col]],
-                _round_half_up6(float(row["__rel"])),
-                _round_half_up6(float(row["__pen"])),
-                float(row["__mmr"]),
+            if not rows:  # corpus exhausted before k selections
+                break
+            row = rows[0]
+            selected.append(
+                (
+                    row[id_col],
+                    [float(x) for x in row[vec_col]],
+                    _round_half_up6(float(row["__rel"])),
+                    _round_half_up6(float(row["__pen"])),
+                    float(row["__mmr"]),
+                )
             )
-        )
+    finally:
+        base.unpersist()
     return spark.createDataFrame(
         [
             (i + 1, s[0], s[2], s[3], s[4])
@@ -721,6 +745,7 @@ def mmr_topk_ivfpq(
         _adc_luts,
         _approx_cos_sql,
         _approx_cos_sql_residual,
+        _residual_cell_luts,
         _residual_screen_joined,
         load_ivfpq_meta,
         probe_cells,
@@ -755,7 +780,7 @@ def mmr_topk_ivfpq(
         # (plan text O(m·ksub), bit-identical scores — pq module doc)
         scored = _residual_screen_joined(
             codes, probe, meta["anchors"], meta["codebooks"], query_vec,
-            qnorm, id_col,
+            qnorm, id_col, cell_luts=_residual_cell_luts(meta),
         )  # fmt: skip
     else:
         if meta.get("residual"):
@@ -764,6 +789,7 @@ def mmr_topk_ivfpq(
             approx = _approx_cos_sql_residual(
                 "codes", "ivf_cell", probe, meta["anchors"],
                 meta["codebooks"], query_vec, qnorm,
+                cell_luts=_residual_cell_luts(meta),
             )  # fmt: skip
         else:
             lut_dot, lut_norm2 = _adc_luts(meta["codebooks"], query_vec)

@@ -88,7 +88,11 @@ def sentence_dedup(
     decision = (
         base.select("doc_id", F.posexplode("__sents").alias("pos", "__s"))
         .filter(F.col("__s") != "")
-        .select("doc_id", "pos", F.md5("__s").alias("__h"))
+        # BINARY(16) key (round-12, guide §2.3): the sentence hash is
+        # only the keep-first aggregate's group key — unhex is
+        # bijective (identical winners) and halves the key bytes of
+        # the corpus-wide decision exchange
+        .select("doc_id", "pos", F.unhex(F.md5("__s")).alias("__h"))
     )
     winners = decision.groupBy("__h").agg(
         F.min(F.struct("doc_id", "pos")).alias("__w")

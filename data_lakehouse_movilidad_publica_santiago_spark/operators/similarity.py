@@ -206,7 +206,15 @@ def sign_buckets_all(tables: list[list[list[float]]]):
         b = bits.reshape(len(v), n_tables_, n_planes_) @ powers  # (N, T)
         return _pd.Series(list(b.astype("int64")))
 
-    return _buckets
+    # asNondeterministic (round-12, guide §4.4): the function IS
+    # deterministic, but downstream posexplode/bucket filters get
+    # pushed below the projection and the optimizer then evaluates the
+    # UDF TWICE per row (two ArrowEvalPython nodes in the near-dup
+    # plan, measured) — marking it non-deterministic forbids the
+    # duplication, halving the Python-boundary matmul work.  Results
+    # are unchanged; the only blocked rewrites are filter pushdowns
+    # through this projection, which its callers never rely on.
+    return _buckets.asNondeterministic()
 
 
 def lsh_topk(
@@ -546,6 +554,9 @@ def build_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
 
+_IVF_CENT_CACHE: dict[str, tuple] = {}
+
+
 def ivf_topk_indexed(
     spark,
     index_dir: str,
@@ -561,12 +572,27 @@ def ivf_topk_indexed(
     rescore exactly.  The ``ivf_cell`` predicate prunes at the file
     level (Hive partition filter), so query cost is
     ~n_probe/n_cells of the corpus regardless of its size."""
+    import os
+
     import numpy as np
 
-    rows = spark.read.parquet(f"{index_dir}/centroids").collect()
-    cent = np.zeros((len(rows), len(rows[0]["centroid"])))
-    for r in rows:
-        cent[r["cell"]] = r["centroid"]
+    # per-process centroid cache (round-12): the tiny quantizer table
+    # is immutable after build_ivf_index (the only writer, mode
+    # overwrite — which recreates the directory and bumps its mtime,
+    # invalidating the entry), yet every query was paying a Spark
+    # collect job to re-read it.  Caches the INDEX metadata a serving
+    # tier holds in RAM — never query results.
+    cdir = os.path.realpath(f"{index_dir}/centroids")
+    key = os.stat(cdir).st_mtime_ns
+    hit = _IVF_CENT_CACHE.get(cdir)
+    if hit is not None and hit[0] == key:
+        cent = hit[1]
+    else:
+        rows = spark.read.parquet(f"{index_dir}/centroids").collect()
+        cent = np.zeros((len(rows), len(rows[0]["centroid"])))
+        for r in rows:
+            cent[r["cell"]] = r["centroid"]
+        _IVF_CENT_CACHE[cdir] = (key, cent)
     q = np.asarray(query_vec, dtype="float64")
     q = q / np.linalg.norm(q)
     probe = np.argsort(-(cent @ q))[:n_probe]

@@ -52,9 +52,17 @@ def _window_hashes(docs: DataFrame, window: int, id_col: str, text_col: str) -> 
         .select(
             "doc_id",
             "s",
-            F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), F.col("s"), window))).alias(
-                "hsh"
-            ),
+            # BINARY(16) key (round-12, guide §2.3): the window hash is
+            # only grouped and semi-joined, never surfaced — unhex is
+            # bijective (identical dup decisions) and halves the key
+            # bytes of the operator's corpus-wide exchange
+            F.unhex(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice(F.col("__toks"), F.col("s"), window)
+                    )
+                )
+            ).alias("hsh"),
         )
     )
 
@@ -144,36 +152,37 @@ def mask_duplicated_spans(
     """Rebuild each document with every duplicated span removed:
     (doc_id, kept_text). A fully-duplicated document keeps ''.
 
-    Linear reconstruction: token positions anti-join the exploded
-    covered positions, survivors re-assemble through one per-doc
-    ordered aggregation — O(tokens log tokens) per document, never a
-    per-token scan of the covered set."""
+    Round-12 shape (guide §2.3 "shuffle keys, not payloads"): the
+    spans fold to ONE bounded per-doc interval list (a tiny shuffle of
+    (doc_id, start, end) triples), which joins back to the documents;
+    the token drop + reassembly is then a pure positional array
+    expression over the original row.  The previous formulation
+    posexploded EVERY corpus token into (doc_id, p, tok) rows, anti-
+    joined the exploded covered positions, and re-sorted all surviving
+    tokens through a collect_list — two corpus-token-sized exchanges
+    carrying the text itself, both gone now (plan: 2 fewer Exchanges;
+    the only remaining join shuffles span lists, not tokens).
+    Per-token cost is O(n_spans) interval tests, and n_spans per doc
+    is bounded by the merged-maximal-span invariant."""
     if spans is None:
         spans = duplicated_spans(docs, window, id_col, text_col, pins=pins)
-    covered = spans.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias("p"),
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
     toks = F.split(F.col(text_col), " ")
-    positions = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(toks).alias("p0", "tok"),
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
-    kept = (
-        positions.join(covered, ["doc_id", "p"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                    lambda s: s["tok"],
-                ),
-            ).alias("kept_text")
-        )
+    joined = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .join(per_doc, "doc_id", "left")
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(kept, "doc_id", "left")
-        .select("doc_id", F.coalesce("kept_text", F.lit("")).alias("kept_text"))
+    pos_covered = lambda i: F.exists(  # noqa: E731 — 1-based position i
+        F.col("__spans"),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    kept = F.when(
+        F.col("__spans").isNull(), F.col("__toks")
+    ).otherwise(
+        F.filter(F.col("__toks"), lambda t, i: ~pos_covered(i + 1))
+    )
+    return joined.select(
+        "doc_id", F.concat_ws(" ", kept).alias("kept_text")
     )
