@@ -27,6 +27,22 @@ from .store import GoldStore
 LOADER_VERSION = "spark-gold-1.0"
 
 
+def _parallel(*thunks):
+    """Run independent loader steps as concurrent Spark jobs (guide
+    §2.6: actions are only sequential because driver code calls them
+    sequentially — overlapping lets the next job's tasks back-fill
+    executors idled by the current job's tail).  Used ONLY for steps
+    that touch DISJOINT gold tables, so results are identical to the
+    sequential order; exceptions propagate like sequential calls."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 class GoldLoader:
     def __init__(
         self,
@@ -112,28 +128,32 @@ class GoldLoader:
             ).unionByName(
                 trips.select(F.col("periodo_fin_viaje").alias("fare_period_name"))
             )
-            D.upsert_lookup_dim(store, "dim_fare_period", "fare_period_name", fare)
-            D.upsert_lookup_dim(
-                store,
-                "dim_purpose",
-                "purpose_name",
-                trips.select(F.col("proposito").alias("purpose_name")),
-            )
-            D.upsert_lookup_dim(
-                store,
-                "dim_operator_contract",
-                "contract_code",
-                trips.select(F.col("contrato").alias("contract_code")).withColumn(
-                    "operator_code", null_s
+            # three DISJOINT lookup tables — overlap the upsert jobs
+            _parallel(
+                lambda: D.upsert_lookup_dim(
+                    store, "dim_fare_period", "fare_period_name", fare
                 ),
-                extra_cols=["operator_code"],
+                lambda: D.upsert_lookup_dim(
+                    store,
+                    "dim_purpose",
+                    "purpose_name",
+                    trips.select(F.col("proposito").alias("purpose_name")),
+                ),
+                lambda: D.upsert_lookup_dim(
+                    store,
+                    "dim_operator_contract",
+                    "contract_code",
+                    trips.select(
+                        F.col("contrato").alias("contract_code")
+                    ).withColumn("operator_code", null_s),
+                    extra_cols=["operator_code"],
+                ),
             )
         elif dataset == "etapas":
             ev = silver["valid"]
             fare = ev.select(
                 F.col("periodoSubida").alias("fare_period_name")
             ).unionByName(ev.select(F.col("periodoBajada").alias("fare_period_name")))
-            D.upsert_lookup_dim(store, "dim_fare_period", "fare_period_name", fare)
             # BK = COALESCE(contrato, operador) (load_gold.py:866-878)
             ops = ev.select(
                 F.coalesce(F.col("contrato"), F.col("operador")).alias(
@@ -141,12 +161,17 @@ class GoldLoader:
                 ),
                 F.col("operador").alias("operator_code"),
             )
-            D.upsert_lookup_dim(
-                store,
-                "dim_operator_contract",
-                "contract_code",
-                ops,
-                extra_cols=["operator_code"],
+            _parallel(
+                lambda: D.upsert_lookup_dim(
+                    store, "dim_fare_period", "fare_period_name", fare
+                ),
+                lambda: D.upsert_lookup_dim(
+                    store,
+                    "dim_operator_contract",
+                    "contract_code",
+                    ops,
+                    extra_cols=["operator_code"],
+                ),
             )
 
     def _collect_date_sks(self, dataset: str, silver: dict[str, DataFrame]) -> list[int]:
@@ -204,30 +229,52 @@ class GoldLoader:
             cut_sk = D.get_cut_sk(self.store, dataset, cut)
             assert cut_sk is not None
 
-            D.ensure_dim_date(self.store, self._collect_date_sks(dataset, silver))
-            self._upsert_lookup_dims(dataset, silver)
+            # dim_date and the lookup dims touch disjoint tables —
+            # overlap them (guide §2.6); same for the two SCD2 dims
+            _parallel(
+                lambda: D.ensure_dim_date(
+                    self.store, self._collect_date_sks(dataset, silver)
+                ),
+                lambda: self._upsert_lookup_dims(dataset, silver),
+            )
 
             stops = D.harvest_stops(dataset, silver)
-            if stops is not None:
-                result["scd2_stop"] = D.scd2_upsert(
-                    self.store, "dim_stop", "stop_code", D.STOP_ATTRS,
-                    stops, event_date, "stop_sk",
-                )  # fmt: skip
             services = D.harvest_services(dataset, silver)
+            scd2_thunks = []
+            if stops is not None:
+                scd2_thunks.append(
+                    ("scd2_stop", lambda: D.scd2_upsert(
+                        self.store, "dim_stop", "stop_code", D.STOP_ATTRS,
+                        stops, event_date, "stop_sk",
+                    ))  # fmt: skip
+                )
             if services is not None:
-                result["scd2_service"] = D.scd2_upsert(
-                    self.store, "dim_service", "service_code", D.SERVICE_ATTRS,
-                    services, event_date, "service_sk",
-                )  # fmt: skip
+                scd2_thunks.append(
+                    ("scd2_service", lambda: D.scd2_upsert(
+                        self.store, "dim_service", "service_code",
+                        D.SERVICE_ATTRS, services, event_date, "service_sk",
+                    ))  # fmt: skip
+                )
+            if scd2_thunks:
+                outs = _parallel(*[t for _, t in scd2_thunks])
+                for (key, _), out in zip(scd2_thunks, outs):
+                    result[key] = out
 
             rows_staged = 0
             rows_inserted = 0
             cash_excluded = 0
             if dataset == "viajes":
                 rows_staged = silver["trips"].count() + silver["legs"].count()
-                n_t, cash_t = FX.merge_fct_trip(self.store, silver["trips"], cut_sk)
-                n_l, cash_l = FX.merge_fct_trip_leg(
-                    self.store, silver["legs"], cut_sk
+                # fct_trip and fct_trip_leg are disjoint tables whose
+                # FK is the deterministic trip_sk hash (no join-back)
+                # — overlap the two merges (guide §2.6)
+                (n_t, cash_t), (n_l, cash_l) = _parallel(
+                    lambda: FX.merge_fct_trip(
+                        self.store, silver["trips"], cut_sk
+                    ),
+                    lambda: FX.merge_fct_trip_leg(
+                        self.store, silver["legs"], cut_sk
+                    ),
                 )
                 rows_inserted = n_t + n_l
                 cash_excluded = cash_t + cash_l

@@ -230,37 +230,59 @@ def dsir_logratio(
             "passthrough column 'logratio' collides with the DSIR "
             "output column of the same name"
         )
-    # materialized(): each model's unigram table is referenced twice
-    # (scoring join + |V|) — checkpointing it saves one full corpus
-    # explode per model (see BigramLM.materialized)
-    target_model = train_bigram_lm(
-        docs.filter(target), text_col=text_col
-    ).materialized()
-    raw_model = train_bigram_lm(docs, text_col=text_col).materialized()
-    # FUSED scoring pass (round-12, guide §2.3/§2.4): both models score
-    # the SAME gram occurrences, so two score_perplexity passes explode
-    # the corpus twice and re-join per-doc results for nothing — one
-    # explode with BOTH models' count tables left-joined on, and one
-    # per-doc aggregate computing both cross-entropies, halves the
-    # corpus passes and drops the final doc_id join outright (measured
-    # 3.1 s → ~2 s at sf0.1; the explode is the dominant stage).  The
-    # per-gram log-probabilities are unchanged expressions; each
-    # cross-entropy is the same -avg over the same rows, and the gate
-    # rounds logratio to 4 before ranking, exactly as before.
-    t_big = target_model.bigrams.select(
-        F.col("gram").alias("__gram"), F.col("c12").alias("__tc12")
+    # FULLY FUSED training + scoring (round-12, guide §2.3/§2.4).
+    #
+    # Training: both models count the SAME tokenization — the target
+    # model is just the slice where ``target`` holds — so ONE words
+    # explode and ONE bigram explode train BOTH via conditional
+    # aggregation: each table carries (raw_count, target_count) side
+    # by side (``sum(CASE WHEN target THEN 1 END)`` = the filtered
+    # model's count; a gram absent from the target slice carries
+    # target_count 0, which the scoring ``coalesce(…, 0)`` treated
+    # identically when it arrived as a missing LEFT-join row).  The
+    # unigram table is checkpointed — it feeds the scoring join AND
+    # both |V| scalars (now vocab-sized aggregates, not corpus
+    # passes).
+    #
+    # Scoring: both models score the SAME gram occurrences — one
+    # explode, ONE bigram join and ONE unigram join (each carrying
+    # both models' counts), one per-doc aggregate computing both
+    # cross-entropies.  Versus the original two score_perplexity
+    # passes over two independently-trained models: corpus explodes
+    # 6 → 3, scoring joins 4 → 2, and the final per-doc join is gone.
+    # Per-gram log-probabilities are unchanged expressions over
+    # identical counts; each cross-entropy is the same -avg over the
+    # same rows; the gate rounds logratio to 4 before ranking, exactly
+    # as before (oracle-verified).
+    is_t = F.when(target, F.lit(1)).otherwise(F.lit(0))
+    words = docs.select(
+        is_t.alias("__t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__w1"),
     )
-    t_uni = target_model.unigrams.select(
-        F.col("w1").alias("__w1"), F.col("c1").alias("__tc1")
+    uni = (
+        words.groupBy("__w1")
+        .agg(
+            F.count("*").alias("__rc1"),
+            F.sum("__t").alias("__tc1"),
+        )
+        .localCheckpoint(eager=False)
     )
-    t_voc = target_model.vocab.select(F.col("vocab").alias("__tvocab"))
-    r_big = raw_model.bigrams.select(
-        F.col("gram").alias("__gram"), F.col("c12").alias("__rc12")
+    r_voc = uni.agg(F.count("*").alias("__rvocab"))
+    t_voc = uni.filter(F.col("__tc1") > 0).agg(
+        F.count("*").alias("__tvocab")
     )
-    r_uni = raw_model.unigrams.select(
-        F.col("w1").alias("__w1"), F.col("c1").alias("__rc1")
+    big = (
+        docs.select(
+            is_t.alias("__t"),
+            F.explode(word_ngrams_raw(F.col(text_col), 2)).alias("__gram"),
+        )
+        .filter(F.col("__gram").contains(" "))
+        .groupBy("__gram")
+        .agg(
+            F.count("*").alias("__rc12"),
+            F.sum("__t").alias("__tc12"),
+        )
     )
-    r_voc = raw_model.vocab.select(F.col("vocab").alias("__rvocab"))
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         *extra,
@@ -274,11 +296,9 @@ def dsir_logratio(
         )
 
     scored = (
-        grams.join(t_big, "__gram", "left")
-        .join(r_big, "__gram", "left")
+        grams.join(big, "__gram", "left")
         .withColumn("__w1", F.split_part(F.col("__gram"), F.lit(" "), F.lit(1)))
-        .join(t_uni, "__w1", "left")
-        .join(r_uni, "__w1", "left")
+        .join(uni, "__w1", "left")
         .crossJoin(F.broadcast(t_voc))
         .crossJoin(F.broadcast(r_voc))
         .select(

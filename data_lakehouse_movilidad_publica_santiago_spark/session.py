@@ -36,7 +36,6 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     # broadcast all the small dims (largest SCD2 dim ~12k rows)
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
-    "spark.sql.shuffle.partitions": "32",
     # some sources (driver testdata `events`) carry parquet TIMESTAMP(NANOS),
     # which vanilla Spark rejects; read as long and convert at the scan
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -66,6 +65,21 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = builder.master(master)
     conf = dict(_BASE_CONF)
+    # Scale-adaptive shuffle parallelism (round-12, guide §2): a fixed
+    # 32 meant a local[8] run paid 4 waves of undersized tasks per
+    # exchange while a real cluster would be underpartitioned.  The
+    # default follows the session's core count ($SPARK_GRAFT_CPUS when
+    # numeric — the same variable that sizes the master — else the
+    # historical 32); AQE still coalesces tiny exchanges and splits
+    # skewed ones on top.  Production clusters should set an explicit
+    # value (2-3× total executor cores, or rely on AQE's
+    # initialPartitionNum) via extra_conf/spark-defaults — this default
+    # only aims local runs at their actual parallelism.
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "")
+    conf.setdefault(
+        "spark.sql.shuffle.partitions",
+        cpus_env if cpus_env.isdigit() else "32",
+    )
     # local mode = driver-only JVM: the driver heap IS the executor
     # memory; the 1g default OOMs on wide-row CSV scans with 32 threads
     conf.setdefault(
