@@ -330,14 +330,24 @@ SELECT doc_id, cluster_id, n_members, score FROM sized WHERE rn = 1
 # ── similarity search ───────────────────────────────────────────────
 
 
+# fetch-once-per-process gate parameter (round-12): every ANN gate
+# re-collected the vec_id=0 query vector from parquet per invocation —
+# one whole Spark job apiece across ~15 headliners.  Same
+# prebuilt-state pattern as the index/codebook caches; cleared in
+# lockstep by _cleanup_index_caches.
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    row = (
-        t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .collect()[0]
-    )
-    return [float(x) for x in row["embedding"]]
+    if sf_dir not in _QUERY_VEC_CACHE:
+        row = (
+            t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0]
+        )
+        _QUERY_VEC_CACHE[sf_dir] = [float(x) for x in row["embedding"]]
+    return list(_QUERY_VEC_CACHE[sf_dir])
 
 
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,10 +421,13 @@ def _cleanup_index_caches() -> None:
         for d in cache.values():
             _shutil.rmtree(d, ignore_errors=True)
         cache.clear()
-    # the codebook cache holds in-memory lists, not dirs — clear it in
-    # lockstep so pq_knn can't keep serving codebooks trained on data
-    # that pq_knn_indexed would re-read from a refreshed sf_dir
+    # the codebook/params caches hold in-memory lists, not dirs —
+    # clear them in lockstep so pq_knn/sq8_knn can't keep serving
+    # quantizers trained on data a refreshed sf_dir would replace
     _PQ_CODEBOOK_CACHE.clear()
+    _SQ8_PARAMS_CACHE.clear()
+    _QUERY_VEC_CACHE.clear()
+    _BATCH_QUERIES_CACHE.clear()
 
 
 import atexit as _atexit  # noqa: E402
@@ -1027,6 +1040,24 @@ ORACLE: dict[str, str] = {
 # ── round-7: scalar-quantized (int8) ANN ────────────────────────────
 
 
+# train-once-per-process quantizer params (the _PQ_CODEBOOK_CACHE
+# pattern): the bench docstring promises the warm-up pass pays the
+# one-time min/max aggregate — round-12 makes that true (it was
+# re-aggregated per call)
+_SQ8_PARAMS_CACHE: dict[str, list] = {}
+_BATCH_QUERIES_CACHE: dict[str, dict] = {}
+
+
+def _sq8_params_for(spark: SparkSession, sf_dir: str) -> list:
+    if sf_dir not in _SQ8_PARAMS_CACHE:
+        from ..operators.similarity import sq8_params
+
+        _SQ8_PARAMS_CACHE[sf_dir] = sq8_params(
+            t(spark, sf_dir, "embeddings"), dim=64
+        )
+    return _SQ8_PARAMS_CACHE[sf_dir]
+
+
 def q_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase SQ8 ANN: int8 dequantized-dot screen over the
     4x-smaller code representation, exact rescore of the top-40
@@ -1038,7 +1069,10 @@ def q_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import sq8_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    return sq8_topk(emb, _query_vec(spark, sf_dir), k=10, overfetch=4)
+    return sq8_topk(
+        emb, _query_vec(spark, sf_dir), k=10, overfetch=4,
+        params=_sq8_params_for(spark, sf_dir),
+    )  # fmt: skip
 
 
 def _sq8_oracle_sql(dim: int = 64, k: int = 10, overfetch: int = 4) -> str:
@@ -1179,14 +1213,10 @@ def q_sq8_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     k*overfetch ids only. Same algorithm, same code values, same
     fold — bit-identical to sq8_knn, so the same replayed-algorithm
     oracle applies (the ivf_knn_indexed pattern)."""
-    from ..operators.similarity import (
-        sq8_encode,
-        sq8_params,
-        sq8_topk_indexed,
-    )
+    from ..operators.similarity import sq8_encode, sq8_topk_indexed
 
     emb = t(spark, sf_dir, "embeddings")
-    params = sq8_params(emb, dim=64)
+    params = _sq8_params_for(spark, sf_dir)
     codes = sq8_encode(emb, params)
     return sq8_topk_indexed(
         codes, emb, _query_vec(spark, sf_dir), params, k=10, overfetch=4
@@ -1731,10 +1761,12 @@ def q_ivfpq_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _ivfpq_res_index_for(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
-    queries = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < 5).collect()
-    }
+    if sf_dir not in _BATCH_QUERIES_CACHE:
+        _BATCH_QUERIES_CACHE[sf_dir] = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < 5).collect()
+        }
+    queries = _BATCH_QUERIES_CACHE[sf_dir]
     return ivfpq_topk_batch(
         spark, idx, emb, queries, k=10, n_probe=8, overfetch=64
     )
