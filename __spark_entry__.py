@@ -8,18 +8,25 @@ differential correctness gate.
 
 The driver's CORRECTNESS snapshot covers the FIRST 50 entries of
 ``queries()`` in dict-insertion order, so the ordering is a rotation
-schedule.  Rotation policy (age-based, round 9+): every gate is
-ordered by the round of its MOST RECENT fully-green row across the
+schedule.  Rotation policy (round 13+, changed-first then age-based):
+gates whose IMPLEMENTATION fingerprint (sha256 over the gate
+function's source plus the package-internal module closure it
+imports — see ``_impl_fingerprints``) differs from the committed
+``ROTATION_HASHES.json`` baseline sort FIRST, so every gate whose
+code was touched this round lands inside the driver's 50-entry
+window instead of relying on self-reported oracle runs (VERDICT r12
+item 3).  Within each class (changed / unchanged), gates are ordered
+by the round of their MOST RECENT fully-green row across the
 ``CORRECTNESS_r*.json`` artifacts committed next to this file —
 never-snapshotted gates first, then stalest-green first, ties broken
-by module insertion order.  The ordering is recomputed at import
-time from the artifacts themselves, so each round's 50-entry window
-automatically re-snapshots the gates whose evidence is oldest and no
-gate's green row goes stale by more than ceil(total/50) ≈ 2-3
-rounds.  Every gate stays present regardless of order — the total is
-``len(queries())`` (asserted equal between ``queries()`` and
-``oracle_sql()`` by ``tests/test_entry_contract.py``), and every key
-has a full value-hash DuckDB oracle.
+by module insertion order (the round-9+ age policy).  The baseline
+is regenerated at the START of each round from the previous round's
+end-state tree (``scripts/gen_rotation_hashes.py``), so at driver
+time the diff is exactly "what this round changed".  Every gate
+stays present regardless of order — the total is ``len(queries())``
+(asserted equal between ``queries()`` and ``oracle_sql()`` by
+``tests/test_entry_contract.py``), and every key has a full
+value-hash DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -79,11 +86,146 @@ def _last_green_rounds() -> dict[str, int]:
 _LAST_GREEN = _last_green_rounds()
 
 
+def _impl_fingerprints(merged: dict) -> dict[str, str]:
+    """Per-gate implementation fingerprint: sha256 of the gate
+    function's own source concatenated with the contents of every
+    package-internal module in its import closure (the ``from ..x.y
+    import`` statements in the function body and, transitively, in
+    each imported module).  A gate's fingerprint therefore changes
+    exactly when code it executes changes, whether the edit is in the
+    gate itself or in an operator module underneath it."""
+    import hashlib
+    import inspect
+    import re
+    from pathlib import Path
+
+    pkg = "data_lakehouse_movilidad_publica_santiago_spark"
+    root = Path(__file__).resolve().parent / pkg
+    imp_re = re.compile(
+        rf"^\s*from\s+(\.+|{pkg})([\w.]*)\s+import\s+\(?([\w,\s]+)\)?",
+        re.M,
+    )
+    src_cache: dict[Path, str] = {}
+
+    def read(p: Path) -> str:
+        if p not in src_cache:
+            try:
+                src_cache[p] = p.read_text()
+            except OSError:
+                src_cache[p] = ""
+        return src_cache[p]
+
+    def deps(text: str, mod_dir: Path) -> set[Path]:
+        out: set[Path] = set()
+        for dots, modpath, names in imp_re.findall(text):
+            base = root if dots == pkg else mod_dir
+            if dots != pkg:
+                for _ in range(len(dots) - 1):
+                    base = base.parent
+            target = base
+            for part in modpath.strip(".").split("."):
+                if part:
+                    target = target / part
+            cands = [target.with_suffix(".py"), target / "__init__.py"]
+            cands += [
+                (target / n.strip()).with_suffix(".py")
+                for n in names.split(",")
+                if n.strip()
+            ]
+            for c in cands:
+                try:
+                    inside = c.resolve().is_relative_to(root)
+                except (OSError, ValueError):
+                    inside = False
+                if inside and c.is_file():
+                    out.add(c.resolve())
+        return out
+
+    def closure(text: str, mod_dir: Path) -> set[Path]:
+        seen: set[Path] = set()
+        frontier = deps(text, mod_dir)
+        while frontier:
+            f = frontier.pop()
+            if f in seen:
+                continue
+            seen.add(f)
+            frontier |= deps(read(f), f.parent) - seen
+        return seen
+
+    top_imp_re = re.compile(r"^from\s+[\w.]+\s+import\b.*$", re.M)
+    out: dict[str, str] = {}
+    for name, fn in merged.items():
+        try:
+            fn_src = inspect.getsource(fn)
+            mod_file = Path(inspect.getfile(fn)).resolve()
+        except (OSError, TypeError):
+            out[name] = ""
+            continue
+        # Closure seed: the gate function's own imports plus the
+        # defining module's TOP-LEVEL imports (module-level helpers
+        # the function calls resolve through those).  Seeding with the
+        # whole module source would drag every sibling gate's operator
+        # imports into every fingerprint and float entire modules at
+        # once — too coarse for a 50-entry window.  The module file
+        # itself is always hashed (shared helpers, oracle constants).
+        top_imports = "\n".join(top_imp_re.findall(read(mod_file)))
+        files = {mod_file} | closure(
+            fn_src + "\n" + top_imports, mod_file.parent
+        )
+        h = hashlib.sha256(fn_src.encode())
+        for f in sorted(files):
+            h.update(str(f.relative_to(root)).encode())
+            h.update(read(f).encode())
+        out[name] = h.hexdigest()
+    return out
+
+
+_CHANGED_MEMO: list[frozenset[str]] = []
+
+
+def _changed_since_baseline() -> frozenset[str]:
+    """Gates whose implementation fingerprint differs from the
+    committed ``ROTATION_HASHES.json`` baseline (captured from the
+    previous round's end-state tree).  Always fingerprints the QUERY
+    CALLABLES (``_merged_queries()``), never the oracle SQL strings,
+    so ``queries()`` and ``oracle_sql()`` sort identically.  Missing
+    baseline file → empty set (pure age rotation, the pre-round-13
+    behavior).  Memoized — source files don't change under a running
+    process."""
+    if not _CHANGED_MEMO:
+        import json
+        from pathlib import Path
+
+        path = Path(__file__).resolve().parent / "ROTATION_HASHES.json"
+        try:
+            baseline = json.loads(path.read_text())
+        except (OSError, ValueError):
+            _CHANGED_MEMO.append(frozenset())
+            return _CHANGED_MEMO[0]
+        merged = _merged_queries()
+        fps = _impl_fingerprints(merged)
+        _CHANGED_MEMO.append(
+            frozenset(
+                k
+                for k in merged
+                if fps.get(k) and fps[k] != baseline.get(k)
+            )
+        )
+    return _CHANGED_MEMO[0]
+
+
 def _rotated(merged: dict) -> dict:
-    """Age-based rotation: never-green gates first (age -1), then by
-    stalest most-recent-green round; Python's stable sort keeps module
-    insertion order within each age class."""
-    ordered = sorted(merged, key=lambda k: _LAST_GREEN.get(k, -1))
+    """Changed-first, then age-based rotation: gates whose
+    implementation changed since the committed baseline sort first
+    (so the driver's next 50-entry window re-proves them); within
+    each class, never-green gates first (age -1), then stalest
+    most-recent-green round; Python's stable sort keeps module
+    insertion order within each (changed, age) class."""
+    changed = _changed_since_baseline()
+    ordered = sorted(
+        merged,
+        key=lambda k: (0 if k in changed else 1, _LAST_GREEN.get(k, -1)),
+    )
     return {k: merged[k] for k in ordered}
 
 

@@ -35,6 +35,52 @@ from data_lakehouse_movilidad_publica_santiago_spark.analytics import (
 )
 from data_lakehouse_movilidad_publica_santiago_spark.session import get_spark
 
+
+def _proc_tree_cpu() -> float | None:
+    """CPU seconds (utime+stime) consumed so far by this process and
+    every live descendant (the local-mode JVM and its Python workers),
+    read from /proc.  Sampled around each timed pass so the detail
+    output carries ``cpu_sec`` next to wall per query: a contended box
+    inflates wall but not cpu, so cpu/wall separates ambient load from
+    real code regressions (round-13, VERDICT r12 item 6).  Exited
+    children are missed, but the JVM and its worker daemons live for
+    the whole bench.  Returns None off Linux/procfs."""
+    import glob
+
+    try:
+        tick = os.sysconf("SC_CLK_TCK")
+        me = os.getpid()
+        ppid_of: dict[int, int] = {}
+        cpu_of: dict[int, float] = {}
+        for stat in glob.glob("/proc/[0-9]*/stat"):
+            try:
+                data = open(stat, "rb").read().decode("ascii", "replace")
+            except OSError:
+                continue
+            # pid (comm) state ppid ... utime(14) stime(15); comm may
+            # contain spaces/parens — split after the LAST ')'
+            rp = data.rindex(")")
+            pid = int(data[: data.index(" ")])
+            rest = data[rp + 2 :].split()
+            ppid_of[pid] = int(rest[1])
+            cpu_of[pid] = (int(rest[11]) + int(rest[12])) / tick
+        total, frontier = 0.0, {me}
+        seen = set()
+        while frontier:
+            nxt = set()
+            for pid, pp in ppid_of.items():
+                if pp in frontier and pid not in seen:
+                    nxt.add(pid)
+            for pid in frontier:
+                if pid not in seen:
+                    total += cpu_of.get(pid, 0.0)
+                    seen.add(pid)
+            frontier = nxt
+        return total
+    except (OSError, ValueError, AttributeError):
+        return None
+
+
 ALL_QUERIES = {
     **inventory.QUERIES,
     **inventory_llm.QUERIES,
@@ -301,12 +347,17 @@ def main() -> None:
     # load spike hits at most one sample of several queries instead of
     # all samples of one query
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    cpu_samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
         for name in HEADLINE:
             fn = ALL_QUERIES[name]
+            c0 = _proc_tree_cpu()
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             samples[name].append(time.perf_counter() - t0)
+            c1 = _proc_tree_cpu()
+            if c0 is not None and c1 is not None:
+                cpu_samples[name].append(c1 - c0)
 
     # round-10 stability pass: a spread over 3× within one query's
     # samples is a contended pass (ambient ±15% box variance never
@@ -328,6 +379,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     spread_ratio: dict[str, float] = {}
+    cpu_sec: dict[str, float] = {}
     for name, runs in samples.items():
         runs = sorted(runs)
         timings[name] = round(runs[len(runs) // 2], 3)  # median of 3 or 5
@@ -335,16 +387,24 @@ def main() -> None:
         spread_ratio[name] = (
             round(runs[-1] / runs[0], 2) if runs[0] > 0 else None
         )
+        cruns = sorted(cpu_samples[name])
+        if cruns:
+            cpu_sec[name] = round(cruns[len(cruns) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     # round-9: silver→gold loader throughput, tracked alongside the
     # query walls (one bounded reference-shape day; see _loader_bench)
     loader = _loader_bench(spark)
-    # Full detail object first (humans / logs), then a compact final
-    # line.  The driver keeps only a 2,000-char tail of stdout and
-    # parses the LAST JSON line: with 40+ queries the detail line
-    # alone exceeds the tail, so the summary must come last and stay
-    # far under the window (it is ~160 chars).
+    # Full detail object first (humans / logs), then the final line
+    # the driver parses.  The driver keeps only a 2,000-char tail of
+    # stdout and parses the LAST JSON line: the detail line (spreads,
+    # cpu_sec, loader breakdown) exceeds the tail on its own, so it
+    # goes first, and the FINAL line carries the per-query medians
+    # compactly (2-decimal, ~1.75 KB for 60 queries — measured against
+    # the 2,000-char window) so the driver's PERF per-query/geomean/
+    # scaling comparisons populate again (round-13 measurement fix,
+    # VERDICT r12 item 2; the r11/r12 final line carried only the
+    # total).  Same methodology, same timed action — additions only.
     print(
         json.dumps(
             {
@@ -356,26 +416,34 @@ def main() -> None:
                 "method": "median_warm_respread3x",
                 "spread_min_max": spread,
                 "spread_ratio": spread_ratio,
+                # median CPU seconds of the whole process tree per
+                # timed pass: cpu ≈ wall·cores when compute-bound and
+                # unchanged by OTHER processes' load, so wall spikes
+                # with flat cpu are box contention, not regressions
+                "cpu_sec": cpu_sec,
                 "n_respread": len(noisy),
                 "loader": loader,
             }
         )
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "method": "median_warm_respread3x",
-                "loader_rows_per_sec": (
-                    loader["total_rows_per_sec"] if loader else None
-                ),
-            }
-        )
-    )
+    final = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "n_queries": len(timings),
+        "method": "median_warm_respread3x",
+        "loader_rows_per_sec": (
+            loader["total_rows_per_sec"] if loader else None
+        ),
+    }
+    line = json.dumps(final)
+    if len(line) > 1900:  # never let the parsed line outgrow the tail
+        final.pop("method", None)
+        final["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(final)
+    print(line)
 
 
 if __name__ == "__main__":

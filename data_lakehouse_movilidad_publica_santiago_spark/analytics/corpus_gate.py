@@ -459,11 +459,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram explode + model probes are compute-heavy narrow stages; a
     # one-file scan would single-thread them (no-op at cluster scale)
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
-    # round-12 negative result, recorded: BigramLM.materialized()
-    # measured a slight REGRESSION here (min 1.99 s vs 1.88 s baseline
-    # at sf0.1) — only one training-slice explode is saved and the
-    # checkpoint job costs more than it returns.  Reverted; the
-    # fused-DSIR and tfidf paths keep theirs (measured wins).
+    # round-13: training is the FUSED single-pass form (one tagged
+    # explode + one shuffle for unigrams+bigrams+|V|, materialized
+    # model-sized — operators.lm_filter._fused_gram_counts).  The
+    # round-12 negative result (BigramLM.materialized() alone: min
+    # 1.99 s vs 1.88 s baseline) only checkpointed the unigram table;
+    # the fusion also removes the separate bigram explode and merges
+    # the training shuffles, which is what the checkpoint-only probe
+    # could not recoup.
     model = train_bigram_lm(docs.filter(F.col("lang") == "en"))
     # lang rides the gram rows; bigram-free docs are excluded anyway,
     # so skip the join-back stage — train + score is ONE Spark plan
@@ -1462,13 +1465,15 @@ def q_trigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.spread import ensure_parallelism
 
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
-    # round-12 negative result, recorded: TrigramLM.materialized()
-    # (checkpointing bigrams/unigrams to kill the 3 redundant
-    # training-slice explodes) measured NO win here (min 2.50 s vs
-    # 2.49 s baseline at sf0.1) — the re-exploded slice is the small
-    # English subset, and the checkpoint's extra materialization jobs
-    # offset the saved passes.  Production reuse should still persist
-    # the model once per revision (the operator docstring's contract).
+    # round-13: training is the FUSED single-pass form — one tagged
+    # explode + ONE shuffle counts tri+bi+unigrams together and the
+    # materialized model feeds all five scoring joins and the totals
+    # (operators.lm_filter._fused_gram_counts).  The round-12
+    # checkpoint-only probe (TrigramLM.materialized(): min 2.50 s vs
+    # 2.49 s) saved passes but paid extra materialization JOBS; the
+    # fusion removes the passes AND the per-order shuffles at once.
+    # Production reuse should still persist the model once per
+    # revision (the operator docstring's contract).
     model = train_trigram_lm(docs.filter(F.col("lang") == "en"))
     return score_stupid_backoff(docs, model, passthrough=["lang"])
 

@@ -334,20 +334,36 @@ SELECT doc_id, cluster_id, n_members, score FROM sized WHERE rn = 1
 # re-collected the vec_id=0 query vector from parquet per invocation —
 # one whole Spark job apiece across ~15 headliners.  Same
 # prebuilt-state pattern as the index/codebook caches; cleared in
-# lockstep by _cleanup_index_caches.
-_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+# lockstep by _cleanup_index_caches.  Keys include the embeddings
+# parquet's (mtime_ns, size) — like pq._META_CACHE — so regenerating
+# data under the same sf_dir invalidates the entry instead of serving
+# stale vectors/params (ADVICE r12).
+_QUERY_VEC_CACHE: dict[tuple, list[float]] = {}
+
+
+def _emb_cache_key(sf_dir: str) -> tuple:
+    """(sf_dir, mtime_ns, size) of the embeddings parquet — the
+    invalidation key for every cache derived from that table."""
+    import os as _os
+
+    try:
+        st = _os.stat(f"{sf_dir}/embeddings.parquet")
+        return (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (sf_dir, 0, 0)
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    if sf_dir not in _QUERY_VEC_CACHE:
+    key = _emb_cache_key(sf_dir)
+    if key not in _QUERY_VEC_CACHE:
         row = (
             t(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") == 0)
             .select("embedding")
             .collect()[0]
         )
-        _QUERY_VEC_CACHE[sf_dir] = [float(x) for x in row["embedding"]]
-    return list(_QUERY_VEC_CACHE[sf_dir])
+        _QUERY_VEC_CACHE[key] = [float(x) for x in row["embedding"]]
+    return list(_QUERY_VEC_CACHE[key])
 
 
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,22 +428,27 @@ _MINHASH_INDEX_CACHE: dict[str, str] = {}
 
 def _cleanup_index_caches() -> None:
     """Remove the per-process persisted-index temp dirs on exit
-    (rebuilt lazily per process; never shared across runs)."""
+    (rebuilt lazily per process; never shared across runs) and clear
+    every in-memory parameter cache in lockstep, so pq_knn/sq8_knn
+    can't keep serving quantizers trained on data a refreshed sf_dir
+    would replace.
+
+    Round-13: enumerate the caches by module introspection instead of
+    a hand-maintained tuple — the r11 mid-build round added
+    ``_IVFPQ_TWOLEVEL_INDEX_CACHE`` / ``_IVFPQ_STREAM_INDEX_CACHE``
+    without wiring them in here, leaving their temp dirs behind and
+    (worse) serving stale index paths after a rebuild.  Any future
+    ``*_CACHE`` module global is picked up automatically;
+    tests/test_r13_optimizations.py pins that."""
     import shutil as _shutil
 
-    for cache in (_IVF_INDEX_CACHE, _MINHASH_INDEX_CACHE, _PQ_INDEX_CACHE,
-                  _IVFPQ_INDEX_CACHE, _IVFPQ_INCR_INDEX_CACHE,
-                  _IVFPQ_RES_INDEX_CACHE, _IVFPQ_RES_BIG_INDEX_CACHE):
-        for d in cache.values():
-            _shutil.rmtree(d, ignore_errors=True)
+    for name, cache in list(globals().items()):
+        if not (name.endswith("_CACHE") and isinstance(cache, dict)):
+            continue
+        if "INDEX" in name:  # dir-valued: delete the temp dirs too
+            for d in cache.values():
+                _shutil.rmtree(d, ignore_errors=True)
         cache.clear()
-    # the codebook/params caches hold in-memory lists, not dirs —
-    # clear them in lockstep so pq_knn/sq8_knn can't keep serving
-    # quantizers trained on data a refreshed sf_dir would replace
-    _PQ_CODEBOOK_CACHE.clear()
-    _SQ8_PARAMS_CACHE.clear()
-    _QUERY_VEC_CACHE.clear()
-    _BATCH_QUERIES_CACHE.clear()
 
 
 import atexit as _atexit  # noqa: E402
@@ -1044,18 +1065,19 @@ ORACLE: dict[str, str] = {
 # pattern): the bench docstring promises the warm-up pass pays the
 # one-time min/max aggregate — round-12 makes that true (it was
 # re-aggregated per call)
-_SQ8_PARAMS_CACHE: dict[str, list] = {}
-_BATCH_QUERIES_CACHE: dict[str, dict] = {}
+_SQ8_PARAMS_CACHE: dict[tuple, list] = {}
+_BATCH_QUERIES_CACHE: dict[tuple, dict] = {}
 
 
 def _sq8_params_for(spark: SparkSession, sf_dir: str) -> list:
-    if sf_dir not in _SQ8_PARAMS_CACHE:
+    key = _emb_cache_key(sf_dir)
+    if key not in _SQ8_PARAMS_CACHE:
         from ..operators.similarity import sq8_params
 
-        _SQ8_PARAMS_CACHE[sf_dir] = sq8_params(
+        _SQ8_PARAMS_CACHE[key] = sq8_params(
             t(spark, sf_dir, "embeddings"), dim=64
         )
-    return _SQ8_PARAMS_CACHE[sf_dir]
+    return _SQ8_PARAMS_CACHE[key]
 
 
 def q_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1761,12 +1783,13 @@ def q_ivfpq_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _ivfpq_res_index_for(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
-    if sf_dir not in _BATCH_QUERIES_CACHE:
-        _BATCH_QUERIES_CACHE[sf_dir] = {
+    cache_key = _emb_cache_key(sf_dir)
+    if cache_key not in _BATCH_QUERIES_CACHE:
+        _BATCH_QUERIES_CACHE[cache_key] = {
             int(r["vec_id"]): [float(x) for x in r["embedding"]]
             for r in emb.filter(F.col("vec_id") < 5).collect()
         }
-    queries = _BATCH_QUERIES_CACHE[sf_dir]
+    queries = _BATCH_QUERIES_CACHE[cache_key]
     return ivfpq_topk_batch(
         spark, idx, emb, queries, k=10, n_probe=8, overfetch=64
     )

@@ -33,7 +33,17 @@ def _parallel(*thunks):
     sequentially — overlapping lets the next job's tasks back-fill
     executors idled by the current job's tail).  Used ONLY for steps
     that touch DISJOINT gold tables, so results are identical to the
-    sequential order; exceptions propagate like sequential calls."""
+    sequential order; exceptions propagate like sequential calls.
+
+    Partial-failure footprint (ADVICE r12): all thunks are submitted
+    before the first result is awaited, and a failing thunk does NOT
+    cancel its siblings — a concurrent sibling may finish committing
+    its (disjoint) table before the exception propagates, and its
+    counts are then absent from the caller's result.  That is safe
+    here because every step is idempotent (merge_insert / overwrite)
+    and the run-log marks the CUT failed, so the re-run redoes every
+    table of the cut identically: the group is all-or-nothing at the
+    re-run level, not at the thread level."""
     if len(thunks) == 1:
         return [thunks[0]()]
     from concurrent.futures import ThreadPoolExecutor

@@ -89,17 +89,22 @@ def kmeans_fit_assign(
         # inside, so no outside vector can displace one found here);
         # the exact groupBy remains as fallback for pathological
         # prefixes (all duplicates).
+        # a NULL vector can't seed a centroid: filter it out of BOTH
+        # init paths so prefix scan and groupBy fallback agree on
+        # corpora containing NULL embeddings among the low ids
+        # (ADVICE r12 — previously the fallback kept the NULL group
+        # and crashed at centroid extraction while the prefix skipped
+        # it row-by-row)
+        nn = emb.filter(F.col(vec_col).isNotNull())
         prefix_n = max(64, 8 * k)
         prefix = (
-            emb.select(id_col, vec_col)
+            nn.select(id_col, vec_col)
             .orderBy(F.col(id_col))
             .limit(prefix_n)
             .collect()
         )
         seen: dict[tuple, object] = {}
         for r in prefix:
-            if r[vec_col] is None:
-                continue  # a NULL vector can't seed a centroid
             # NaN-safe distinctness: SQL GROUP BY treats NaN = NaN
             # (and -0.0 = 0.0, which Python tuples already do)
             key = tuple(
@@ -113,7 +118,7 @@ def kmeans_fit_assign(
             rows = list(seen.values())
         else:
             rows = (
-                emb.groupBy(vec_col)
+                nn.groupBy(vec_col)
                 .agg(F.min(id_col).alias(id_col))
                 .orderBy(F.col(id_col))
                 .limit(k)

@@ -79,6 +79,59 @@ class BigramLM:
         )
 
 
+def _fused_gram_counts(
+    reference: DataFrame, text_col: str, max_order: int
+) -> DataFrame:
+    """All n-gram counts for orders 1..max_order in ONE corpus pass
+    (round-13, guide §2.3/§2.4): per document, every order's grams are
+    emitted from a single scan as tagged ``(o, g)`` structs in one
+    array, exploded once, and counted by ONE ``groupBy(o, g)`` — so a
+    trigram model trains with 1 explode + 1 shuffle where the naive
+    form paid one explode + one shuffle PER ORDER, and (because the
+    HOF tokenizers defeat Catalyst's plan canonicalization — 0
+    ReusedExchange in the measured plans) re-paid them PER REFERENCE
+    when the scorer joins the same table twice.  The result is
+    snapshotted (lazy ``localCheckpoint``; model-sized — gram vocab,
+    not corpus) so the per-order tables, the totals aggregates and the
+    scorer's repeated joins are all cheap filters over one
+    materialized relation.
+
+    Count identity (what the oracle checks): per order the emitted
+    grams are EXACTLY the naive pipeline's — order 1 is the plain
+    token explode, order n keeps only true n-grams via the same
+    ``size(split(g)) = n`` screen ``train_trigram_lm`` used (for
+    bigrams that screen is equivalent to the ``contains(' ')`` screen
+    ``train_bigram_lm`` used: space-split tokens contain no spaces, so
+    a gram has exactly ``size-1`` separators) — and a single
+    ``groupBy(o, g)`` over the disjoint union counts each order's
+    grams independently, exactly like per-order groupBys."""
+    toks = F.split(F.col(text_col), " ")
+
+    def tagged(n: int):
+        if n == 1:
+            return F.transform(
+                toks,
+                lambda w: F.struct(F.lit(1).alias("o"), w.alias("g")),
+            )
+        grams = F.filter(
+            word_ngrams_raw(F.col(text_col), n),
+            lambda g: F.size(F.split(g, " ")) == n,
+        )
+        return F.transform(
+            grams,
+            lambda g: F.struct(F.lit(n).alias("o"), g.alias("g")),
+        )
+
+    arr = F.concat(*[tagged(n) for n in range(1, max_order + 1)])
+    return (
+        reference.select(F.explode(arr).alias("s"))
+        .select("s.o", "s.g")
+        .groupBy("o", "g")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def train_bigram_lm(
     reference: DataFrame, text_col: str = "text"
 ) -> BigramLM:
@@ -88,17 +141,20 @@ def train_bigram_lm(
     compose with ``functions.text.normalize_text`` upstream when it
     is not). Single-token documents contribute their token to the
     unigram/vocab tables but no bigram. |V| stays a one-row relation
-    so scoring folds it in as a broadcast scalar — training is fully
-    lazy and a train+score run is ONE Spark plan."""
-    toks = F.split(F.col(text_col), " ")
-    words = reference.select(F.explode(toks).alias("w1"))
-    unigrams = words.groupBy("w1").agg(F.count("*").alias("c1"))
-    # word_ngrams_raw pads docs shorter than n with one short gram;
-    # a true bigram contains a space, so filter the padding out
-    grams = reference.select(
-        F.explode(word_ngrams_raw(F.col(text_col), 2)).alias("gram")
-    ).filter(F.col("gram").contains(" "))
-    bigrams = grams.groupBy("gram").agg(F.count("*").alias("c12"))
+    so scoring folds it in as a broadcast scalar — training launches
+    no eager job (the fused counts snapshot materializes inside the
+    first action that consumes the model).
+
+    Round-13: both tables (and |V|) derive from ONE fused-counts pass
+    — see :func:`_fused_gram_counts`; previously the unigram, bigram
+    and vocab subtrees each re-exploded the reference corpus."""
+    counts = _fused_gram_counts(reference, text_col, 2)
+    unigrams = counts.filter(F.col("o") == 1).select(
+        F.col("g").alias("w1"), F.col("c").alias("c1")
+    )
+    bigrams = counts.filter(F.col("o") == 2).select(
+        F.col("g").alias("gram"), F.col("c").alias("c12")
+    )
     vocab = unigrams.agg(F.count("*").alias("vocab"))
     return BigramLM(bigrams, unigrams, vocab)
 
@@ -478,25 +534,23 @@ def train_trigram_lm(
     had not been seen; unigram counts and totals are never pruned, so
     the add-one floor and OOV behavior are unchanged.  The ``totals``
     relation keeps the UNPRUNED token count (the corpus scale, not the
-    model size).  The differential gate trains unpruned."""
-    toks = F.split(F.col(text_col), " ")
-    words = reference.select(F.explode(toks).alias("w"))
-    unigrams = words.groupBy("w").agg(F.count("*").alias("c1"))
-    bigrams = (
-        reference.select(
-            F.explode(word_ngrams_raw(F.col(text_col), 2)).alias("gram")
-        )
-        .filter(F.size(F.split("gram", " ")) == 2)
-        .groupBy("gram")
-        .agg(F.count("*").alias("c12"))
+    model size).  The differential gate trains unpruned.
+
+    Round-13: all three tables (and the totals) derive from ONE
+    fused-counts pass — see :func:`_fused_gram_counts`.  The naive
+    shape paid one reference explode per order, and the stupid-backoff
+    scorer's double references to bigrams/unigrams (plus the totals
+    aggregate) re-paid them: six corpus passes for one model.  Pruning
+    filters the materialized counts, so values are unchanged."""
+    counts = _fused_gram_counts(reference, text_col, 3)
+    unigrams = counts.filter(F.col("o") == 1).select(
+        F.col("g").alias("w"), F.col("c").alias("c1")
     )
-    trigrams = (
-        reference.select(
-            F.explode(word_ngrams_raw(F.col(text_col), 3)).alias("gram")
-        )
-        .filter(F.size(F.split("gram", " ")) == 3)
-        .groupBy("gram")
-        .agg(F.count("*").alias("c123"))
+    bigrams = counts.filter(F.col("o") == 2).select(
+        F.col("g").alias("gram"), F.col("c").alias("c12")
+    )
+    trigrams = counts.filter(F.col("o") == 3).select(
+        F.col("g").alias("gram"), F.col("c").alias("c123")
     )
     if min_count > 1:
         bigrams = bigrams.filter(F.col("c12") >= min_count)

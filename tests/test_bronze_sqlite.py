@@ -55,6 +55,7 @@ def test_safe_extract_rejects_traversal(tmp_path):
     assert files[0].read_text() == "h|h\n1|2\n"
 
 
+@pytest.mark.slow  # 20-40 s; VERDICT r12 item 1 (default-run budget)
 def test_sqlite_export(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("lake")
     fx.build_lake(root)

@@ -56,14 +56,23 @@ def test_window_prioritizes_never_snapshotted_gates():
         assert all(k not in union_green for k in qs[:50])
 
 
-def test_rotation_is_age_sorted():
-    """Round-9 policy: queries() must be ordered by most-recent-green
-    round ascending (never-green first), so the driver's 50-entry
-    window always re-snapshots the stalest evidence."""
+def test_rotation_is_changed_first_then_age_sorted():
+    """Round-13 policy: queries() must be ordered by (implementation-
+    changed-since-baseline first, then most-recent-green round
+    ascending, never-green first) — changed gates land in the driver's
+    50-entry window, and within each class the stalest evidence is
+    re-snapshotted first (the round-9 age policy)."""
     ages = entry._LAST_GREEN
+    changed = entry._changed_since_baseline()
     qs = list(entry.queries().keys())
-    vals = [ages.get(k, -1) for k in qs]
-    assert vals == sorted(vals), "queries() not in age-based rotation order"
+    keys = [(0 if k in changed else 1, ages.get(k, -1)) for k in qs]
+    assert keys == sorted(keys), "queries() not in rotation order"
+    # every changed gate must be inside the 50-entry driver window
+    # (when fewer than 50 changed)
+    if len(changed) <= 50:
+        assert changed <= set(qs[:50]), (
+            sorted(changed - set(qs[:50]))
+        )
 
 
 def test_docstring_has_no_stale_hardcoded_counts():

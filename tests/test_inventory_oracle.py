@@ -53,7 +53,26 @@ def _normalize(rows, cols):
     return sorted(out)
 
 
-@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
+# The heavy correctness cases (the ~2.5M-pair dedup clustering twins,
+# the streamed/big-cell IVF-PQ builds) run 20-100 s apiece and are
+# re-proven by the driver's own oracle gate every round — marked slow
+# so the DEFAULT run (`pytest tests/`) finishes inside the driver's
+# verify window (VERDICT r12 item 1).  `pytest -m ""` runs everything.
+_SLOW_GATES = {
+    "dedup_clusters",
+    "dedup_survivors",
+    "ivfpq_knn_streamed",
+    "ivfpq_knn_residual_bigcells",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_GATES else n
+        for n in sorted(ALL_QUERIES)
+    ],
+)
 def test_query_matches_oracle(spark, duck, name):
     sdf = ALL_QUERIES[name](spark, SF_CORRECTNESS)
     spark_rows = [r.asDict() for r in sdf.collect()]

@@ -211,6 +211,7 @@ def test_candidates_plan_executes_once(spark):
     assert acc.value == 1, f"candidates plan executed {acc.value} times"
 
 
+@pytest.mark.slow  # 20-40 s; VERDICT r12 item 1 (default-run budget)
 def test_mmr_ivfpq_equals_exact(tmp_path, spark):
     """The fully file-pruned stack (codes screen + cell-partitioned
     vector fetch + driver greedy) reproduces the exact full-corpus

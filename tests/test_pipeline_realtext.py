@@ -30,9 +30,12 @@ from data_lakehouse_movilidad_publica_santiago_spark.pipeline import (
 
 REF = Path("/root/reference")
 
-pytestmark = pytest.mark.skipif(
+# real-text composed-pipeline replays: slow-marked so the DEFAULT run finishes
+# inside the driver's verify window (VERDICT r12 item 1);
+# `pytest -m ""` runs the full suite.
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not REF.exists(), reason="reference markdown fixture not present"
-)
+)]
 
 SPANISH_STOPWORDS = [
     "de", "la", "que", "el", "en", "y", "a", "los", "del", "se",

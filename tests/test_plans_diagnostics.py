@@ -119,6 +119,7 @@ def test_serving_filters_push_to_scan(spark, tmp_path_factory):
     assert any("tipo_dia" in f for f in pf), pf
 
 
+@pytest.mark.slow  # 20-40 s; VERDICT r12 item 1 (default-run budget)
 def test_load_report(spark, tmp_path_factory):
     import dtpm_fixtures as fx
     from data_lakehouse_movilidad_publica_santiago_spark.gold import GoldLoader

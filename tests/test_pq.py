@@ -116,6 +116,7 @@ def test_validation_errors(emb):
         pq_train(emb, iters=0, oracle_parity=False)
 
 
+@pytest.mark.slow
 def test_production_training_uncapped(emb, cb):
     """oracle_parity=False lifts the iters<=2 oracle-parity pin:
     more Lloyd rounds must stay deterministic (rounded updates,
@@ -258,6 +259,7 @@ def test_ivfpq_screen_prunes_at_file_level(emb, qvec, spark, tmp_path):
     )
 
 class TestIvfpqAdd:
+    pytestmark = pytest.mark.slow
     """Incremental index maintenance (round 9): ivfpq_add appends
     frozen-quantizer-encoded batches; queries see them with no reload."""
 
@@ -402,6 +404,7 @@ class TestIvfpqAdd:
 
 
 class TestIvfpqLifecycle:
+    pytestmark = pytest.mark.slow
     """Round-10: index compaction (ivfpq_optimize) + drift monitoring
     (ivfpq_drift_stats) — the rebuild/maintenance story for a daily-
     growing ivfpq_add index."""
@@ -606,6 +609,7 @@ class TestIvfpqLifecycle:
 
 
 class TestIvfpqResidual:
+    pytestmark = pytest.mark.slow
     """Round-10: residual-codebook IVF-PQ (FAISS's actual default).
     Motivation measured in SCALE.md r10: on a 5M clustered corpus the
     GLOBAL-codebook ADC screen collapses to recall 0.1 at every
@@ -807,6 +811,7 @@ class TestIvfpqResidual:
 
 
 class TestIvfpqRound11:
+    pytestmark = pytest.mark.slow
     """Round-11: broadcast-join residual encode for large cell counts
     (VERDICT r10 ask #1 — the literal anchor SQL grows O(n_cells·dim)
     and is tens of MB at 100-TB-realistic coarse counts), anchors out
@@ -1239,6 +1244,7 @@ class TestIvfpqRound11:
 
 
 class TestIvfpqTwoLevel:
+    pytestmark = pytest.mark.slow
     """Round-12: hierarchical (two-level) coarse quantizer — the
     100-TB path for n_cells ~ √N cell counts, where flat k-means
     training (O(sample·n_cells·dim)/iter) and flat per-row assignment

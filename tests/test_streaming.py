@@ -86,6 +86,7 @@ def test_streaming_boardings_window(spark, bronze, tmp_path_factory):
     assert sum(r["boardings"] for r in rows) == 2
 
 
+@pytest.mark.slow  # ~120 s stateful stream; VERDICT r12 item 1
 def test_stateful_trip_chains(spark, tmp_path_factory):
     """applyInPandasWithState: legs 20 min apart chain; a 90-min gap
     starts a new chain."""

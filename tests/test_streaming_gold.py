@@ -84,6 +84,7 @@ def two_cut_lake(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow  # 20-40 s; VERDICT r12 item 1 (default-run budget)
 def test_stream_gold_equals_batch_gold(spark, two_cut_lake, tmp_path_factory):
     work = tmp_path_factory.mktemp("sg_work")
     gold_stream_dir, gold_batch_dir = work / "gold_s", work / "gold_b"
@@ -106,6 +107,7 @@ def test_stream_gold_equals_batch_gold(spark, two_cut_lake, tmp_path_factory):
     assert {r["status"] for r in log.collect()} == {"OK"}
 
 
+@pytest.mark.slow  # ~70 s restart replay; VERDICT r12 item 1
 def test_stream_restart_skips_loaded_cuts_and_picks_up_new(
     spark, two_cut_lake, tmp_path_factory
 ):

@@ -59,6 +59,7 @@ def _rows(df):
     )
 
 
+@pytest.mark.slow  # 20-40 s; VERDICT r12 item 1 (default-run budget)
 def test_every_gold_table_identical(both):
     plain, txn, *_ = both
     for table in TABLES:
@@ -109,6 +110,7 @@ def test_txn_gold_history_ops(both):
     assert "overwrite" in ops or "append" in ops
 
 
+@pytest.mark.slow  # 20-40 s; VERDICT r12 item 1 (default-run budget)
 def test_stream_gold_into_txn_store(spark, tmp_path_factory):
     """The streaming loader on the transactional backend: streamed gold
     equals batch gold table-by-table, and a fresh-checkpoint re-stream

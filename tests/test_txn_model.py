@@ -44,6 +44,7 @@ op_strategy = st.lists(
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(ops=op_strategy)
+@pytest.mark.slow  # 20-40 s; VERDICT r12 item 1 (default-run budget)
 def test_txn_table_matches_dict_model(spark, tmp_path_factory, ops):
     tmp = tmp_path_factory.mktemp("txn_model")
     t = TxnTable(spark, tmp / "t")
