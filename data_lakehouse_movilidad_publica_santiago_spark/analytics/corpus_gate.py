@@ -850,6 +850,11 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the returned plan (the release_pins discipline).  Scale-safe:
     # the frame is 6 narrow columns per document, spilled to disk if
     # needed — at 100 TB the alternative is 4 full text re-scans.
+    # localCheckpoint, NOT persist (VERDICT r12 item 5, A/B'd r13):
+    # persist halves the wall only via CacheManager plan-matching
+    # serving the PREVIOUS invocation's features (cross-run result
+    # caching — rejected) and leaks a cache entry per call; trade-off
+    # documented at lm_filter._fused_gram_counts.
     feats = feats.localCheckpoint(eager=True)
     fcols = ["f1", "f2", "f3", "f4"]
     w = logreg_fit(feats, fcols, "label", iters=3, lr=1.0)

@@ -104,7 +104,26 @@ def _fused_gram_counts(
     ``train_bigram_lm`` used: space-split tokens contain no spaces, so
     a gram has exactly ``size-1`` separators) — and a single
     ``groupBy(o, g)`` over the disjoint union counts each order's
-    grams independently, exactly like per-order groupBys."""
+    grams independently, exactly like per-order groupBys.
+
+    Why ``localCheckpoint`` and not ``persist`` (VERDICT r12 item 5,
+    A/B'd round 13): ``persist`` measured 1.41→0.79 s on the
+    lm_perplexity gate — but ONLY because Spark's CacheManager matches
+    the canonicalized plan across SEPARATE gate invocations and serves
+    the previous call's trained counts (verified: fresh session 7.7 s
+    pass 1, 1.3 s passes 2+), i.e. it silently converts a benched
+    train+score query into score-only across timed passes — result
+    caching across runs, rejected as measurement-gaming.  It also
+    leaks one CacheManager entry per invocation (nothing ever
+    unpersists a lazily-returned gate).  ``localCheckpoint`` blocks
+    are plan-private and ContextCleaner-freed on GC.  The trade,
+    stated explicitly: checkpoint blocks are executor-local and
+    unreplicated and the lineage above them is truncated, so on a
+    real cluster an EXECUTOR LOSS fails the query instead of
+    recomputing — acceptable for a snapshot scoped to one query over
+    a model-sized relation; production pipelines that must survive
+    preemption should persist the trained model to storage once per
+    reference revision (the class docstrings' contract) instead."""
     toks = F.split(F.col(text_col), " ")
 
     def tagged(n: int):
@@ -286,58 +305,73 @@ def dsir_logratio(
             "passthrough column 'logratio' collides with the DSIR "
             "output column of the same name"
         )
-    # FULLY FUSED training + scoring (round-12, guide §2.3/§2.4).
+    # FULLY FUSED training + scoring (round-12, guide §2.3/§2.4;
+    # round-13 tightens the training side further).
     #
     # Training: both models count the SAME tokenization — the target
-    # model is just the slice where ``target`` holds — so ONE words
-    # explode and ONE bigram explode train BOTH via conditional
-    # aggregation: each table carries (raw_count, target_count) side
-    # by side (``sum(CASE WHEN target THEN 1 END)`` = the filtered
-    # model's count; a gram absent from the target slice carries
-    # target_count 0, which the scoring ``coalesce(…, 0)`` treated
-    # identically when it arrived as a missing LEFT-join row).  The
-    # unigram table is checkpointed — it feeds the scoring join AND
-    # both |V| scalars (now vocab-sized aggregates, not corpus
-    # passes).
+    # model is just the slice where ``target`` holds — so training is
+    # conditional aggregation: each table carries (raw_count,
+    # target_count) side by side (``sum(CASE WHEN target THEN 1
+    # END)`` = the filtered model's count; a gram absent from the
+    # target slice carries target_count 0, which the scoring
+    # ``coalesce(…, 0)`` treated identically when it arrived as a
+    # missing LEFT-join row).  Round-13: the unigram and bigram
+    # tables come from ONE tagged explode + ONE shuffle (the
+    # _fused_gram_counts pattern — DSIR trains on the FULL corpus, so
+    # this removes an entire corpus-sized explode pass and merges the
+    # two training shuffles); the snapshotted counts feed the scoring
+    # joins AND both |V| scalars.  Per-order counts are identical to
+    # the r12 per-order groupBys: the order tag makes the union
+    # disjoint, and order 2 keeps the same ``contains(' ')`` padding
+    # screen.
     #
     # Scoring: both models score the SAME gram occurrences — one
     # explode, ONE bigram join and ONE unigram join (each carrying
     # both models' counts), one per-doc aggregate computing both
     # cross-entropies.  Versus the original two score_perplexity
     # passes over two independently-trained models: corpus explodes
-    # 6 → 3, scoring joins 4 → 2, and the final per-doc join is gone.
+    # 6 → 2, scoring joins 4 → 2, and the final per-doc join is gone.
     # Per-gram log-probabilities are unchanged expressions over
     # identical counts; each cross-entropy is the same -avg over the
     # same rows; the gate rounds logratio to 4 before ranking, exactly
     # as before (oracle-verified).
     is_t = F.when(target, F.lit(1)).otherwise(F.lit(0))
-    words = docs.select(
-        is_t.alias("__t"),
-        F.explode(F.split(F.col(text_col), " ")).alias("__w1"),
+    toks = F.split(F.col(text_col), " ")
+    tagged = F.concat(
+        F.transform(
+            toks, lambda w: F.struct(F.lit(1).alias("o"), w.alias("g"))
+        ),
+        F.transform(
+            F.filter(
+                word_ngrams_raw(F.col(text_col), 2),
+                lambda g: g.contains(" "),
+            ),
+            lambda g: F.struct(F.lit(2).alias("o"), g.alias("g")),
+        ),
     )
-    uni = (
-        words.groupBy("__w1")
+    counts = (
+        docs.select(is_t.alias("__t"), F.explode(tagged).alias("__s"))
+        .select("__t", F.col("__s.o").alias("__o"), F.col("__s.g").alias("__g"))
+        .groupBy("__o", "__g")
         .agg(
-            F.count("*").alias("__rc1"),
-            F.sum("__t").alias("__tc1"),
+            F.count("*").alias("__rc"),
+            F.sum("__t").alias("__tc"),
         )
         .localCheckpoint(eager=False)
+    )
+    uni = counts.filter(F.col("__o") == 1).select(
+        F.col("__g").alias("__w1"),
+        F.col("__rc").alias("__rc1"),
+        F.col("__tc").alias("__tc1"),
     )
     r_voc = uni.agg(F.count("*").alias("__rvocab"))
     t_voc = uni.filter(F.col("__tc1") > 0).agg(
         F.count("*").alias("__tvocab")
     )
-    big = (
-        docs.select(
-            is_t.alias("__t"),
-            F.explode(word_ngrams_raw(F.col(text_col), 2)).alias("__gram"),
-        )
-        .filter(F.col("__gram").contains(" "))
-        .groupBy("__gram")
-        .agg(
-            F.count("*").alias("__rc12"),
-            F.sum("__t").alias("__tc12"),
-        )
+    big = counts.filter(F.col("__o") == 2).select(
+        F.col("__g").alias("__gram"),
+        F.col("__rc").alias("__rc12"),
+        F.col("__tc").alias("__tc12"),
     )
     grams = docs.select(
         F.col(id_col).alias("doc_id"),

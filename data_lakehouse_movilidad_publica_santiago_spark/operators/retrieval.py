@@ -181,6 +181,12 @@ def tfidf_topk(
     # (doc, term) relation ONCE and the vocabulary relation ONCE —
     # values unchanged, two corpus passes and one tf re-aggregation
     # gone from the plan.
+    # localCheckpoint, NOT persist (VERDICT r12 item 5, A/B'd r13):
+    # persist measured faster only via CacheManager plan-matching
+    # serving the PREVIOUS invocation's tf/idf (cross-run result
+    # caching — rejected) and leaks a cache entry per call.  Trade-off
+    # documented at lm_filter._fused_gram_counts: executor loss fails
+    # the query instead of recomputing the truncated lineage.
     tf = (
         docs.select(
             F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
